@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * One parquet file per table under `dir` (= `/root/testdata/sf*`).
+  * All engine queries take their inputs from here so that the same code
+  * runs at any scale factor — and, on a real cluster, against any
+  * object-store path — by swapping `dir`.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def read(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  lazy val region: DataFrame     = read("region")
+  lazy val nation: DataFrame     = read("nation")
+  lazy val customer: DataFrame   = read("customer")
+  lazy val supplier: DataFrame   = read("supplier")
+  lazy val part: DataFrame       = read("part")
+  lazy val orders: DataFrame     = read("orders")
+  lazy val lineitem: DataFrame   = read("lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects — read nanos as long, then convert to a microsecond
+    * timestamp (the source data is µs-aligned, so this is lossless).
+    * DuckDB oracles read the same values via `CAST(ts AS TIMESTAMP)`. */
+  lazy val events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read("events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")
+      )
+    )
+  }
+  lazy val documents: DataFrame  = read("documents")
+  lazy val embeddings: DataFrame = read("embeddings")
+}
