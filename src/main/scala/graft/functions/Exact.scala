@@ -41,6 +41,12 @@ object Exact {
   def sqlSumDec(e: String): String =
     s"CAST(round(SUM($e), 4) AS DOUBLE)"
 
+  /** Exact AVG of an already-decimal expression, as DOUBLE. */
+  def exactAvgDec(c: Column): Column = exactSumDec(c) / count(lit(1))
+
+  /** SQL twin of [[exactAvgDec]]. */
+  def sqlAvgDec(e: String): String = s"${sqlSumDec(e)} / COUNT(*)"
+
   /** Exact AVG (sum_exact / count), bit-identical with the SQL twin. */
   def exactAvg(c: Column): Column = exactSum(c) / count(c)
 

@@ -1,0 +1,532 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** The reference's six gold models (dbt/models/spurs_analysis SQL files)
+  * re-expressed, shape-for-shape, on the testdata star schema:
+  *
+  *   games        → orders / lineitem facts
+  *   teams        → nation (30-row broadcast dim)
+  *   players      → part
+  *   player_stats → lineitem per-part stats
+  *
+  * Each model keeps the reference's full operator composition (CTE chain,
+  * UNION-ALL unpivot with per-branch CASE direction, global rank windows,
+  * scalar-subquery single-row assembly) so the driver's DuckDB oracle
+  * exercises the composed plans, not just single operators.
+  *
+  * A single metric-descriptor list drives BOTH the Spark code and the
+  * oracle SQL text, so the two formulations cannot drift apart.
+  */
+object GoldAnalogs {
+
+  /** season-label normalization, `summary_by_season.sql:13-14`:
+    * CASE WHEN season LIKE '2024' THEN '2024-25' ELSE season END
+    * (wildcard-free LIKE ≡ equality, Q-5). */
+  private def seasonCol(d: Column): Column =
+    when(year(d).cast("string") === "2001", "2001-02")
+      .otherwise(year(d).cast("string"))
+
+  private def sqlSeason(d: String): String =
+    s"CASE WHEN CAST(year($d) AS VARCHAR) = '2001' THEN '2001-02' " +
+      s"ELSE CAST(year($d) AS VARCHAR) END"
+
+  /** One unpivot metric (team_weaknesses_unpivoted.sql:4-18): Spark agg +
+    * SQL twin + comparison direction + the recommendation branch's filter
+    * brand-list and reason literal (players_recommendations.sql:54-147). */
+  private final case class M(
+      key: String,
+      label: String,
+      lowerIsBetter: Boolean,
+      agg: Column,
+      aggSql: String,
+      brands: Seq[String],
+      reason: String
+  )
+
+  private val revenueExpr: Column =
+    dec(col("l_extendedprice")) * (decOne - dec(col("l_discount")))
+  private val revenueSql: String =
+    s"${sqlDec("l_extendedprice")} * ($sqlDecOne - ${sqlDec("l_discount")})"
+
+  private val metrics: Seq[M] = Seq(
+    M("qty", "Cantidad", lowerIsBetter = false,
+      exactAvg(col("l_quantity")), sqlAvg("l_quantity"),
+      (1 to 10).map(i => s"Brand#$i"),
+      "Aumentar el volumen con partes de alta cantidad media."),
+    M("price", "Precio", lowerIsBetter = false,
+      exactAvg(col("l_extendedprice")), sqlAvg("l_extendedprice"),
+      (6 to 18).map(i => s"Brand#$i"),
+      "Incorporar partes de precio medio elevado."),
+    M("disc", "Descuento", lowerIsBetter = true,
+      exactAvg(col("l_discount")), sqlAvg("l_discount"),
+      Seq("Brand#1", "Brand#5", "Brand#9", "Brand#13", "Brand#17", "Brand#21"),
+      "Reducir el descuento medio concedido."),
+    M("tax", "Impuesto", lowerIsBetter = false,
+      exactAvg(col("l_tax")), sqlAvg("l_tax"),
+      Seq("Brand#2", "Brand#4", "Brand#6", "Brand#8", "Brand#10", "Brand#12"),
+      "Optimizar la carga impositiva media."),
+    M("revenue", "Ingreso", lowerIsBetter = false,
+      exactAvgDec(revenueExpr), sqlAvgDec(revenueSql),
+      Seq.empty, // like the plus_minus branch: no position filter
+      "Contratar partes con impacto positivo en el ingreso.")
+  )
+
+  private val focusNation = "NATION_7"
+  private val streakNation = "NATION_3"
+
+  // ---- shared SQL fragments -------------------------------------------
+
+  /** lineitem ⋈ supplier ⋈ nation with season2 — the `games` silver table
+    * analog (team_weaknesses_unpivoted.sql:20-35). */
+  private val gamesSql: String =
+    "games AS (SELECT l.*, n.n_name, " +
+      s"${sqlSeason("l_shipdate")} AS season2 " +
+      "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+      "JOIN nation n ON s.s_nationkey = n.n_nationkey)"
+
+  private def aggList(prefix: String): String =
+    metrics.map(m => s"${m.aggSql} AS $prefix${m.key}").mkString(", ")
+
+  /** The full weakness-unpivot CTE chain, ending in `weaknesses`. */
+  private val weaknessCtes: String = {
+    val unionSql = metrics.map { m =>
+      val op = if (m.lowerIsBetter) ">" else "<"
+      s"SELECT ts.season2, '${m.label}' AS weakness_type, " +
+        s"ts.avg_${m.key} AS valor_equipo, la.avg_league_${m.key} AS valor_liga, " +
+        s"b.best_${m.key} AS valor_mejor_equipo, " +
+        s"CASE WHEN ts.avg_${m.key} $op la.avg_league_${m.key} THEN 'Debilidad' " +
+        "ELSE 'Fortaleza' END AS resultado " +
+        "FROM team_stats ts JOIN league la ON ts.season2 = la.season2 " +
+        "JOIN best b ON ts.season2 = b.season2"
+    }.mkString(" UNION ALL ")
+    s"$gamesSql, " +
+      s"team_stats AS (SELECT season2, ${aggList("avg_")} FROM games " +
+      s"WHERE n_name = '$focusNation' GROUP BY season2), " +
+      s"league AS (SELECT season2, ${aggList("avg_league_")} FROM games GROUP BY season2), " +
+      s"per_team AS (SELECT season2, n_name, ${aggList("avg_")} FROM games " +
+      "GROUP BY season2, n_name), " +
+      "best AS (SELECT season2, " +
+      metrics.map { m =>
+        val f = if (m.lowerIsBetter) "MIN" else "MAX"
+        s"$f(avg_${m.key}) AS best_${m.key}"
+      }.mkString(", ") +
+      " FROM per_team GROUP BY season2), " +
+      s"weaknesses AS ($unionSql)"
+  }
+
+  // ---- shared Spark fragments -----------------------------------------
+
+  /** games analog DataFrame (both dims broadcast — 100/25 rows). */
+  private def games(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("season2", seasonCol(col("l_shipdate")))
+
+  private def aggCols(prefix: String): Seq[Column] =
+    metrics.map(m => m.agg.as(s"$prefix${m.key}"))
+
+  /** Spark twin of [[weaknessCtes]]'s final `weaknesses` CTE. */
+  private def weaknesses(t: Tables): DataFrame = {
+    val g = games(t)
+    val teamStats = g
+      .filter(col("n_name") === focusNation)
+      .groupBy("season2")
+      .agg(aggCols("avg_").head, aggCols("avg_").tail: _*)
+    val league = g
+      .groupBy("season2")
+      .agg(aggCols("avg_league_").head, aggCols("avg_league_").tail: _*)
+    val best = g
+      .groupBy(col("season2"), col("n_name"))
+      .agg(aggCols("avg_").head, aggCols("avg_").tail: _*)
+      .groupBy("season2")
+      .agg(
+        metrics.map { m =>
+          val c = col(s"avg_${m.key}")
+          (if (m.lowerIsBetter) min(c) else max(c)).as(s"best_${m.key}")
+        }.head,
+        metrics.map { m =>
+          val c = col(s"avg_${m.key}")
+          (if (m.lowerIsBetter) min(c) else max(c)).as(s"best_${m.key}")
+        }.tail: _*
+      )
+    val joined = teamStats.join(league, "season2").join(best, "season2")
+    metrics.map { m =>
+      val team = col(s"avg_${m.key}")
+      val lg = col(s"avg_league_${m.key}")
+      val cond = if (m.lowerIsBetter) team > lg else team < lg
+      joined.select(
+        col("season2"),
+        lit(m.label).as("weakness_type"),
+        team.as("valor_equipo"),
+        lg.as("valor_liga"),
+        col(s"best_${m.key}").as("valor_mejor_equipo"),
+        when(cond, "Debilidad").otherwise("Fortaleza").as("resultado")
+      )
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- G1: summary_by_season ------------------------------------------
+
+  /** summary_by_season.sql — J1 + A4 (conditional counts) + W2 (dense_rank
+    * per season by wins/losses/avg_points). */
+  val g01 = Q(
+    "g01_summary_by_season",
+    Some(
+      "WITH nba AS (SELECT o.*, n.n_name AS team_name FROM orders o " +
+        "JOIN customer c ON o_custkey = c_custkey " +
+        "JOIN nation n ON c_nationkey = n_nationkey), " +
+        s"base AS (SELECT ${sqlSeason("o_orderdate")} AS season, team_name, " +
+        "o_orderstatus AS wl, CAST(floor(o_totalprice) AS BIGINT) AS pts FROM nba), " +
+        "sumariza AS (SELECT season, team_name, " +
+        s"$sqlCount AS total_games, " +
+        s"${sqlCountIf("wl = 'F'")} AS wins, " +
+        s"${sqlCountIf("wl = 'O'")} AS losses, " +
+        "CAST(SUM(pts) AS DOUBLE) / COUNT(pts) AS avg_points " +
+        "FROM base GROUP BY season, team_name) " +
+        "SELECT season, team_name, wins, losses, total_games, avg_points, " +
+        "CAST(DENSE_RANK() OVER (PARTITION BY season " +
+        "ORDER BY wins DESC, losses ASC, avg_points DESC) AS BIGINT) AS team_ranking " +
+        "FROM sumariza"
+    )
+  ) { t =>
+    val base = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        seasonCol(col("o_orderdate")).as("season"),
+        col("n_name").as("team_name"),
+        col("o_orderstatus").as("wl"),
+        floor(col("o_totalprice")).cast("long").as("pts")
+      )
+    val sumariza = base
+      .groupBy(col("season"), col("team_name"))
+      .agg(
+        count(lit(1)).as("total_games"),
+        countIf(col("wl") === "F").as("wins"),
+        countIf(col("wl") === "O").as("losses"),
+        (sum(col("pts")).cast("double") / count(col("pts"))).as("avg_points")
+      )
+    val w = Window
+      .partitionBy(col("season"))
+      .orderBy(col("wins").desc, col("losses").asc, col("avg_points").desc)
+    sumariza.select(
+      col("season"), col("team_name"), col("wins"), col("losses"),
+      col("total_games"), col("avg_points"),
+      dense_rank().over(w).cast("long").as("team_ranking")
+    )
+  }
+
+  // ---- G2: home_vs_away ------------------------------------------------
+
+  /** home_vs_away.sql — A5: same aggregate with a derived `location` key
+    * (matchup LIKE '%@%' → Away analog: priority LIKE '%URGENT%'). */
+  val g02 = Q(
+    "g02_home_away_split",
+    Some(
+      "WITH nba AS (SELECT o.*, n.n_name AS team_name FROM orders o " +
+        "JOIN customer c ON o_custkey = c_custkey " +
+        "JOIN nation n ON c_nationkey = n_nationkey), " +
+        s"base AS (SELECT ${sqlSeason("o_orderdate")} AS season, team_name, " +
+        "CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 'Rush' ELSE 'Standard' END AS location, " +
+        "o_orderstatus AS wl, CAST(floor(o_totalprice) AS BIGINT) AS pts FROM nba) " +
+        "SELECT season, team_name, location, " +
+        s"$sqlCount AS games, " +
+        s"${sqlCountIf("wl = 'F'")} AS wins, " +
+        s"${sqlCountIf("wl = 'O'")} AS losses, " +
+        "CAST(SUM(pts) AS DOUBLE) / COUNT(pts) AS avg_points " +
+        "FROM base GROUP BY season, team_name, location"
+    )
+  ) { t =>
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        seasonCol(col("o_orderdate")).as("season"),
+        col("n_name").as("team_name"),
+        when(col("o_orderpriority").like("%URGENT%"), "Rush")
+          .otherwise("Standard").as("location"),
+        col("o_orderstatus").as("wl"),
+        floor(col("o_totalprice")).cast("long").as("pts")
+      )
+      .groupBy(col("season"), col("team_name"), col("location"))
+      .agg(
+        count(lit(1)).as("games"),
+        countIf(col("wl") === "F").as("wins"),
+        countIf(col("wl") === "O").as("losses"),
+        (sum(col("pts")).cast("double") / count(col("pts"))).as("avg_points")
+      )
+  }
+
+  // ---- G3: team_weaknesses_unpivoted ----------------------------------
+
+  /** team_weaknesses_unpivoted.sql — A1–A3 + J6 (3-way join on season2) +
+    * U1 (5-way UNION ALL unpivot with per-branch CASE direction). */
+  val g03 = Q(
+    "g03_team_weakness_unpivot",
+    Some(
+      s"WITH $weaknessCtes SELECT season2, weakness_type, valor_equipo, " +
+        "valor_liga, valor_mejor_equipo, resultado FROM weaknesses"
+    )
+  )(weaknesses)
+
+  // ---- G4: spurs_player_contributions_unpivoted -----------------------
+
+  /** spurs_player_contributions_unpivoted.sql — A7 (per-entity multi-metric
+    * AVG, one team only) + U2 (unpivot to (rubro, valor) rows). */
+  val g04 = Q(
+    "g04_contributions_unpivot",
+    Some {
+      val union = metrics.map { m =>
+        s"SELECT s_suppkey, s_name, '${m.label}' AS rubro, avg_${m.key} AS valor FROM src"
+      }.mkString(" UNION ALL ")
+      s"WITH $gamesSql, " +
+        s"src AS (SELECT l_suppkey AS s_suppkey, s_name, ${aggList("avg_")} " +
+        s"FROM games g JOIN supplier s ON g.l_suppkey = s.s_suppkey " +
+        s"WHERE g.n_name = '$focusNation' GROUP BY l_suppkey, s_name) $union"
+    }
+  ) { t =>
+    val src = games(t)
+      .filter(col("n_name") === focusNation)
+      .groupBy(col("l_suppkey").as("s_suppkey"), col("s_name"))
+      .agg(aggCols("avg_").head, aggCols("avg_").tail: _*)
+      .withColumnRenamed("l_suppkey", "s_suppkey")
+    metrics.map { m =>
+      src.select(
+        col("s_suppkey"), col("s_name"),
+        lit(m.label).as("rubro"),
+        col(s"avg_${m.key}").as("valor")
+      )
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- G5: streaks_and_rivals -----------------------------------------
+
+  /** streaks_and_rivals.sql — W1 (gaps-and-islands running sums) + A11 +
+    * O1 (ORDER BY…LIMIT 1) + J9 (scalar-subquery argmax) + J10 (single-row
+    * assembly of 10 scalars) + F1 (SPLIT_PART opponent extraction).
+    * Numeric argmax per Q-1; unique (game_date, game_id) tiebreaks make
+    * every LIMIT 1 deterministic. */
+  val g05 = Q(
+    "g05_streaks_one_row",
+    Some(
+      "WITH team_games AS (SELECT " +
+        s"${sqlSeason("o_orderdate")} AS season, " +
+        "o_orderdate AS game_date, o_orderkey AS game_id, " +
+        "o_orderpriority AS matchup, " +
+        "CAST(floor(o_totalprice) AS BIGINT) AS plus_minus, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_win, " +
+        "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_loss " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        s"WHERE n_name = '$streakNation' AND o_orderstatus IN ('F', 'O')), " +
+        "winning_streaks AS (SELECT *, SUM(is_loss) OVER " +
+        "(ORDER BY game_date, game_id) AS loss_group FROM team_games), " +
+        "losing_streaks AS (SELECT *, SUM(is_win) OVER " +
+        "(ORDER BY game_date, game_id) AS win_group FROM team_games), " +
+        "best_winning_streak AS (SELECT season, CAST(COUNT(*) AS BIGINT) AS streak_length " +
+        "FROM winning_streaks WHERE is_win = 1 GROUP BY season, loss_group " +
+        "ORDER BY streak_length DESC, season, loss_group LIMIT 1), " +
+        "worst_losing_streak AS (SELECT season, CAST(COUNT(*) AS BIGINT) AS streak_length " +
+        "FROM losing_streaks WHERE is_loss = 1 GROUP BY season, win_group " +
+        "ORDER BY streak_length DESC, season, win_group LIMIT 1), " +
+        "biggest_win AS (SELECT season, CASE WHEN matchup LIKE '%-%' " +
+        "THEN split_part(matchup, '-', 2) ELSE matchup END AS opponent, " +
+        "plus_minus AS point_differential FROM team_games " +
+        "WHERE plus_minus = (SELECT MAX(plus_minus) FROM team_games) " +
+        "ORDER BY point_differential DESC, game_date, game_id LIMIT 1), " +
+        "biggest_loss AS (SELECT season, CASE WHEN matchup LIKE '%-%' " +
+        "THEN split_part(matchup, '-', 2) ELSE matchup END AS opponent, " +
+        "plus_minus AS point_differential FROM team_games " +
+        "WHERE plus_minus = (SELECT MIN(plus_minus) FROM team_games) " +
+        "ORDER BY point_differential ASC, game_date, game_id LIMIT 1) " +
+        "SELECT " +
+        "(SELECT season FROM best_winning_streak) AS best_winning_streak_season, " +
+        "(SELECT streak_length FROM best_winning_streak) AS best_winning_streak_length, " +
+        "(SELECT season FROM worst_losing_streak) AS worst_losing_streak_season, " +
+        "(SELECT streak_length FROM worst_losing_streak) AS worst_losing_streak_length, " +
+        "(SELECT season FROM biggest_win) AS biggest_win_season, " +
+        "(SELECT opponent FROM biggest_win) AS team_beat_by_most, " +
+        "(SELECT point_differential FROM biggest_win) AS biggest_win_margin, " +
+        "(SELECT season FROM biggest_loss) AS biggest_loss_season, " +
+        "(SELECT opponent FROM biggest_loss) AS team_lost_to_by_most, " +
+        "(SELECT point_differential FROM biggest_loss) AS biggest_loss_margin"
+    )
+  ) { t =>
+    val teamGames = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === streakNation && col("o_orderstatus").isin("F", "O"))
+      .select(
+        seasonCol(col("o_orderdate")).as("season"),
+        col("o_orderdate").as("game_date"),
+        col("o_orderkey").as("game_id"),
+        col("o_orderpriority").as("matchup"),
+        floor(col("o_totalprice")).cast("long").as("plus_minus"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0).as("is_win"),
+        when(col("o_orderstatus") === "O", 1).otherwise(0).as("is_loss")
+      )
+    // W1: unpartitioned ordered window — parity with the reference; at
+    // 100 TB this becomes per-team via partitionBy (see PlanNotes).
+    val ord = Window.orderBy(col("game_date"), col("game_id"))
+    val winStreaks = teamGames.withColumn("loss_group", sum(col("is_loss")).over(ord))
+    val loseStreaks = teamGames.withColumn("win_group", sum(col("is_win")).over(ord))
+
+    def bestStreak(streaks: DataFrame, flag: String, group: String): DataFrame =
+      streaks
+        .filter(col(flag) === 1)
+        .groupBy(col("season"), col(group))
+        .agg(count(lit(1)).as("streak_length"))
+        .orderBy(col("streak_length").desc, col("season"), col(group))
+        .limit(1)
+
+    val opponent = when(
+      col("matchup").like("%-%"),
+      split_part(col("matchup"), lit("-"), lit(2))
+    ).otherwise(col("matchup"))
+
+    def extreme(best: Boolean): DataFrame = {
+      val m = teamGames.agg(
+        (if (best) max(col("plus_minus")) else min(col("plus_minus"))).as("mm")
+      )
+      teamGames
+        .join(broadcast(m), col("plus_minus") === col("mm"))
+        .orderBy(
+          if (best) col("plus_minus").desc else col("plus_minus").asc,
+          col("game_date"), col("game_id")
+        )
+        .limit(1)
+        .select(col("season"), opponent.as("opponent"),
+          col("plus_minus").as("point_differential"))
+    }
+
+    // Q-6: `.agg(first(...))` on a possibly-empty 1-row input still yields
+    // one row (of NULLs) — matching SQL scalar-subquery-on-empty semantics.
+    val bws = bestStreak(winStreaks, "is_win", "loss_group").agg(
+      first(col("season")).as("best_winning_streak_season"),
+      first(col("streak_length")).as("best_winning_streak_length"))
+    val wls = bestStreak(loseStreaks, "is_loss", "win_group").agg(
+      first(col("season")).as("worst_losing_streak_season"),
+      first(col("streak_length")).as("worst_losing_streak_length"))
+    val bw = extreme(best = true).agg(
+      first(col("season")).as("biggest_win_season"),
+      first(col("opponent")).as("team_beat_by_most"),
+      first(col("point_differential")).as("biggest_win_margin"))
+    val bl = extreme(best = false).agg(
+      first(col("season")).as("biggest_loss_season"),
+      first(col("opponent")).as("team_lost_to_by_most"),
+      first(col("point_differential")).as("biggest_loss_margin"))
+    bws.crossJoin(wls).crossJoin(bw).crossJoin(bl)
+  }
+
+  // ---- G6: players_recommendations ------------------------------------
+
+  /** players_recommendations.sql — the deepest graph: model-on-model
+    * dependency (weaknesses CTE), J2–J5 left joins over pre-aggregated
+    * subqueries, W3 (global rank windows ×5), U3 (per-weakness top-5
+    * branches with literal reasons), J7 (many-to-many join on
+    * weakness_type), P5–P8 predicates. */
+  val g06 = Q(
+    "g06_recommendations",
+    Some {
+      val rankCols = metrics.map { m =>
+        val dir = if (m.lowerIsBetter) "ASC" else "DESC"
+        s"row_number() OVER (ORDER BY pp.avg_${m.key} $dir, p.p_partkey) AS rank_${m.key}"
+      }.mkString(", ")
+      val targetUnion = metrics.map { m =>
+        val brandPred =
+          if (m.brands.isEmpty) ""
+          else s" AND p_brand IN (${m.brands.map(b => s"'$b'").mkString(", ")})"
+        s"SELECT '${m.label}' AS weakness_type, p_partkey, is_returned, is_open, " +
+          s"p_name, avg_${m.key} AS metric_value, p_brand, list_price, " +
+          s"'${m.reason}' AS reason FROM pool WHERE rank_${m.key} <= 5$brandPred"
+      }.mkString(" UNION ALL ")
+      s"WITH $weaknessCtes, " +
+        "weak AS (SELECT season2, weakness_type FROM weaknesses WHERE resultado = 'Debilidad'), " +
+        s"per_part AS (SELECT l_partkey, ${aggList("avg_")} FROM lineitem GROUP BY l_partkey), " +
+        "pool AS (SELECT p.p_partkey, p.p_name, p.p_brand, " +
+        "CASE WHEN r.l_partkey IS NOT NULL THEN TRUE ELSE FALSE END AS is_returned, " +
+        "CASE WHEN op.l_partkey IS NOT NULL THEN TRUE ELSE FALSE END AS is_open, " +
+        "mx.list_price, " + metrics.map(m => s"pp.avg_${m.key}").mkString(", ") +
+        s", $rankCols " +
+        "FROM (SELECT DISTINCT p_partkey, p_name, p_brand FROM part) p " +
+        "JOIN per_part pp ON p.p_partkey = pp.l_partkey " +
+        "LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R') r " +
+        "ON p.p_partkey = r.l_partkey " +
+        "LEFT JOIN (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O' " +
+        "GROUP BY l_partkey) op ON p.p_partkey = op.l_partkey " +
+        "LEFT JOIN (SELECT l_partkey, MAX(l_extendedprice) AS list_price FROM lineitem " +
+        "GROUP BY l_partkey) mx ON p.p_partkey = mx.l_partkey), " +
+        s"targets AS ($targetUnion) " +
+        "SELECT w.season2, t.weakness_type, t.p_name AS recommended_part, t.p_brand, " +
+        "t.metric_value, t.list_price, t.reason, t.p_partkey, t.is_returned, t.is_open " +
+        "FROM weak w JOIN targets t ON w.weakness_type = t.weakness_type"
+    }
+  ) { t =>
+    val weak = weaknesses(t)
+      .filter(col("resultado") === "Debilidad")
+      .select("season2", "weakness_type")
+    val perPart = t.lineitem
+      .groupBy(col("l_partkey"))
+      .agg(aggCols("avg_").head, aggCols("avg_").tail: _*)
+    val parts = t.part.select("p_partkey", "p_name", "p_brand").distinct()
+    val returned = t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").as("ret_partkey")).distinct()
+    val openParts = t.lineitem
+      .filter(col("l_linestatus") === "O")
+      .select(col("l_partkey").as("open_partkey")).distinct()
+    val maxPrice = t.lineitem
+      .groupBy(col("l_partkey").as("mx_partkey"))
+      .agg(max(col("l_extendedprice")).as("list_price"))
+      .withColumnRenamed("l_partkey", "mx_partkey")
+    var pool = parts
+      .join(perPart, col("p_partkey") === col("l_partkey"))
+      .join(returned, col("p_partkey") === col("ret_partkey"), "left")
+      .join(openParts, col("p_partkey") === col("open_partkey"), "left")
+      .join(maxPrice, col("p_partkey") === col("mx_partkey"), "left")
+      .select(
+        Seq(
+          col("p_partkey"), col("p_name"), col("p_brand"),
+          when(col("ret_partkey").isNotNull, true).otherwise(false).as("is_returned"),
+          when(col("open_partkey").isNotNull, true).otherwise(false).as("is_open"),
+          col("list_price")
+        ) ++ metrics.map(m => col(s"avg_${m.key}")): _*
+      )
+    metrics.foreach { m =>
+      val c = col(s"avg_${m.key}")
+      val w = Window.orderBy(
+        if (m.lowerIsBetter) c.asc else c.desc, col("p_partkey"))
+      pool = pool.withColumn(s"rank_${m.key}", row_number().over(w))
+    }
+    val targets = metrics.map { m =>
+      val base = pool.filter(col(s"rank_${m.key}") <= 5)
+      val filtered =
+        if (m.brands.isEmpty) base
+        else base.filter(col("p_brand").isin(m.brands: _*))
+      filtered.select(
+        lit(m.label).as("weakness_type"),
+        col("p_partkey"), col("is_returned"), col("is_open"), col("p_name"),
+        col(s"avg_${m.key}").as("metric_value"),
+        col("p_brand"), col("list_price"),
+        lit(m.reason).as("reason")
+      )
+    }.reduce(_ unionByName _)
+    weak
+      .join(targets, "weakness_type")
+      .select(
+        col("season2"), col("weakness_type"),
+        col("p_name").as("recommended_part"), col("p_brand"),
+        col("metric_value"), col("list_price"), col("reason"),
+        col("p_partkey"), col("is_returned"), col("is_open")
+      )
+  }
+
+  val all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06)
+}
