@@ -1,0 +1,325 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The six gold models of the reference, as pure DataFrame → DataFrame
+  * functions over the all-string silver tables. Each mirrors its dbt SQL
+  * (dbt/models/spurs_analysis/) statement-for-statement, including the
+  * byte-exact Spanish labels and reasons that are part of the output
+  * contract (SURVEY.md §7.5-5).
+  *
+  * `::numeric` casts become DecimalType(18,6) (Postgres numeric AVG is
+  * exact — SURVEY.md §1.2). Q-1 decision: `plus_minus` extremes are
+  * numeric argmax (cast first), not the reference's accidental
+  * lexicographic VARCHAR max.
+  */
+object GoldModels {
+
+  private val num = DecimalType(18, 6)
+
+  /** `CASE WHEN season LIKE '2024' THEN '2024-25' ELSE season END` —
+    * wildcard-free LIKE ≡ equality (Q-5). */
+  private def seasonNorm(c: Column): Column =
+    when(c === "2024", "2024-25").otherwise(c)
+
+  // ---- summary_by_season.sql ------------------------------------------
+
+  def summaryBySeason(games: DataFrame, teams: DataFrame): DataFrame = {
+    val nba = games.join(teams, games("team_id") === teams("id"), "inner")
+    val base = nba.select(
+      seasonNorm(col("season")).as("season"),
+      col("team_name"),
+      col("wl"),
+      col("pts").cast("int").as("pts")
+    )
+    val sumariza = base
+      .groupBy(col("season"), col("team_name"))
+      .agg(
+        count(lit(1)).as("total_games"),
+        sum(when(col("wl") === "W", 1).otherwise(0)).as("wins"),
+        sum(when(col("wl") === "L", 1).otherwise(0)).as("losses"),
+        round(avg(col("pts").cast(num)), 2).as("avg_points")
+      )
+    val w = Window
+      .partitionBy(col("season"))
+      .orderBy(col("wins").desc, col("losses").asc, col("avg_points").desc)
+    sumariza.select(
+      col("season"), col("team_name"), col("wins"), col("losses"),
+      col("total_games"), col("avg_points"),
+      dense_rank().over(w).as("team_ranking")
+    )
+  }
+
+  // ---- home_vs_away.sql -----------------------------------------------
+
+  def homeVsAway(games: DataFrame, teams: DataFrame): DataFrame = {
+    val nba = games
+      .join(teams, games("team_id") === teams("id"), "inner")
+      .withColumn("team_name2", col("full_name"))
+    val base = nba.select(
+      seasonNorm(col("season")).as("season"),
+      col("team_name2").as("team_name"),
+      when(col("matchup").like("%@%"), "Away").otherwise("Home").as("location"),
+      col("wl"),
+      col("pts").cast("int").as("pts")
+    )
+    base
+      .groupBy(col("season"), col("team_name"), col("location"))
+      .agg(
+        count(lit(1)).as("games"),
+        sum(when(col("wl") === "W", 1).otherwise(0)).as("wins"),
+        sum(when(col("wl") === "L", 1).otherwise(0)).as("losses"),
+        round(avg(col("pts").cast(num)), 2).as("avg_points")
+      )
+  }
+
+  // ---- team_weaknesses_unpivoted.sql ----------------------------------
+
+  /** (label, silver column, lower-is-better) in the SQL's UNION order. */
+  private val weaknessMetrics: Seq[(String, String, Boolean)] = Seq(
+    ("Porcentaje de tiro de campo", "fg_pct", false),
+    ("Porcentaje de tres", "fg3_pct", false),
+    ("Pérdidas de balón", "tov", true),
+    ("Rebotes", "reb", false),
+    ("Robos", "stl", false),
+    ("Bloqueos", "blk", false),
+    ("Diferencial Puntos", "plus_minus", false)
+  )
+
+  def teamWeaknessesUnpivoted(games: DataFrame, teams: DataFrame): DataFrame = {
+    def aggs(prefix: String): Seq[Column] =
+      weaknessMetrics.map { case (_, c, _) =>
+        avg(col(c).cast(num)).as(s"$prefix$c")
+      }
+    val withSeason = games.withColumn("season2", seasonNorm(col("season")))
+    // spurs_stats (sql:4-18) — no teams join, filtered by team_name
+    val spursStats = withSeason
+      .filter(col("team_name") === "San Antonio Spurs")
+      .groupBy("season2")
+      .agg(aggs("avg_").head, aggs("avg_").tail: _*)
+    // team_averages (sql:20-35) — league-wide, joined to teams
+    val joined = withSeason.join(teams, withSeason("team_id") === teams("id"), "inner")
+    val leagueAvgs = joined
+      .groupBy("season2")
+      .agg(aggs("lg_").head, aggs("lg_").tail: _*)
+    // best_team_stats (sql:37-65) — per-team AVGs then MAX (MIN for tov)
+    val perTeam = joined
+      .groupBy(col("season2"), withSeason("team_name"))
+      .agg(aggs("avg_").head, aggs("avg_").tail: _*)
+    val best = perTeam
+      .groupBy("season2")
+      .agg(
+        weaknessMetrics.map { case (_, c, lower) =>
+          (if (lower) min(col(s"avg_$c")) else max(col(s"avg_$c"))).as(s"best_$c")
+        }.head,
+        weaknessMetrics.map { case (_, c, lower) =>
+          (if (lower) min(col(s"avg_$c")) else max(col(s"avg_$c"))).as(s"best_$c")
+        }.tail: _*
+      )
+    val all = spursStats
+      .join(leagueAvgs, "season2")
+      .join(best, "season2")
+    weaknessMetrics.map { case (label, c, lower) =>
+      val team = col(s"avg_$c")
+      val lg = col(s"lg_$c")
+      val cond = if (lower) team > lg else team < lg
+      all.select(
+        col("season2"),
+        lit(label).as("weakness_type"),
+        team.as("valor_equipo"),
+        lg.as("valor_liga"),
+        col(s"best_$c").as("valor_mejor_equipo"),
+        when(cond, "Debilidad").otherwise("Fortaleza").as("resultado")
+      )
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- spurs_player_contributions_unpivoted.sql -----------------------
+
+  def spursPlayerContributionsUnpivoted(playerStats: DataFrame): DataFrame = {
+    val contribMetrics = Seq(
+      ("Porcentaje de tiro de campo", "fg_pct"),
+      ("Porcentaje de tres", "fg3_pct"),
+      ("Pérdidas de balón", "tov"),
+      ("Rebotes", "reb"),
+      ("Robos", "stl"),
+      ("Bloqueos", "blk"),
+      ("Diferencial Puntos", "plus_minus")
+    )
+    val src = playerStats
+      .filter(col("team_abbreviation") === "SAS")
+      .groupBy(col("player_id"), col("player_name"), col("team_abbreviation"))
+      .agg(
+        contribMetrics.map { case (_, c) => avg(col(c).cast(num)).as(s"avg_$c") }.head,
+        contribMetrics.map { case (_, c) => avg(col(c).cast(num)).as(s"avg_$c") }.tail: _*
+      )
+    contribMetrics.map { case (label, c) =>
+      src.select(
+        col("player_id"), col("player_name"),
+        lit(label).as("rubro"),
+        col(s"avg_$c").as("valor")
+      )
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- streaks_and_rivals.sql -----------------------------------------
+
+  def streaksAndRivals(games: DataFrame): DataFrame = {
+    val spursGames = games
+      .filter(col("team_abbreviation") === "SAS")
+      .select(
+        seasonNorm(col("season")).as("season"),
+        col("game_date"),
+        col("matchup"),
+        col("plus_minus").cast("double").as("plus_minus"), // Q-1: numeric
+        when(col("wl") === "W", 1).otherwise(0).as("is_win"),
+        when(col("wl") === "L", 1).otherwise(0).as("is_loss")
+      )
+    // W1: gaps-and-islands — running sum over game_date (ISO strings order
+    // correctly). Unpartitioned, as in the reference; the scale-out variant
+    // partitions by season/team first (SURVEY.md §7.4).
+    val ord = Window.orderBy(col("game_date"))
+    val winning = spursGames.withColumn("loss_group", sum(col("is_loss")).over(ord))
+    val losing = spursGames.withColumn("win_group", sum(col("is_win")).over(ord))
+
+    def streak(df: DataFrame, flag: String, grp: String): DataFrame =
+      df.filter(col(flag) === 1)
+        .groupBy(col("season"), col(grp))
+        .agg(count(lit(1)).as("streak_length"))
+        .orderBy(col("streak_length").desc)
+        .limit(1)
+
+    val opponent = when(
+      col("matchup").like("%vs.%"), split_part(col("matchup"), lit("vs. "), lit(2))
+    ).when(
+      col("matchup").like("%@%"), split_part(col("matchup"), lit("@ "), lit(2))
+    ).otherwise(col("matchup"))
+
+    def extreme(isMax: Boolean): DataFrame = {
+      val m = spursGames.agg(
+        (if (isMax) max(col("plus_minus")) else min(col("plus_minus"))).as("mm")
+      )
+      spursGames
+        .join(broadcast(m), col("plus_minus") === col("mm"))
+        .orderBy(if (isMax) col("plus_minus").desc else col("plus_minus").asc)
+        .limit(1)
+        .select(col("season"), opponent.as("opponent"),
+          col("plus_minus").as("point_differential"))
+    }
+
+    // J10: one row from 10 scalar subqueries; `.agg(first)` keeps the
+    // scalar-subquery-on-empty → NULL semantics (Q-6).
+    val bws = streak(winning, "is_win", "loss_group").agg(
+      first(col("season")).as("best_winning_streak_season"),
+      first(col("streak_length")).as("best_winning_streak_length"))
+    val wls = streak(losing, "is_loss", "win_group").agg(
+      first(col("season")).as("worst_losing_streak_season"),
+      first(col("streak_length")).as("worst_losing_streak_length"))
+    val bw = extreme(isMax = true).agg(
+      first(col("season")).as("biggest_win_season"),
+      first(col("opponent")).as("team_beat_by_most"),
+      first(col("point_differential")).as("biggest_win_margin"))
+    val bl = extreme(isMax = false).agg(
+      first(col("season")).as("biggest_loss_season"),
+      first(col("opponent")).as("team_lost_to_by_most"),
+      first(col("point_differential")).as("biggest_loss_margin"))
+    bws.crossJoin(wls).crossJoin(bw).crossJoin(bl)
+  }
+
+  // ---- players_recommendations.sql ------------------------------------
+
+  /** branch spec: (weakness label, avg column, rank ascending?, positions
+    * (empty = no filter), reason literal) — sql:54-147, byte-exact. */
+  private val recBranches = Seq(
+    ("Porcentaje de tiro de campo", "avg_fg_pct", false, Seq("G", "F"),
+      "Contratar un tirador de élite para mejorar la eficiencia del tiro."),
+    ("Porcentaje de tres", "avg_fg3_pct", false, Seq("G", "G-F", "F"),
+      "Contratar un tirador de élite para abrir el campo."),
+    ("Rebotes", "avg_reb", false, Seq("F", "F-C", "C"),
+      "Adquirir un rebotador consistente para controlar los tableros."),
+    ("Pérdidas de balón", "avg_tov", true, Seq("G"),
+      "Incorporar un base que reduzca las pérdidas de balón."),
+    ("Robos", "avg_stl", false, Seq("G", "F"),
+      "Firmar un defensor perimetral para mejorar la defensa en el robo de balones."),
+    ("Bloqueos", "avg_blk", false, Seq("F-C", "C"),
+      "Contratar un defensor interior para proteger el aro y aumentar los bloqueos."),
+    ("Diferencial Puntos", "avg_plus_minus", false, Seq.empty,
+      "Contratar a un jugador con impacto positivo en el diferencial de puntos.")
+  )
+
+  def playersRecommendations(
+      teamWeaknesses: DataFrame,
+      players: DataFrame,
+      playerStats: DataFrame,
+      freeAgents: DataFrame,
+      injuries: DataFrame,
+      salaries: DataFrame
+  ): DataFrame = {
+    val statCols = Seq("fg_pct", "fg3_pct", "reb", "tov", "stl", "blk", "plus_minus")
+    // spurs_weaknesses_unpivoted (sql:3-9)
+    val weak = teamWeaknesses
+      .filter(col("resultado") === "Debilidad")
+      .select("season2", "weakness_type")
+    // pgs subquery (sql:34-46)
+    val pgs = playerStats
+      .groupBy(col("player_id").as("pgs_player_id"), col("player_name"))
+      .agg(
+        statCols.map(c => avg(col(c).cast(num)).as(s"avg_$c")).head,
+        statCols.map(c => avg(col(c).cast(num)).as(s"avg_$c")).tail: _*
+      )
+    val distinctPlayers = players.select("player_id", "player", "position").distinct()
+    val fa = freeAgents.select(col("player_id").as("fa_player_id")).distinct()
+    val inj = injuries.select(col("player_id").as("inj_player_id")).distinct()
+    val sal = salaries
+      .groupBy(col("player_id").as("sal_player_id"))
+      .agg(max(col("salary_usd")).as("salary_usd"))
+    var ranked = distinctPlayers
+      .join(pgs, col("player_id") === col("pgs_player_id"), "inner")
+      .join(fa, col("player_id") === col("fa_player_id"), "left")
+      .join(inj, col("player_id") === col("inj_player_id"), "left")
+      .join(sal, col("player_id") === col("sal_player_id"), "left")
+      .select(
+        Seq(
+          col("player_id"),
+          col("player").as("player_name"),
+          col("position"),
+          when(col("fa_player_id").isNotNull, true).otherwise(false).as("is_free_agent"),
+          when(col("inj_player_id").isNotNull, true).otherwise(false).as("is_injured"),
+          col("salary_usd").cast(num).as("salary")
+        ) ++ statCols.map(c => col(s"avg_$c")): _*
+      )
+    // W3: seven global ROW_NUMBER leaderboards (sql:26-32) — faithful to
+    // the reference's un-tiebroken windows; fixtures must be tie-free.
+    recBranches.foreach { case (_, avgCol, asc, _, _) =>
+      val w = Window.orderBy(if (asc) col(avgCol).asc else col(avgCol).desc)
+      ranked = ranked.withColumn(s"rank_$avgCol", row_number().over(w))
+    }
+    // top_targets (sql:54-147)
+    val targets = recBranches.map { case (label, avgCol, _, positions, reason) =>
+      val base = ranked.filter(col(s"rank_$avgCol") <= 5)
+      val posFiltered =
+        if (positions.isEmpty) base
+        else base.filter(col("position").isin(positions: _*))
+      posFiltered.select(
+        lit(label).as("weakness_type"),
+        col("player_id"), col("is_free_agent"), col("is_injured"),
+        col("player_name"),
+        col(avgCol).as("metric_value"),
+        col("position"), col("salary"),
+        lit(reason).as("reason")
+      )
+    }.reduce(_ unionByName _)
+    // final many-to-many join on weakness_type (sql:149-161)
+    weak
+      .join(targets, "weakness_type")
+      .select(
+        col("season2"), col("weakness_type"),
+        col("player_name").as("recommended_player"),
+        col("position"), col("metric_value"), col("salary"), col("reason"),
+        col("player_id"), col("is_free_agent"), col("is_injured")
+      )
+  }
+}

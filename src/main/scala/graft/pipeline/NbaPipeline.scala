@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end pipeline mirroring the reference DAG (E1 in SURVEY.md §3):
+  * bronze JSON fixtures → silver all-string tables → six gold models →
+  * dbt-equivalent assertions. One SparkSession program replaces the
+  * Airflow bronze/silver task groups and the dbt run; `ref()` becomes
+  * ordinary function composition.
+  */
+final case class NbaPipeline(spark: SparkSession, bronzeDir: String) {
+
+  private def bronze(name: String): DataFrame =
+    spark.read.option("multiLine", value = true).json(s"$bronzeDir/$name.json")
+
+  /** Seven silver tables (dags/spurs_historic_games.py:427-435), all
+    * columns StringType. */
+  lazy val silver: Map[String, DataFrame] = Map(
+    "teams" -> SilverNormalize.normalize(bronze("teams")),
+    "players" -> SilverNormalize.normalize(bronze("players")),
+    "games" -> SilverNormalize.normalize(bronze("games")),
+    "player_stats" -> SilverNormalize.normalize(bronze("player_stats_by_game")),
+    "salaries" -> SilverNormalize.normalize(bronze("salaries")),
+    "free_agents" -> SilverNormalize.normalize(bronze("free_agents")),
+    "injuries" -> SilverNormalize.normalize(bronze("injuries"))
+  )
+
+  /** Six gold tables in dependency order; `players_recommendations`
+    * consumes `team_weaknesses_unpivoted` (the one model-on-model edge,
+    * dbt/target/graph_summary.json). */
+  lazy val gold: Map[String, DataFrame] = {
+    val twu = GoldModels.teamWeaknessesUnpivoted(silver("games"), silver("teams"))
+    Map(
+      "team_weaknesses_unpivoted" -> twu,
+      "summary_by_season" -> GoldModels.summaryBySeason(silver("games"), silver("teams")),
+      "home_vs_away" -> GoldModels.homeVsAway(silver("games"), silver("teams")),
+      "spurs_player_contributions_unpivoted" ->
+        GoldModels.spursPlayerContributionsUnpivoted(silver("player_stats")),
+      "streaks_and_rivals" -> GoldModels.streaksAndRivals(silver("games")),
+      "players_recommendations" -> GoldModels.playersRecommendations(
+        twu, silver("players"), silver("player_stats"),
+        silver("free_agents"), silver("injuries"), silver("salaries"))
+    )
+  }
+
+  /** Materialize gold as parquet (the CTAS-and-swap analog, S11: Spark's
+    * overwrite of a managed/path table IS the atomic swap). */
+  def writeGold(outDir: String): Unit =
+    gold.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+
+  /** The 12 dbt schema tests; empty result = green. */
+  def assertGold(): Seq[String] = Assertions.runAll(gold)
+}
