@@ -1,0 +1,502 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Training-data pipeline operators over `documents` / `embeddings` /
+  * `events` — the large-scale corpus-preparation surface a 100 TB engine
+  * needs beyond the reference's analytics: deduplication (exact, n-gram
+  * Jaccard, MinHash/LSH, SimHash), similarity search (exact top-k +
+  * hyperplane-LSH bucketing), text analysis (token stats, quality score,
+  * language ID, fingerprinting), multimodal byte-column plumbing, and
+  * event sessionization/windowing.
+  *
+  * Every query that is SQL-expressible carries a DuckDB oracle built from
+  * the SAME expression fragments (portable arithmetic hashes, sequential
+  * left-fold float reductions) so results are bit-identical cross-engine.
+  * All "randomness" (hash permutations, LSH hyperplanes) is explicit
+  * arithmetic — reproducible on any cluster size.
+  */
+object TrainingData {
+
+  // ---- portable expression fragments ----------------------------------
+
+  /** Polynomial character hash, identical in Spark and DuckDB: left fold
+    * of `(acc * 31 + ascii(char)) % 1e9+7` seeded with 7. The portable
+    * replacement for engine-specific hash() functions. */
+  private val P = 1000000007L
+  private def sparkPolyHash(e: String): String =
+    s"aggregate(split($e, ''), CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % $P)"
+  private def duckPolyHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $P)"
+
+  /** Sequential-fold dot product over two float vectors (64 dims), double
+    * accumulation — bit-identical across engines because both fold left in
+    * element order with the same per-element double products. */
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  /** Occurrences of word `w` in space-padded text via replace-shrinkage
+    * (identical non-overlapping-replace semantics in both engines). */
+  private def sparkWordCount(w: String): String =
+    s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ' '))) / ${w.length + 1}"
+  private val duckWordCount: String => String = sparkWordCount // same SQL dialect here
+
+  // ---- dedup -----------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on content; canonical row = min doc_id.
+    * At scale this is one shuffle on a 128-bit content hash. */
+  val x01 = Q(
+    "x01_dedup_exact",
+    Some(
+      "SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id, " +
+        s"$sqlCount AS n_copies FROM documents GROUP BY text"
+    )
+  ) { t =>
+    t.documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("text", "keep_id", "n_copies")
+  }
+
+  // shared shingle fragments: word 3-gram sets per document
+  private val duckShingleCtes: String =
+    "words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "shingles AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words)"
+
+  private def sparkShingles(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), " +
+            "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))) " +
+            "ELSE array() END"
+        )).as("sh")
+      )
+      .distinct()
+
+  /** N-gram Jaccard near-dup detection via inverted-index join (explode
+    * shingles → self-join on shingle → count common / union) — the
+    * shuffle-scalable formulation; never an O(n²) cross join. */
+  val x02 = Q(
+    "x02_dedup_ngram_jaccard",
+    Some(
+      s"WITH $duckShingleCtes, " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT doc_a, doc_b, common, " +
+        "CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard " +
+        "FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.05"
+    )
+  ) { t =>
+    val sh = sparkShingles(t)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val pairs = a
+      .join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val ca = counts.select(col("doc_id").as("ca_id"), col("n").as("na"))
+    val cb = counts.select(col("doc_id").as("cb_id"), col("n").as("nb"))
+    pairs
+      .join(ca, col("doc_a") === col("ca_id"))
+      .join(cb, col("doc_b") === col("cb_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.05)
+      .select("doc_a", "doc_b", "common", "jaccard")
+  }
+
+  /** MinHash signatures (8 permutations of the shingle hash) + 4 banded
+    * LSH keys: candidate pairs at scale are found by joining on band
+    * values instead of comparing all pairs. */
+  private val mhA = Seq(1000003L, 1000033L, 1000037L, 1000039L,
+    1000081L, 1000099L, 1000117L, 1000121L)
+  private val mhB = mhA.indices.map(j => j * 7919L + 13L)
+
+  val x03 = Q(
+    "x03_dedup_minhash",
+    Some {
+      val mins = mhA.indices.map { j =>
+        s"CAST(MIN((sh_h * ${mhA(j)} + ${mhB(j)}) % $P) AS BIGINT) AS mh$j"
+      }.mkString(", ")
+      val bands = (0 until 4).map { k =>
+        s"CAST((mh${2 * k} * 1000003 + mh${2 * k + 1}) % $P AS BIGINT) AS band$k"
+      }.mkString(", ")
+      s"WITH $duckShingleCtes, " +
+        s"hashed AS (SELECT doc_id, ${duckPolyHash("sh")} AS sh_h FROM shingles), " +
+        s"sigs AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id) " +
+        s"SELECT doc_id, ${mhA.indices.map(j => s"mh$j").mkString(", ")}, $bands FROM sigs"
+    }
+  ) { t =>
+    val hashed = sparkShingles(t)
+      .withColumn("sh_h", expr(sparkPolyHash("sh")))
+    val sigs = hashed
+      .groupBy(col("doc_id"))
+      .agg(
+        mhA.indices.map { j =>
+          min((col("sh_h") * mhA(j) + mhB(j)) % P).as(s"mh$j")
+        }.head,
+        mhA.indices.map { j =>
+          min((col("sh_h") * mhA(j) + mhB(j)) % P).as(s"mh$j")
+        }.tail: _*
+      )
+    (0 until 4).foldLeft(sigs) { (df, k) =>
+      df.withColumn(s"band$k", (col(s"mh${2 * k}") * 1000003L + col(s"mh${2 * k + 1}")) % P)
+    }
+  }
+
+  /** SimHash (16-bit): per-word hash bit-majority — near-dup fingerprint
+    * whose Hamming distance tracks content similarity. */
+  val x04 = Q(
+    "x04_dedup_simhash",
+    Some {
+      val sums = (0 until 16).map { b =>
+        s"CAST(SUM(CASE WHEN ((wh >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b"
+      }.mkString(", ")
+      val assemble = (0 until 16).map { b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        s"hashed AS (SELECT doc_id, ${duckPolyHash("word")} AS wh FROM words), " +
+        s"bits AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id) " +
+        s"SELECT doc_id, CAST($assemble AS BIGINT) AS simhash16 FROM bits"
+    }
+  ) { t =>
+    val words = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("wh", expr(sparkPolyHash("word")))
+    val bits = words
+      .groupBy(col("doc_id"))
+      .agg(
+        (0 until 16).map { b =>
+          sum(expr(s"CASE WHEN (shiftright(wh, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b")
+        }.head,
+        (0 until 16).map { b =>
+          sum(expr(s"CASE WHEN (shiftright(wh, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b")
+        }.tail: _*
+      )
+    bits.select(
+      col("doc_id"),
+      (0 until 16).map { b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).cast("long").as("simhash16")
+    )
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  /** Token counting: whitespace tokens via replace-arithmetic (identical
+    * semantics in both engines, no regex dialect drift). */
+  val x05 = Q(
+    "x05_token_count",
+    Some(
+      "SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS len_chars, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens " +
+        "FROM documents"
+    )
+  ) { t =>
+    t.documents.select(
+      col("doc_id"), col("n_chars"),
+      length(col("text")).cast("long").as("len_chars"),
+      (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+        .cast("long").as("n_tokens")
+    )
+  }
+
+  /** Quality scoring: length-normalized token count × stopword-ratio
+    * boost — a pure per-row arithmetic pipeline (deterministic IEEE ops on
+    * identical inputs; only cross-row float SUMs are order-dependent). */
+  val x06 = Q(
+    "x06_text_quality",
+    Some(
+      "SELECT doc_id, n_tokens, stop_hits, " +
+        "stop_hits / n_tokens AS stop_ratio, " +
+        "least(CAST(1.0 AS DOUBLE), n_tokens / 100.0) * (0.2 + stop_hits / n_tokens) AS quality_score " +
+        "FROM (SELECT doc_id, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens, " +
+        s"CAST(${sparkWordCount("the")} AS DOUBLE) AS stop_hits FROM documents)"
+    )
+  ) { t =>
+    t.documents
+      .select(
+        col("doc_id"),
+        (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+          .cast("long").as("n_tokens"),
+        expr(sparkWordCount("the")).cast("double").as("stop_hits")
+      )
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_hits"),
+        (col("stop_hits") / col("n_tokens")).as("stop_ratio"),
+        (least(lit(1.0), col("n_tokens") / lit(100.0)) *
+          (lit(0.2) + col("stop_hits") / col("n_tokens"))).as("quality_score")
+      )
+  }
+
+  /** Language ID: marker-word frequency heuristic with a fixed tie-break
+    * order (en > es > de > fr > zh). */
+  val x07 = Q(
+    "x07_lang_id",
+    Some {
+      val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
+      val counts = markers
+        .map { case (l, w) => s"CAST(${duckWordCount(w)} AS DOUBLE) AS c_$l" }
+        .mkString(", ")
+      "SELECT doc_id, lang, CASE " +
+        "WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
+        "WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
+        "WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
+        "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS lang_pred " +
+        s"FROM (SELECT doc_id, lang, $counts FROM documents)"
+    }
+  ) { t =>
+    val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
+    val withCounts = markers.foldLeft(
+      t.documents.select(col("doc_id"), col("lang"), col("text"))
+    ) { case (df, (l, w)) =>
+      df.withColumn(s"c_$l", expr(sparkWordCount(w)).cast("double"))
+    }
+    withCounts.select(
+      col("doc_id"), col("lang"),
+      when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") &&
+        col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
+        .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr") &&
+          col("c_es") >= col("c_zh"), "es")
+        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_zh"), "de")
+        .when(col("c_fr") >= col("c_zh"), "fr")
+        .otherwise("zh").as("lang_pred")
+    )
+  }
+
+  /** Document fingerprinting: MD5 content hash (identical hex in both
+    * engines) + the portable polynomial hash as a 62-bit integer id. */
+  val x08 = Q(
+    "x08_doc_fingerprint",
+    Some(
+      "SELECT doc_id, md5(text) AS content_md5, " +
+        "substr(md5(text), 1, 16) AS fp16, " +
+        s"CAST(${duckPolyHash("text")} AS BIGINT) AS poly_fp FROM documents"
+    )
+  ) { t =>
+    t.documents.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("content_md5"),
+      substring(md5(col("text").cast("binary")), 1, 16).as("fp16"),
+      expr(sparkPolyHash("text")).cast("long").as("poly_fp")
+    )
+  }
+
+  // ---- similarity search ----------------------------------------------
+
+  private val duckNorms: String =
+    "norms AS (SELECT vec_id, embedding, " +
+      s"sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings)"
+
+  /** Exact ANN baseline: brute-force cosine top-5 for a query subset.
+    * Deterministic (sequential-fold dot products, unique tiebreak). At
+    * scale the query side stays small/broadcast; the corpus side scans. */
+  val x09 = Q(
+    "x09_ann_bruteforce_topk",
+    Some(
+      s"WITH $duckNorms, " +
+        "sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        s"${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine " +
+        "FROM norms a JOIN norms b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) " +
+        "SELECT query_id, neighbor_id, cosine FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rn FROM sims) WHERE rn <= 5"
+    )
+  ) { t =>
+    val norms = t.embeddings.select(
+      col("vec_id"), col("embedding"),
+      sqrt(expr(sparkDot("embedding", "embedding"))).as("nrm")
+    )
+    val a = norms.select(col("vec_id").as("query_id"),
+      col("embedding").as("ea"), col("nrm").as("na")).filter(col("query_id") < 10)
+    val b = norms.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val sims = a
+      .join(b, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (expr(sparkDot("ea", "eb")) / (col("na") * col("nb"))).as("cosine")
+      )
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** Hyperplane-LSH bucketing (8 deterministic arithmetic hyperplanes →
+    * 8-bit bucket): the scale path — candidate generation becomes an
+    * equi-join on bucket instead of an all-pairs comparison. */
+  private def duckLshDot(j: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), " +
+      s"i -> CAST(embedding[i + 1] AS DOUBLE) * " +
+      s"(CAST((($j * 64 + i) * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))), " +
+      "(a, x) -> a + x)"
+
+  private def sparkLshDot(j: Int): String =
+    s"aggregate(sequence(0, 63), CAST(0 AS DOUBLE), " +
+      s"(acc, i) -> acc + CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
+      s"(CAST((($j * 64 + i) * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))"
+
+  val x10 = Q(
+    "x10_ann_lsh_buckets",
+    Some {
+      val bits = (0 until 8).map { j =>
+        s"(CASE WHEN ${duckLshDot(j)} >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, label, CAST($bits AS BIGINT) AS bucket FROM embeddings"
+    }
+  ) { t =>
+    t.embeddings.select(
+      col("vec_id"), col("label"),
+      (0 until 8).map { j =>
+        when(expr(sparkLshDot(j)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).cast("long").as("bucket")
+    )
+  }
+
+  /** Embedding near-dup pairs: exact cosine over ALL pairs above a
+    * threshold — the correctness baseline for x10's bucketed candidate
+    * generation (at 100 TB you join on bucket first; here the oracle
+    * verifies the exact form). */
+  val x11 = Q(
+    "x11_embedding_neardup",
+    Some(
+      s"WITH $duckNorms " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine " +
+        "FROM norms a JOIN norms b ON a.vec_id < b.vec_id " +
+        s"WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4"
+    )
+  ) { t =>
+    val norms = t.embeddings.select(
+      col("vec_id"), col("embedding"),
+      sqrt(expr(sparkDot("embedding", "embedding"))).as("nrm")
+    )
+    val a = norms.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = norms.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"), col("vec_b"),
+        (expr(sparkDot("ea", "eb")) / (col("na") * col("nb"))).as("cosine")
+      )
+      .filter(col("cosine") >= 0.4)
+  }
+
+  // ---- multimodal plumbing --------------------------------------------
+
+  /** Multimodal byte-column plumbing: content → binary column → deterministic
+    * metadata "decode" (the real decode is a stub per the environment — the
+    * Spark-side schema/partitioning/batching is what's exercised; see
+    * graft.operators.Multimodal for the typed mapPartitions form). */
+  val x12 = Q(
+    "x12_multimodal_features",
+    Some(
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width, " +
+        "CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height, " +
+        "CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS fake_frames " +
+        "FROM documents"
+    )
+  ) { t =>
+    val bytes = length(encode(col("text"), "utf-8")).cast("long")
+    t.documents.select(
+      col("doc_id"),
+      bytes.as("n_bytes"),
+      (bytes % 640).as("fake_width"),
+      ((bytes * 7) % 480).as("fake_height"),
+      (bytes % 16 + 1).as("fake_frames")
+    )
+  }
+
+  // ---- event streams (batch analogs; streaming twin in graft.streaming) --
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + running
+    * sum — the batch twin of the streaming flatMapGroupsWithState form. */
+  val x13 = Q(
+    "x13_sessionize",
+    Some(
+      "WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events), " +
+        "flags AS (SELECT user_id, event_id, tus, " +
+        "CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL " +
+        "OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM ev), " +
+        "sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS sid FROM flags) " +
+        "SELECT user_id, CAST(sid AS BIGINT) AS session_id, " +
+        s"$sqlCount AS n_events, " +
+        "CAST(MIN(tus) AS BIGINT) AS start_us, CAST(MAX(tus) AS BIGINT) AS end_us, " +
+        "CAST(MAX(tus) - MIN(tus) AS BIGINT) AS duration_us " +
+        "FROM sess GROUP BY user_id, sid"
+    )
+  ) { t =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val ev = t.events.select(
+      col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    val flags = ev.withColumn(
+      "new_s",
+      when(lag(col("tus"), 1).over(w).isNull ||
+        col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1).otherwise(0)
+    )
+    flags
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("sid").cast("long").as("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"),
+        (max(col("tus")) - min(col("tus"))).as("duration_us")
+      )
+  }
+
+  /** Tumbling 1-hour windowed aggregation (batch twin of the Structured
+    * Streaming watermark + window query). */
+  val x14 = Q(
+    "x14_event_windows",
+    Some(
+      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, " +
+        s"$sqlCount AS n_events, ${sqlSum("value")} AS sum_value, " +
+        s"${sqlAvg("value")} AS avg_value " +
+        "FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type"
+    )
+  ) { t =>
+    t.events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("sum_value"),
+        exactAvg(col("value")).as("avg_value")
+      )
+  }
+
+  val all: Seq[Q] = Seq(
+    x01, x02, x03, x04, x05, x06, x07,
+    x08, x09, x10, x11, x12, x13, x14
+  )
+}
