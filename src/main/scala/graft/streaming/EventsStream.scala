@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events table — the engine's
+  * incremental path (the reference is batch-only; SURVEY.md §7.4 makes
+  * the `events` fixture the streaming vehicle).
+  *
+  * Batch/stream parity: `windowedCounts` is the incremental twin of the
+  * batch `x14_event_windows` query; `sessionizeStateful` reformulates the
+  * W1 gaps-and-islands pattern as per-key state — the way a 100 TB
+  * streaming pipeline detects sessions without a global ordered window.
+  */
+object EventsStream {
+
+  /** Watermarked tumbling-window aggregation; works identically on a
+    * `readStream` source (incremental) and a batch DataFrame. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Int)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Per-user sessionization with `flatMapGroupsWithState`: closes a
+    * session when the gap exceeds `gapMinutes`. State is one small record
+    * per key — memory scales with active users, not event volume. */
+  def sessionizeStateful(
+      events: Dataset[Ev],
+      gapMinutes: Int
+  )(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val tUs = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if tUs - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = tUs, n = s.n + 1))
+          case Some(s) =>
+            out = SessionOut(userId, s.startUs, s.lastUs, s.n) :: out
+            cur = Some(SessionState(tUs, tUs, 1))
+          case None =>
+            cur = Some(SessionState(tUs, tUs, 1))
+        }
+      }
+      cur match {
+        case Some(s) if !state.hasTimedOut =>
+          state.update(s)
+          // batch mode: no more data will arrive — emit the open session
+          out = SessionOut(userId, s.startUs, s.lastUs, s.n) :: out
+        case _ => ()
+      }
+      out.reverseIterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Plan-shape assertions (SURVEY.md §7.3): the point of the declarative
+  * formulation is that Catalyst does the physical work — these tests pin
+  * the plans we rely on at 100 TB: broadcast joins for small dims, filter
+  * pushdown into the parquet scan, column pruning, and top-k via
+  * TakeOrderedAndProject instead of a global sort.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("j01: 100-row supplier and 25-row nation dims are broadcast") {
+    val p = plan("j01_broadcast_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p03: equality filter is pushed into the parquet scan") {
+    val p = plan("p03_filter_eq")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("s01: semi-join scan prunes lineitem to the join key only") {
+    val p = plan("s01_active_suppliers_semijoin")
+    // the lineitem side of the semi join must read only l_suppkey
+    assert(p.contains("ReadSchema: struct<l_suppkey:bigint>"), p)
+  }
+
+  test("o01: ORDER BY + LIMIT 1 plans as TakeOrderedAndProject") {
+    val p = plan("o01_orderby_limit1")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("a01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("a01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p) // partial aggregate before exchange
+  }
+}
