@@ -45,6 +45,8 @@ object GoldAnalogs {
       lowerIsBetter: Boolean,
       agg: Column,
       aggSql: String,
+      sumInner: Column,   // exact decimal summand (per-row), for one-pass reaggregation
+      isProduct: Boolean, // product sums are rounded to scale 4 before the double cast
       brands: Seq[String],
       reason: String
   )
@@ -57,25 +59,37 @@ object GoldAnalogs {
   private val metrics: Seq[M] = Seq(
     M("qty", "Cantidad", lowerIsBetter = false,
       exactAvg(col("l_quantity")), sqlAvg("l_quantity"),
+      col("l_quantity").cast(Dec), isProduct = false,
       (1 to 10).map(i => s"Brand#$i"),
       "Aumentar el volumen con partes de alta cantidad media."),
     M("price", "Precio", lowerIsBetter = false,
       exactAvg(col("l_extendedprice")), sqlAvg("l_extendedprice"),
+      col("l_extendedprice").cast(Dec), isProduct = false,
       (6 to 18).map(i => s"Brand#$i"),
       "Incorporar partes de precio medio elevado."),
     M("disc", "Descuento", lowerIsBetter = true,
       exactAvg(col("l_discount")), sqlAvg("l_discount"),
+      col("l_discount").cast(Dec), isProduct = false,
       Seq("Brand#1", "Brand#5", "Brand#9", "Brand#13", "Brand#17", "Brand#21"),
       "Reducir el descuento medio concedido."),
     M("tax", "Impuesto", lowerIsBetter = false,
       exactAvg(col("l_tax")), sqlAvg("l_tax"),
+      col("l_tax").cast(Dec), isProduct = false,
       Seq("Brand#2", "Brand#4", "Brand#6", "Brand#8", "Brand#10", "Brand#12"),
       "Optimizar la carga impositiva media."),
     M("revenue", "Ingreso", lowerIsBetter = false,
       exactAvgDec(revenueExpr), sqlAvgDec(revenueSql),
+      revenueExpr, isProduct = true,
       Seq.empty, // like the plus_minus branch: no position filter
       "Contratar partes con impacto positivo en el ingreso.")
   )
+
+  /** Rebuild an exact average from a (decimal sum, count) pair — same
+    * value, bit-for-bit, as computing the average directly (decimal sums
+    * are associative; product sums round to scale 4 first, matching
+    * Exact.exactAvgDec / the oracle's sqlAvgDec). */
+  private def avgFromSums(m: M, sumC: Column, cntC: Column): Column =
+    (if (m.isProduct) round(sumC, 4) else sumC).cast("double") / cntC
 
   private val focusNation = "NATION_7"
   private val streakNation = "NATION_3"
@@ -132,44 +146,71 @@ object GoldAnalogs {
   private def aggCols(prefix: String): Seq[Column] =
     metrics.map(m => m.agg.as(s"$prefix${m.key}"))
 
-  /** Spark twin of [[weaknessCtes]]'s final `weaknesses` CTE. */
+  /** Spark twin of [[weaknessCtes]]'s final `weaknesses` CTE.
+    *
+    * One fact-table pass: per-(season, team) exact decimal sums + counts,
+    * from which all three aggregate levels (focus team, league, best team)
+    * are re-derived — decimal sums are associative, so league averages
+    * rebuilt from team sums are bit-identical to a direct scan (the oracle
+    * SQL keeps the reference's three-CTE form; values match exactly).
+    * A naive translation scans and joins the fact table three times.
+    */
   private def weaknesses(t: Tables): DataFrame = {
-    val g = games(t)
-    val teamStats = g
-      .filter(col("n_name") === focusNation)
-      .groupBy("season2")
-      .agg(aggCols("avg_").head, aggCols("avg_").tail: _*)
-    val league = g
-      .groupBy("season2")
-      .agg(aggCols("avg_league_").head, aggCols("avg_league_").tail: _*)
-    val best = g
+    val perTeamRaw = games(t)
       .groupBy(col("season2"), col("n_name"))
-      .agg(aggCols("avg_").head, aggCols("avg_").tail: _*)
-      .groupBy("season2")
       .agg(
-        metrics.map { m =>
-          val c = col(s"avg_${m.key}")
-          (if (m.lowerIsBetter) min(c) else max(c)).as(s"best_${m.key}")
-        }.head,
-        metrics.map { m =>
-          val c = col(s"avg_${m.key}")
-          (if (m.lowerIsBetter) min(c) else max(c)).as(s"best_${m.key}")
-        }.tail: _*
+        (metrics.map(m => sum(m.sumInner).as(s"sum_${m.key}")) :+
+          count(lit(1)).as("cnt")).head,
+        (metrics.map(m => sum(m.sumInner).as(s"sum_${m.key}")) :+
+          count(lit(1)).as("cnt")).tail: _*
       )
-    val joined = teamStats.join(league, "season2").join(best, "season2")
-    metrics.map { m =>
+    // league + best-team stats as windows over the per-team aggregate: a
+    // literal translation joins three aggregates of the same subtree, and
+    // Catalyst pushes the focus-team filter below one of them, defeating
+    // exchange reuse — three fact scans. Windows over the tiny per-team
+    // frame need one scan and one micro-shuffle (|teams|×|seasons| rows).
+    val wSeason = Window.partitionBy(col("season2"))
+    val withAvgs = perTeamRaw.select(
+      Seq(col("season2"), col("n_name"), col("cnt")) ++
+        metrics.map(m => col(s"sum_${m.key}")) ++
+        metrics.map(m =>
+          avgFromSums(m, col(s"sum_${m.key}"), col("cnt")).as(s"avg_${m.key}")): _*
+    )
+    val joined = withAvgs
+      .select(
+        Seq(col("season2"), col("n_name")) ++
+          metrics.map(m => col(s"avg_${m.key}")) ++
+          metrics.map(m =>
+            avgFromSums(m,
+              sum(col(s"sum_${m.key}")).over(wSeason),
+              sum(col("cnt")).over(wSeason)
+            ).as(s"avg_league_${m.key}")) ++
+          metrics.map { m =>
+            val c = col(s"avg_${m.key}")
+            (if (m.lowerIsBetter) min(c) else max(c)).over(wSeason).as(s"best_${m.key}")
+          }: _*
+      )
+      .filter(col("n_name") === focusNation)
+    // Unpivot as ONE pass: a UNION-ALL of per-metric selects would make
+    // Catalyst recompute the whole join+aggregate subtree per branch (5×);
+    // exploding an array of branch structs keeps a single scan. Semantics
+    // (and the UNION-ALL oracle SQL) are unchanged.
+    val branches = array(metrics.map { m =>
       val team = col(s"avg_${m.key}")
       val lg = col(s"avg_league_${m.key}")
       val cond = if (m.lowerIsBetter) team > lg else team < lg
-      joined.select(
-        col("season2"),
+      struct(
         lit(m.label).as("weakness_type"),
         team.as("valor_equipo"),
         lg.as("valor_liga"),
         col(s"best_${m.key}").as("valor_mejor_equipo"),
         when(cond, "Debilidad").otherwise("Fortaleza").as("resultado")
       )
-    }.reduce(_ unionByName _)
+    }: _*)
+    joined
+      .select(col("season2"), explode(branches).as("u"))
+      .select(col("season2"), col("u.weakness_type"), col("u.valor_equipo"),
+        col("u.valor_liga"), col("u.valor_mejor_equipo"), col("u.resultado"))
   }
 
   // ---- G1: summary_by_season ------------------------------------------
@@ -297,13 +338,14 @@ object GoldAnalogs {
       .groupBy(col("l_suppkey").as("s_suppkey"), col("s_name"))
       .agg(aggCols("avg_").head, aggCols("avg_").tail: _*)
       .withColumnRenamed("l_suppkey", "s_suppkey")
-    metrics.map { m =>
-      src.select(
+    src
+      .select(
         col("s_suppkey"), col("s_name"),
-        lit(m.label).as("rubro"),
-        col(s"avg_${m.key}").as("valor")
+        explode(array(metrics.map { m =>
+          struct(lit(m.label).as("rubro"), col(s"avg_${m.key}").as("valor"))
+        }: _*)).as("u")
       )
-    }.reduce(_ unionByName _)
+      .select(col("s_suppkey"), col("s_name"), col("u.rubro"), col("u.valor"))
   }
 
   // ---- G5: streaks_and_rivals -----------------------------------------
@@ -472,30 +514,28 @@ object GoldAnalogs {
     val weak = weaknesses(t)
       .filter(col("resultado") === "Debilidad")
       .select("season2", "weakness_type")
+    // ONE per-part pass: the oracle keeps the reference's three LEFT JOINs
+    // over aggregated subqueries, but since every pooled part joins the
+    // stats inner-join anyway, the existence flags and max-price collapse
+    // into the same aggregate — identical values, 3 fewer fact scans.
     val perPart = t.lineitem
       .groupBy(col("l_partkey"))
-      .agg(aggCols("avg_").head, aggCols("avg_").tail: _*)
+      .agg(
+        aggCols("avg_").head,
+        aggCols("avg_").tail ++ Seq(
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret_flag"),
+          max(when(col("l_linestatus") === "O", 1).otherwise(0)).as("open_flag"),
+          max(col("l_extendedprice")).as("list_price")
+        ): _*
+      )
     val parts = t.part.select("p_partkey", "p_name", "p_brand").distinct()
-    val returned = t.lineitem
-      .filter(col("l_returnflag") === "R")
-      .select(col("l_partkey").as("ret_partkey")).distinct()
-    val openParts = t.lineitem
-      .filter(col("l_linestatus") === "O")
-      .select(col("l_partkey").as("open_partkey")).distinct()
-    val maxPrice = t.lineitem
-      .groupBy(col("l_partkey").as("mx_partkey"))
-      .agg(max(col("l_extendedprice")).as("list_price"))
-      .withColumnRenamed("l_partkey", "mx_partkey")
     var pool = parts
       .join(perPart, col("p_partkey") === col("l_partkey"))
-      .join(returned, col("p_partkey") === col("ret_partkey"), "left")
-      .join(openParts, col("p_partkey") === col("open_partkey"), "left")
-      .join(maxPrice, col("p_partkey") === col("mx_partkey"), "left")
       .select(
         Seq(
           col("p_partkey"), col("p_name"), col("p_brand"),
-          when(col("ret_partkey").isNotNull, true).otherwise(false).as("is_returned"),
-          when(col("open_partkey").isNotNull, true).otherwise(false).as("is_open"),
+          (col("ret_flag") === 1).as("is_returned"),
+          (col("open_flag") === 1).as("is_open"),
           col("list_price")
         ) ++ metrics.map(m => col(s"avg_${m.key}")): _*
       )
@@ -505,19 +545,33 @@ object GoldAnalogs {
         if (m.lowerIsBetter) c.asc else c.desc, col("p_partkey"))
       pool = pool.withColumn(s"rank_${m.key}", row_number().over(w))
     }
-    val targets = metrics.map { m =>
-      val base = pool.filter(col(s"rank_${m.key}") <= 5)
-      val filtered =
-        if (m.brands.isEmpty) base
-        else base.filter(col("p_brand").isin(m.brands: _*))
-      filtered.select(
+    // single-pass unpivot of the 5 top-target branches (avoids recomputing
+    // the ranked pool per branch); per-branch rank/brand predicates become
+    // an `included` flag filtered after the explode
+    val branchStructs = metrics.map { m =>
+      val brandOk =
+        if (m.brands.isEmpty) lit(true) else col("p_brand").isin(m.brands: _*)
+      struct(
         lit(m.label).as("weakness_type"),
-        col("p_partkey"), col("is_returned"), col("is_open"), col("p_name"),
         col(s"avg_${m.key}").as("metric_value"),
-        col("p_brand"), col("list_price"),
+        (col(s"rank_${m.key}") <= 5 && brandOk).as("included"),
         lit(m.reason).as("reason")
       )
-    }.reduce(_ unionByName _)
+    }
+    val targets = pool
+      .select(
+        col("p_partkey"), col("is_returned"), col("is_open"), col("p_name"),
+        col("p_brand"), col("list_price"),
+        explode(array(branchStructs: _*)).as("b")
+      )
+      .filter(col("b.included"))
+      .select(
+        col("b.weakness_type").as("weakness_type"),
+        col("p_partkey"), col("is_returned"), col("is_open"), col("p_name"),
+        col("b.metric_value").as("metric_value"),
+        col("p_brand"), col("list_price"),
+        col("b.reason").as("reason")
+      )
     weak
       .join(targets, "weakness_type")
       .select(

@@ -146,8 +146,9 @@ object TrainingData {
         s"SELECT doc_id, ${mhA.indices.map(j => s"mh$j").mkString(", ")}, $bands FROM sigs"
     }
   ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
     val hashed = sparkShingles(t)
-      .withColumn("sh_h", expr(sparkPolyHash("sh")))
+      .withColumn("sh_h", expr("poly_hash(sh)")) // codegen twin of sparkPolyHash
     val sigs = hashed
       .groupBy(col("doc_id"))
       .agg(
@@ -180,9 +181,10 @@ object TrainingData {
         s"SELECT doc_id, CAST($assemble AS BIGINT) AS simhash16 FROM bits"
     }
   ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
     val words = t.documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .withColumn("wh", expr(sparkPolyHash("word")))
+      .withColumn("wh", expr("poly_hash(word)"))
     val bits = words
       .groupBy(col("doc_id"))
       .agg(
@@ -295,11 +297,12 @@ object TrainingData {
         s"CAST(${duckPolyHash("text")} AS BIGINT) AS poly_fp FROM documents"
     )
   ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
     t.documents.select(
       col("doc_id"),
       md5(col("text").cast("binary")).as("content_md5"),
       substring(md5(col("text").cast("binary")), 1, 16).as("fp16"),
-      expr(sparkPolyHash("text")).cast("long").as("poly_fp")
+      expr("poly_hash(text)").as("poly_fp")
     )
   }
 
@@ -324,9 +327,13 @@ object TrainingData {
         "ORDER BY cosine DESC, neighbor_id) AS rn FROM sims) WHERE rn <= 5"
     )
   ) { t =>
+    // native codegen dot product (bit-identical to the HOF fold — see
+    // graft.functions.FloatVecDot); the HOF form allocates a products
+    // array per pair, which dominates at large candidate counts
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
     val norms = t.embeddings.select(
       col("vec_id"), col("embedding"),
-      sqrt(expr(sparkDot("embedding", "embedding"))).as("nrm")
+      sqrt(expr("float_vec_dot(embedding, embedding)")).as("nrm")
     )
     val a = norms.select(col("vec_id").as("query_id"),
       col("embedding").as("ea"), col("nrm").as("na")).filter(col("query_id") < 10)
@@ -336,7 +343,7 @@ object TrainingData {
       .join(b, col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        (expr(sparkDot("ea", "eb")) / (col("na") * col("nb"))).as("cosine")
+        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine")
       )
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -391,9 +398,10 @@ object TrainingData {
         s"WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4"
     )
   ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
     val norms = t.embeddings.select(
       col("vec_id"), col("embedding"),
-      sqrt(expr(sparkDot("embedding", "embedding"))).as("nrm")
+      sqrt(expr("float_vec_dot(embedding, embedding)")).as("nrm")
     )
     val a = norms.select(col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
@@ -402,7 +410,7 @@ object TrainingData {
     a.join(b, col("vec_a") < col("vec_b"))
       .select(
         col("vec_a"), col("vec_b"),
-        (expr(sparkDot("ea", "eb")) / (col("na") * col("nb"))).as("cosine")
+        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine")
       )
       .filter(col("cosine") >= 0.4)
   }

@@ -122,19 +122,25 @@ object GoldModels {
     val all = spursStats
       .join(leagueAvgs, "season2")
       .join(best, "season2")
-    weaknessMetrics.map { case (label, c, lower) =>
-      val team = col(s"avg_$c")
-      val lg = col(s"lg_$c")
-      val cond = if (lower) team > lg else team < lg
-      all.select(
-        col("season2"),
-        lit(label).as("weakness_type"),
-        team.as("valor_equipo"),
-        lg.as("valor_liga"),
-        col(s"best_$c").as("valor_mejor_equipo"),
-        when(cond, "Debilidad").otherwise("Fortaleza").as("resultado")
-      )
-    }.reduce(_ unionByName _)
+    // one-pass unpivot (exploded branch structs) — a 7-way UNION ALL would
+    // recompute the aggregate subtree per branch; semantics identical to
+    // the reference's UNION ALL (team_weaknesses_unpivoted.sql:67-156)
+    all
+      .select(col("season2"), explode(array(weaknessMetrics.map {
+        case (label, c, lower) =>
+          val team = col(s"avg_$c")
+          val lg = col(s"lg_$c")
+          val cond = if (lower) team > lg else team < lg
+          struct(
+            lit(label).as("weakness_type"),
+            team.as("valor_equipo"),
+            lg.as("valor_liga"),
+            col(s"best_$c").as("valor_mejor_equipo"),
+            when(cond, "Debilidad").otherwise("Fortaleza").as("resultado")
+          )
+      }: _*)).as("u"))
+      .select(col("season2"), col("u.weakness_type"), col("u.valor_equipo"),
+        col("u.valor_liga"), col("u.valor_mejor_equipo"), col("u.resultado"))
   }
 
   // ---- spurs_player_contributions_unpivoted.sql -----------------------
@@ -156,13 +162,12 @@ object GoldModels {
         contribMetrics.map { case (_, c) => avg(col(c).cast(num)).as(s"avg_$c") }.head,
         contribMetrics.map { case (_, c) => avg(col(c).cast(num)).as(s"avg_$c") }.tail: _*
       )
-    contribMetrics.map { case (label, c) =>
-      src.select(
-        col("player_id"), col("player_name"),
-        lit(label).as("rubro"),
-        col(s"avg_$c").as("valor")
-      )
-    }.reduce(_ unionByName _)
+    src
+      .select(col("player_id"), col("player_name"),
+        explode(array(contribMetrics.map { case (label, c) =>
+          struct(lit(label).as("rubro"), col(s"avg_$c").as("valor"))
+        }: _*)).as("u"))
+      .select(col("player_id"), col("player_name"), col("u.rubro"), col("u.valor"))
   }
 
   // ---- streaks_and_rivals.sql -----------------------------------------
@@ -297,21 +302,34 @@ object GoldModels {
       val w = Window.orderBy(if (asc) col(avgCol).asc else col(avgCol).desc)
       ranked = ranked.withColumn(s"rank_$avgCol", row_number().over(w))
     }
-    // top_targets (sql:54-147)
-    val targets = recBranches.map { case (label, avgCol, _, positions, reason) =>
-      val base = ranked.filter(col(s"rank_$avgCol") <= 5)
-      val posFiltered =
-        if (positions.isEmpty) base
-        else base.filter(col("position").isin(positions: _*))
-      posFiltered.select(
-        lit(label).as("weakness_type"),
+    // top_targets (sql:54-147) as a one-pass unpivot: branch predicates
+    // become an `included` flag filtered after the explode, so the ranked
+    // pool (7 windows over the joined aggregates) is computed once
+    val targets = ranked
+      .select(
+        col("player_id"), col("is_free_agent"), col("is_injured"),
+        col("player_name"), col("position"), col("salary"),
+        explode(array(recBranches.map { case (label, avgCol, _, positions, reason) =>
+          val posOk =
+            if (positions.isEmpty) lit(true)
+            else col("position").isin(positions: _*)
+          struct(
+            lit(label).as("weakness_type"),
+            col(avgCol).as("metric_value"),
+            (col(s"rank_$avgCol") <= 5 && posOk).as("included"),
+            lit(reason).as("reason")
+          )
+        }: _*)).as("b")
+      )
+      .filter(col("b.included"))
+      .select(
+        col("b.weakness_type").as("weakness_type"),
         col("player_id"), col("is_free_agent"), col("is_injured"),
         col("player_name"),
-        col(avgCol).as("metric_value"),
+        col("b.metric_value").as("metric_value"),
         col("position"), col("salary"),
-        lit(reason).as("reason")
+        col("b.reason").as("reason")
       )
-    }.reduce(_ unionByName _)
     // final many-to-many join on weakness_type (sql:149-161)
     weak
       .join(targets, "weakness_type")
