@@ -52,4 +52,23 @@ final case class NbaPipeline(spark: SparkSession, bronzeDir: String) {
 
   /** The 12 dbt schema tests; empty result = green. */
   def assertGold(): Seq[String] = Assertions.runAll(gold)
+
+  /** E3 parity (SURVEY.md §3): expose silver/gold as catalog tables so
+    * any SQL client (spark.sql, Thrift server/BI) can query them —
+    * external parquet tables under `baseDir`, databases `silver`/`gold`.
+    * Spark's overwrite of the table IS the reference's CTAS-and-swap. */
+  def saveAsTables(baseDir: String): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS silver")
+    spark.sql("CREATE DATABASE IF NOT EXISTS gold")
+    silver.foreach { case (name, df) =>
+      df.write.mode("overwrite").format("parquet")
+        .option("path", s"$baseDir/silver/$name")
+        .saveAsTable(s"silver.$name")
+    }
+    gold.foreach { case (name, df) =>
+      df.write.mode("overwrite").format("parquet")
+        .option("path", s"$baseDir/gold/$name")
+        .saveAsTable(s"gold.$name")
+    }
+  }
 }

@@ -26,6 +26,11 @@ object RunNbaPipeline {
     pipe.gold.foreach { case (name, df) =>
       println(s"[gold] $name: ${spark.read.parquet(s"$outDir/$name").count()} rows")
     }
+    // E3: expose silver/gold as a SQL schema and smoke a BI-style query
+    pipe.saveAsTables(s"$outDir/warehouse")
+    val champs = spark.sql(
+      "SELECT season, team_name FROM gold.summary_by_season WHERE team_ranking = 1")
+    println(s"[sql] champions: ${champs.collect().map(r => r.mkString("/")).mkString(", ")}")
     val failures = pipe.assertGold()
     if (failures.nonEmpty) {
       failures.foreach(f => System.err.println(s"[assert-fail] $f"))

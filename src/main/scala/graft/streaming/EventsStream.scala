@@ -23,6 +23,12 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: drop replayed event_ids within the watermark
+    * horizon — state is bounded by (horizon × arrival rate), the streaming
+    * twin of the batch exact-dedup hash-groupBy (x01). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
   final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Int)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

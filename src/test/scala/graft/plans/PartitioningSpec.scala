@@ -1,0 +1,68 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Storage-layout levers from SCALE.md, demonstrated and pinned:
+  * partition pruning on partitioned parquet and shuffle-free co-located
+  * joins on bucketed tables.
+  */
+class PartitioningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("partitioning-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("partitioned write + partition pruning at the scan") {
+    val dir = Files.createTempDirectory("part-parquet").toString
+    t.lineitem.write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val plan = read.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("l_returnflag"), plan)
+    // pruning is real: only the R partition's rows are read
+    assert(read.count() ===
+      t.lineitem.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val dir = Files.createTempDirectory("bucketed").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+    t.orders.write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$dir/orders_b").format("parquet")
+      .saveAsTable("buckets.orders_b")
+    t.customer.write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$dir/customer_b").format("parquet")
+      .saveAsTable("buckets.customer_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("buckets.orders_b")
+        .join(spark.table("buckets.customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin"), plan)
+      // co-located: bucketing replaces the shuffle on both join sides
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() ===
+        t.orders.join(t.customer, col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}

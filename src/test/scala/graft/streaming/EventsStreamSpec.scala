@@ -42,6 +42,22 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup drops replayed events") {
+    val dir = Files.createTempDirectory("events-dedup").toString
+    // stage the same events twice: a replayed source
+    events.write.mode("overwrite").parquet(s"$dir/a")
+    events.write.mode("overwrite").parquet(s"$dir/b")
+    val schema = spark.read.parquet(s"$dir/a").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/{a,b}")
+    val q = EventsStream.dedupedEvents(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_events").start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.sql("SELECT COUNT(*) FROM dedup_events").collect()(0).getLong(0)
+    assert(n === events.count()) // each event_id exactly once despite replay
+  }
+
   test("stateful sessionization matches the batch window formulation") {
     import spark.implicits._
     val evs = events
