@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink round-trips (reference S8/S9: JSON to an object store;
+  * our paths are URIs, so `s3a://bucket/prefix` works unchanged on a
+  * cluster). Writers default to overwrite — the reference's bucket
+  * upload and silver drop-and-recreate are both full-refresh (S10/S11).
+  */
+object Sinks {
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON read with an explicit schema — the production form (schema
+    * inference is a convenience for fixtures only). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Partitioned parquet layout — the 100 TB silver/gold form; partition
+    * pruning on `cols` removes files before task scheduling. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+}
