@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-builder text-analysis API — the reusable form of the
+  * oracle-checked x05–x08 queries, which delegate here (zero drift).
+  * Builders take column NAMES and compose Spark SQL expression text, so
+  * the exact same expressions run in the engine and (dialect-shared) in
+  * the DuckDB oracle. All are pure per-row ops — deterministic at any
+  * parallelism (see SCALE.md).
+  */
+object Text {
+
+  /** Whitespace token count via replace-shrinkage (no regex dialect
+    * drift; single-space-separated corpora). */
+  def tokenCount(textCol: String): Column =
+    expr(s"CAST(length($textCol) - length(replace($textCol, ' ', '')) + 1 AS BIGINT)")
+
+  /** Occurrences of `word` (space-delimited, non-overlapping replace
+    * semantics — identical in Spark and DuckDB). */
+  def wordCount(textCol: String, word: String): Column =
+    expr(
+      s"(length(' ' || $textCol || ' ') - " +
+        s"length(replace(' ' || $textCol || ' ', ' $word ', ' '))) / ${word.length + 1}"
+    )
+
+  /** SQL text twin of [[wordCount]] (for oracle construction). */
+  def wordCountSql(textCol: String, word: String): String =
+    s"(length(' ' || $textCol || ' ') - " +
+      s"length(replace(' ' || $textCol || ' ', ' $word ', ' '))) / ${word.length + 1}"
+
+  /** Length-normalized quality score with a stopword-ratio boost. */
+  def qualityScore(nTokens: Column, stopHits: Column): Column =
+    least(lit(1.0), nTokens / lit(100.0)) * (lit(0.2) + stopHits / nTokens)
+
+  /** MD5 content fingerprint (hex, engine-portable). */
+  def md5Fingerprint(textCol: String): Column =
+    md5(col(textCol).cast("binary"))
+
+  /** Portable polynomial fingerprint (codegen PolyHash; register via
+    * PolyHashFunctions.ensureRegistered or GraftExtensions). */
+  def polyFingerprint(textCol: String): Column = expr(s"poly_hash($textCol)")
+
+  /** Word n-grams over a pre-split array column; empty below n words. */
+  def wordNgrams(wordsCol: String, n: Int = 3): Column = {
+    val parts = (0 until n)
+      .map(k => if (k == 0) s"element_at($wordsCol, i)" else s"element_at($wordsCol, i + $k)")
+      .mkString(", ")
+    expr(
+      s"CASE WHEN size($wordsCol) >= $n THEN " +
+        s"transform(sequence(1, size($wordsCol) - ${n - 1}), i -> concat_ws(' ', $parts)) " +
+        "ELSE array() END"
+    )
+  }
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** User-facing deduplication / similarity library — the reusable form of
+  * the oracle-checked x01–x04 and x09–x11 queries, which delegate here.
+  * Every function is shuffle-scalable (inverted-index / bucket joins,
+  * never driver loops; see SCALE.md "Dedup & similarity at scale").
+  */
+object Dedup {
+
+  /** Exact dedup: one shuffle on content; canonical row = min id. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(contentCol, "keep_id", "n_copies")
+
+  /** Distinct word-n-gram shingles per document: (id, sh). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(Text.wordNgrams("w", n)).as("sh"))
+      .distinct()
+
+  /** N-gram Jaccard near-dup pairs via inverted-index self-join.
+    * `maxDocFreq`: optionally drop shingles appearing in more than this
+    * many docs — the hot-key cap for degenerate corpora at scale (changes
+    * candidate recall, not pair scoring). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3,
+      maxDocFreq: Option[Long] = None
+  ): DataFrame = {
+    val shBase = shingles(df, idCol, textCol, n)
+    val sh = maxDocFreq.fold(shBase) { cap =>
+      val hot = shBase.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("sh")
+      shBase.join(hot, Seq("sh"), "left_anti")
+    }
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("doc_a"), col("sh"))
+    val b = sh.select(col(idCol).as("doc_b"), col("sh"))
+    val pairs = a
+      .join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val ca = counts.select(col(idCol).as("ca_id"), col("n").as("na"))
+    val cb = counts.select(col(idCol).as("cb_id"), col("n").as("nb"))
+    pairs
+      .join(ca, col("doc_a") === col("ca_id"))
+      .join(cb, col("doc_b") === col("cb_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "jaccard")
+  }
+
+  /** MinHash signatures (constants shared with MinHashAggregator) plus
+    * banded LSH keys; candidates at scale = equi-join on a band. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.MinHashAggregator.{A, B, P}
+    val hashed = shingles(df, idCol, textCol)
+      .withColumn("sh_h", expr("poly_hash(sh)"))
+    val sigs = hashed
+      .groupBy(col(idCol))
+      .agg(
+        A.indices.map { j =>
+          min((col("sh_h") * A(j) + B(j)) % P).as(s"mh$j")
+        }.head,
+        A.indices.map { j =>
+          min((col("sh_h") * A(j) + B(j)) % P).as(s"mh$j")
+        }.tail: _*
+      )
+    (0 until 4).foldLeft(sigs) { (d, k) =>
+      d.withColumn(s"band$k", (col(s"mh${2 * k}") * 1000003L + col(s"mh${2 * k + 1}")) % P)
+    }
+  }
+
+  /** 16-bit SimHash per document (bit-majority of word hashes). */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .withColumn("wh", expr("poly_hash(word)"))
+    val bits = words
+      .groupBy(col(idCol))
+      .agg(
+        (0 until 16).map { b =>
+          sum(expr(s"CASE WHEN (shiftright(wh, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b")
+        }.head,
+        (0 until 16).map { b =>
+          sum(expr(s"CASE WHEN (shiftright(wh, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b")
+        }.tail: _*
+      )
+    bits.select(
+      col(idCol),
+      (0 until 16).map { b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).cast("long").as("simhash16")
+    )
+  }
+
+  /** Vectors with L2 norm attached (registers float_vec_dot). */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).as("embedding"),
+      sqrt(expr(s"float_vec_dot($vecCol, $vecCol)")).as("nrm"))
+
+  /** Exact cosine near-dup pairs above `threshold` (all-pairs baseline;
+    * at scale pre-block with [[lshBuckets]] and join on bucket). */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val norms = withNorm(df, idCol, vecCol)
+    val a = norms.select(col(idCol).as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = norms.select(col(idCol).as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Brute-force cosine top-k for a query subset (exact ANN baseline). */
+  def annTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norms = withNorm(df, idCol, vecCol)
+    val a = norms.select(col(idCol).as("query_id"),
+      col("embedding").as("ea"), col("nrm").as("na")).filter(queryPred)
+    val b = norms.select(col(idCol).as("neighbor_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val sims = a
+      .join(b, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** Deterministic 8-plane hyperplane-LSH bucket per vector — the scale
+    * path for near-dup candidate generation. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dims: Int = 64): DataFrame = {
+    def planeDot(j: Int): String =
+      s"aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE), " +
+        s"(acc, i) -> acc + CAST(element_at($vecCol, i + 1) AS DOUBLE) * " +
+        s"(CAST((($j * $dims + i) * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))"
+    df.select(
+      df.columns.map(col) :+
+        (0 until 8).map { j =>
+          when(expr(planeDot(j)) >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).cast("long").as("bucket"): _*
+    )
+  }
+}

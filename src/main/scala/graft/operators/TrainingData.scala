@@ -25,23 +25,18 @@ object TrainingData {
 
   // ---- portable expression fragments ----------------------------------
 
-  /** Polynomial character hash, identical in Spark and DuckDB: left fold
-    * of `(acc * 31 + ascii(char)) % 1e9+7` seeded with 7. The portable
-    * replacement for engine-specific hash() functions. */
+  /** Polynomial character hash (oracle side), identical to the engine's
+    * codegen `poly_hash` (graft.functions.PolyHash): left fold of
+    * `(acc * 31 + ascii(char)) % 1e9+7` seeded with 7. */
   private val P = 1000000007L
-  private def sparkPolyHash(e: String): String =
-    s"aggregate(split($e, ''), CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % $P)"
   private def duckPolyHash(e: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(acc, x) -> (acc * 31 + x) % $P)"
 
-  /** Sequential-fold dot product over two float vectors (64 dims), double
-    * accumulation — bit-identical across engines because both fold left in
-    * element order with the same per-element double products. */
-  private def sparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Sequential-fold dot product (oracle side) — bit-identical to the
+    * engine's codegen `float_vec_dot`: both fold left in element order
+    * with the same per-element double products. */
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
@@ -62,31 +57,13 @@ object TrainingData {
       "SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id, " +
         s"$sqlCount AS n_copies FROM documents GROUP BY text"
     )
-  ) { t =>
-    t.documents
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select("text", "keep_id", "n_copies")
-  }
+  ) { t => Dedup.exact(t.documents, "doc_id", "text") }
 
   // shared shingle fragments: word 3-gram sets per document
   private val duckShingleCtes: String =
     "words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "shingles AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words)"
-
-  private def sparkShingles(t: Tables): DataFrame =
-    t.documents
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(
-        col("doc_id"),
-        explode(expr(
-          "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), " +
-            "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))) " +
-            "ELSE array() END"
-        )).as("sh")
-      )
-      .distinct()
 
   /** N-gram Jaccard near-dup detection via inverted-index join (explode
     * shingles → self-join on shingle → count common / union) — the
@@ -104,25 +81,7 @@ object TrainingData {
         "FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
         "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.05"
     )
-  ) { t =>
-    val sh = sparkShingles(t)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val pairs = a
-      .join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    val ca = counts.select(col("doc_id").as("ca_id"), col("n").as("na"))
-    val cb = counts.select(col("doc_id").as("cb_id"), col("n").as("nb"))
-    pairs
-      .join(ca, col("doc_a") === col("ca_id"))
-      .join(cb, col("doc_b") === col("cb_id"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= 0.05)
-      .select("doc_a", "doc_b", "common", "jaccard")
-  }
+  ) { t => Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.05) }
 
   /** MinHash signatures (8 permutations of the shingle hash) + 4 banded
     * LSH keys: candidate pairs at scale are found by joining on band
@@ -147,21 +106,7 @@ object TrainingData {
     }
   ) { t =>
     graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
-    val hashed = sparkShingles(t)
-      .withColumn("sh_h", expr("poly_hash(sh)")) // codegen twin of sparkPolyHash
-    val sigs = hashed
-      .groupBy(col("doc_id"))
-      .agg(
-        mhA.indices.map { j =>
-          min((col("sh_h") * mhA(j) + mhB(j)) % P).as(s"mh$j")
-        }.head,
-        mhA.indices.map { j =>
-          min((col("sh_h") * mhA(j) + mhB(j)) % P).as(s"mh$j")
-        }.tail: _*
-      )
-    (0 until 4).foldLeft(sigs) { (df, k) =>
-      df.withColumn(s"band$k", (col(s"mh${2 * k}") * 1000003L + col(s"mh${2 * k + 1}")) % P)
-    }
+    Dedup.minhashSignatures(t.documents, "doc_id", "text")
   }
 
   /** SimHash (16-bit): per-word hash bit-majority — near-dup fingerprint
@@ -182,25 +127,7 @@ object TrainingData {
     }
   ) { t =>
     graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
-    val words = t.documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .withColumn("wh", expr("poly_hash(word)"))
-    val bits = words
-      .groupBy(col("doc_id"))
-      .agg(
-        (0 until 16).map { b =>
-          sum(expr(s"CASE WHEN (shiftright(wh, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b")
-        }.head,
-        (0 until 16).map { b =>
-          sum(expr(s"CASE WHEN (shiftright(wh, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b")
-        }.tail: _*
-      )
-    bits.select(
-      col("doc_id"),
-      (0 until 16).map { b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _).cast("long").as("simhash16")
-    )
+    Dedup.simhash16(t.documents, "doc_id", "text")
   }
 
   // ---- text analysis ---------------------------------------------------
@@ -218,8 +145,7 @@ object TrainingData {
     t.documents.select(
       col("doc_id"), col("n_chars"),
       length(col("text")).cast("long").as("len_chars"),
-      (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
-        .cast("long").as("n_tokens")
+      graft.functions.Text.tokenCount("text").as("n_tokens")
     )
   }
 
@@ -240,15 +166,14 @@ object TrainingData {
     t.documents
       .select(
         col("doc_id"),
-        (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
-          .cast("long").as("n_tokens"),
-        expr(sparkWordCount("the")).cast("double").as("stop_hits")
+        graft.functions.Text.tokenCount("text").as("n_tokens"),
+        graft.functions.Text.wordCount("text", "the").cast("double").as("stop_hits")
       )
       .select(
         col("doc_id"), col("n_tokens"), col("stop_hits"),
         (col("stop_hits") / col("n_tokens")).as("stop_ratio"),
-        (least(lit(1.0), col("n_tokens") / lit(100.0)) *
-          (lit(0.2) + col("stop_hits") / col("n_tokens"))).as("quality_score")
+        graft.functions.Text.qualityScore(col("n_tokens"), col("stop_hits"))
+          .as("quality_score")
       )
   }
 
@@ -273,7 +198,7 @@ object TrainingData {
     val withCounts = markers.foldLeft(
       t.documents.select(col("doc_id"), col("lang"), col("text"))
     ) { case (df, (l, w)) =>
-      df.withColumn(s"c_$l", expr(sparkWordCount(w)).cast("double"))
+      df.withColumn(s"c_$l", graft.functions.Text.wordCount("text", w).cast("double"))
     }
     withCounts.select(
       col("doc_id"), col("lang"),
@@ -300,9 +225,9 @@ object TrainingData {
     graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
     t.documents.select(
       col("doc_id"),
-      md5(col("text").cast("binary")).as("content_md5"),
-      substring(md5(col("text").cast("binary")), 1, 16).as("fp16"),
-      expr("poly_hash(text)").as("poly_fp")
+      graft.functions.Text.md5Fingerprint("text").as("content_md5"),
+      substring(graft.functions.Text.md5Fingerprint("text"), 1, 16).as("fp16"),
+      graft.functions.Text.polyFingerprint("text").as("poly_fp")
     )
   }
 
@@ -327,30 +252,8 @@ object TrainingData {
         "ORDER BY cosine DESC, neighbor_id) AS rn FROM sims) WHERE rn <= 5"
     )
   ) { t =>
-    // native codegen dot product (bit-identical to the HOF fold — see
-    // graft.functions.FloatVecDot); the HOF form allocates a products
-    // array per pair, which dominates at large candidate counts
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val norms = t.embeddings.select(
-      col("vec_id"), col("embedding"),
-      sqrt(expr("float_vec_dot(embedding, embedding)")).as("nrm")
-    )
-    val a = norms.select(col("vec_id").as("query_id"),
-      col("embedding").as("ea"), col("nrm").as("na")).filter(col("query_id") < 10)
-    val b = norms.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val sims = a
-      .join(b, col("query_id") =!= col("neighbor_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine")
-      )
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("query_id", "neighbor_id", "cosine")
+    Dedup.annTopK(t.embeddings, "vec_id", "embedding", col("query_id") < 10, k = 5)
   }
 
   /** Hyperplane-LSH bucketing (8 deterministic arithmetic hyperplanes →
@@ -362,11 +265,6 @@ object TrainingData {
       s"(CAST((($j * 64 + i) * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))), " +
       "(a, x) -> a + x)"
 
-  private def sparkLshDot(j: Int): String =
-    s"aggregate(sequence(0, 63), CAST(0 AS DOUBLE), " +
-      s"(acc, i) -> acc + CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
-      s"(CAST((($j * 64 + i) * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))"
-
   val x10 = Q(
     "x10_ann_lsh_buckets",
     Some {
@@ -376,12 +274,8 @@ object TrainingData {
       s"SELECT vec_id, label, CAST($bits AS BIGINT) AS bucket FROM embeddings"
     }
   ) { t =>
-    t.embeddings.select(
-      col("vec_id"), col("label"),
-      (0 until 8).map { j =>
-        when(expr(sparkLshDot(j)) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _).cast("long").as("bucket")
-    )
+    Dedup.lshBuckets(t.embeddings, "vec_id", "embedding")
+      .select("vec_id", "label", "bucket")
   }
 
   /** Embedding near-dup pairs: exact cosine over ALL pairs above a
@@ -399,20 +293,7 @@ object TrainingData {
     )
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val norms = t.embeddings.select(
-      col("vec_id"), col("embedding"),
-      sqrt(expr("float_vec_dot(embedding, embedding)")).as("nrm")
-    )
-    val a = norms.select(col("vec_id").as("vec_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = norms.select(col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(
-        col("vec_a"), col("vec_b"),
-        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine")
-      )
-      .filter(col("cosine") >= 0.4)
+    Dedup.embeddingNearDups(t.embeddings, "vec_id", "embedding", threshold = 0.4)
   }
 
   // ---- multimodal plumbing --------------------------------------------

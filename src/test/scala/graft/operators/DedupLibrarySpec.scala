@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Library-surface behaviors not covered by the oracle queries. */
+class DedupLibrarySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("dedup-lib-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val docs = Tables(spark, "/root/testdata/sf0.01").documents
+
+  test("hot-shingle cap prunes candidates but keeps near-identical pairs") {
+    val uncapped = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.nonEmpty)
+    // cap at a doc frequency well above near-dup shingle counts: the same
+    // near-identical pairs must survive (their shingles are rare)
+    val capped = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9,
+        maxDocFreq = Some(50L))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.subsetOf(capped) || capped.subsetOf(uncapped))
+    assert(capped.intersect(uncapped) === uncapped.intersect(capped))
+    assert(capped.nonEmpty)
+  }
+
+  test("lshBuckets is deterministic across repartitioning") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val b1 = Dedup.lshBuckets(e, "vec_id", "embedding")
+      .select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = Dedup.lshBuckets(e.repartition(7), "vec_id", "embedding")
+      .select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2)
+    assert(b1.values.toSet.size > 1) // vectors actually spread over buckets
+  }
+}
