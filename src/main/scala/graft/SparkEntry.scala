@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{GoldAnalogs, Q, Relational, TrainingData}
+import graft.operators.{Analytics, GoldAnalogs, Q, Relational, TrainingData}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,7 @@ import graft.sources.Tables
 object SparkEntry {
 
   private def packs: Seq[Q] =
-    Relational.all ++ GoldAnalogs.all ++ TrainingData.all
+    Relational.all ++ GoldAnalogs.all ++ TrainingData.all ++ Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** Analytical-surface extensions beyond the reference's inventory —
+  * capabilities a user of a general engine expects (grouping sets,
+  * pivots, frame windows, offset windows), each with a bit-exact DuckDB
+  * oracle. Same determinism discipline as everywhere else: exact-decimal
+  * sums, unique window tiebreaks.
+  */
+object Analytics {
+
+  /** ROLLUP hierarchy totals (flag → flag+status → grand total). */
+  val x15 = Q(
+    "x15_rollup",
+    Some(
+      s"SELECT l_returnflag, l_linestatus, $sqlCount AS n, " +
+        s"${sqlSum("l_quantity")} AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    )
+  ) { t =>
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** CUBE over two dimensions (all grouping-set combinations). */
+  val x16 = Q(
+    "x16_cube",
+    Some(
+      s"SELECT o_orderstatus, o_orderpriority, $sqlCount AS n, " +
+        s"${sqlSum("o_totalprice")} AS sum_price " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    )
+  ) { t =>
+    t.orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Pivot via conditional aggregation — the engine-portable pivot form
+    * (Spark's native `.pivot` compiles to the same conditional aggregates
+    * when the value set is known). */
+  val x17 = Q(
+    "x17_pivot_conditional",
+    Some {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val cols = types.map { ty =>
+        s"${sqlCountIf(s"event_type = '$ty'")} AS n_$ty, " +
+          s"CAST(SUM(CASE WHEN event_type = '$ty' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_$ty"
+      }.mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id"
+    }
+  ) { t =>
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    t.events
+      .groupBy(col("user_id"))
+      .agg(
+        types.flatMap { ty =>
+          Seq(
+            countIf(col("event_type") === ty).as(s"n_$ty"),
+            sum(when(col("event_type") === ty, col("value").cast(Dec)))
+              .cast("double").as(s"sum_$ty")
+          )
+        }.head,
+        types.flatMap { ty =>
+          Seq(
+            countIf(col("event_type") === ty).as(s"n_$ty"),
+            sum(when(col("event_type") === ty, col("value").cast(Dec)))
+              .cast("double").as(s"sum_$ty")
+          )
+        }.tail: _*
+      )
+  }
+
+  /** Moving aggregate over an explicit ROWS frame (4-event window). */
+  val x18 = Q(
+    "x18_moving_window",
+    Some(
+      "WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events) " +
+        "SELECT user_id, event_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS mov_sum, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS mov_n " +
+        "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    )
+  ) { t =>
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    t.events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast(Dec)).over(w).cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("mov_n")
+      )
+  }
+
+  /** Offset/rank window functions: LAG, LEAD, FIRST_VALUE, NTILE. */
+  val x19 = Q(
+    "x19_offset_windows",
+    Some(
+      "WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events) " +
+        "SELECT user_id, event_id, " +
+        "lag(value) OVER w AS prev_value, " +
+        "lead(value) OVER w AS next_value, " +
+        "first_value(value) OVER w AS first_val, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile " +
+        "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)"
+    )
+  ) { t =>
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(w).as("first_val"),
+        ntile(4).over(w).cast("long").as("quartile")
+      )
+  }
+
+  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19)
+}
