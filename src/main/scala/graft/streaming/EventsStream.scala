@@ -23,6 +23,29 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Stream-stream interval join: purchases attributed to a click by the
+    * same user within the preceding hour. Both sides carry watermarks so
+    * join state is bounded; works identically on batch inputs. */
+  def attributedPurchases(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(
+      clicks,
+      expr(
+        """p_user = c_user AND
+          |purchase_ts >= click_ts AND
+          |purchase_ts <= click_ts + interval 1 hour""".stripMargin)
+    )
+  }
+
   /** Streaming exact dedup: drop replayed event_ids within the watermark
     * horizon — state is bounded by (horizon × arrival rate), the streaming
     * twin of the batch exact-dedup hash-groupBy (x01). */

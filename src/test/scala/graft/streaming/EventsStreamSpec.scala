@@ -42,6 +42,25 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val dir = Files.createTempDirectory("events-ssj").toString
+    events.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventsStream.attributedPurchases(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attributed").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT purchase_id, click_id FROM attributed")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventsStream.attributedPurchases(events)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops replayed events") {
     val dir = Files.createTempDirectory("events-dedup").toString
     // stage the same events twice: a replayed source
