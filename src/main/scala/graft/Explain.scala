@@ -23,7 +23,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
     val p = df.queryExecution.explainString(ExplainMode.fromString(mode))
-    println(s"== scan count: ${"Scan parquet".r.findAllMatchIn(p).length} ==")
+    // count scans in the plan tree only (the details section repeats them)
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("+-"))
+    println(s"== parquet scans in plan tree: $scans ==")
     println(p)
     spark.stop()
   }

@@ -13,6 +13,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def read(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every table as a temp view (its bare name) for spark.sql. */
+  def registerAll(): Unit = {
+    Seq(
+      "region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events,
+      "documents" -> documents, "embeddings" -> embeddings
+    ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+  }
+
   lazy val region: DataFrame     = read("region")
   lazy val nation: DataFrame     = read("nation")
   lazy val customer: DataFrame   = read("customer")
