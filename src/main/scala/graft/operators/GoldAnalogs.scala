@@ -414,11 +414,20 @@ object GoldAnalogs {
         when(col("o_orderstatus") === "F", 1).otherwise(0).as("is_win"),
         when(col("o_orderstatus") === "O", 1).otherwise(0).as("is_loss")
       )
+    // The four scalar components each consume teamGames; without
+    // materialization Catalyst re-expands the 3-way join per consumer
+    // (6 fact scans — verified via graft.Explain). The filtered base is
+    // tiny (one team's games), so cache it: one scan feeds everything.
+    teamGames.cache()
     // W1: unpartitioned ordered window — parity with the reference; at
-    // 100 TB this becomes per-team via partitionBy (see PlanNotes).
+    // 100 TB this becomes per-team via partitionBy (see SCALE.md). Both
+    // running sums share one window spec → a single Window pass.
     val ord = Window.orderBy(col("game_date"), col("game_id"))
-    val winStreaks = teamGames.withColumn("loss_group", sum(col("is_loss")).over(ord))
-    val loseStreaks = teamGames.withColumn("win_group", sum(col("is_win")).over(ord))
+    val streaks = teamGames
+      .withColumn("loss_group", sum(col("is_loss")).over(ord))
+      .withColumn("win_group", sum(col("is_win")).over(ord))
+    val winStreaks = streaks
+    val loseStreaks = streaks
 
     def bestStreak(streaks: DataFrame, flag: String, group: String): DataFrame =
       streaks

@@ -183,12 +183,19 @@ object GoldModels {
         when(col("wl") === "W", 1).otherwise(0).as("is_win"),
         when(col("wl") === "L", 1).otherwise(0).as("is_loss")
       )
+    // Cache the one-team base: four scalar consumers would otherwise each
+    // re-expand the scan subtree (see GoldAnalogs g05 note).
+    spursGames.cache()
     // W1: gaps-and-islands — running sum over game_date (ISO strings order
     // correctly). Unpartitioned, as in the reference; the scale-out variant
-    // partitions by season/team first (SURVEY.md §7.4).
+    // partitions by season/team first (SURVEY.md §7.4). One window pass
+    // carries both running sums.
     val ord = Window.orderBy(col("game_date"))
-    val winning = spursGames.withColumn("loss_group", sum(col("is_loss")).over(ord))
-    val losing = spursGames.withColumn("win_group", sum(col("is_win")).over(ord))
+    val islands = spursGames
+      .withColumn("loss_group", sum(col("is_loss")).over(ord))
+      .withColumn("win_group", sum(col("is_win")).over(ord))
+    val winning = islands
+    val losing = islands
 
     def streak(df: DataFrame, flag: String, grp: String): DataFrame =
       df.filter(col(flag) === 1)
