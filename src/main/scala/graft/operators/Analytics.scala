@@ -130,5 +130,57 @@ object Analytics {
       )
   }
 
-  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19)
+  /** AS-OF join — an operator Spark lacks natively, composed scalably
+    * (preference order (a): built-ins): tag-union both sides, one
+    * partitioned ordered window carrying the last preceding right-side
+    * id, filter back to left rows. Here: each purchase attributed to the
+    * same user's latest click at-or-before it (clicks sort before
+    * purchases at equal timestamps; event_id breaks remaining ties).
+    * One shuffle on the key — no range cross-join. */
+  val x20 = Q(
+    "x20_asof_join",
+    Some(
+      "WITH u AS (" +
+        "SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, 0 AS tag, " +
+        "event_id AS id, event_id AS click_id FROM events WHERE event_type = 'click' " +
+        "UNION ALL " +
+        "SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, 1 AS tag, " +
+        "event_id AS id, CAST(NULL AS BIGINT) AS click_id FROM events WHERE event_type = 'purchase'), " +
+        "w AS (SELECT *, last_value(click_id IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY tus, tag, id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id FROM u) " +
+        "SELECT user_id, id AS purchase_id, asof_click_id FROM w WHERE tag = 1"
+    )
+  ) { t =>
+    val ev = t.events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("tus"), lit(0).as("tag"),
+      col("event_id").as("id"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("tus"), lit(1).as("tag"),
+      col("event_id").as("id"), lit(null).cast("long").as("click_id"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("tag"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("id").as("purchase_id"), col("asof_click_id"))
+  }
+
+  /** Approximate distinct (HLL++). Sketches are engine-specific, so there
+    * is no cross-engine oracle (driver records rows-only); the accuracy
+    * bound vs exact COUNT(DISTINCT) is pinned in AnalyticsSpec. */
+  val x21 = Q("x21_approx_distinct", None) { t =>
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")
+      )
+  }
+
+  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21)
 }

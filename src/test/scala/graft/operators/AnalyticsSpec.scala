@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.sources.Tables
+
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("analytics-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("as-of join: every attributed click precedes its purchase") {
+    val out = SparkEntry.queries("x20_asof_join")(spark, sf).cache()
+    val ev = Tables(spark, sf).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"), col("user_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      val (pTs, pUser) = ev(r.getLong(1))
+      val (cTs, cUser) = ev(r.getLong(2))
+      assert(cUser === pUser)
+      assert(cTs <= pTs, s"click after purchase for ${r.getLong(1)}")
+    }
+    // purchases with no preceding click yield NULL (as-of semantics)
+    val total = Tables(spark, sf).events
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length.toLong === total)
+  }
+
+  test("approx distinct is within 5% of exact") {
+    SparkEntry.queries("x21_approx_distinct")(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+}
