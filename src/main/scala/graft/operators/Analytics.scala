@@ -182,5 +182,28 @@ object Analytics {
       )
   }
 
-  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21)
+  /** Exact percentiles with linear interpolation (Spark `percentile` ==
+    * DuckDB `quantile_cont`) over exact integer cents — interpolation on
+    * integers is a single deterministic arithmetic step in both engines. */
+  val x22 = Q(
+    "x22_percentiles",
+    Some(
+      "SELECT l_returnflag, " +
+        "quantile_cont(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 100 AS BIGINT), 0.5) AS p50, " +
+        "quantile_cont(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 100 AS BIGINT), 0.9) AS p90, " +
+        "quantile_cont(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 100 AS BIGINT), 0.99) AS p99 " +
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+  ) { t =>
+    val cents = (col("l_quantity").cast(Dec) * 100).cast("long")
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(cents, lit(0.5)).as("p50"),
+        percentile(cents, lit(0.9)).as("p90"),
+        percentile(cents, lit(0.99)).as("p99")
+      )
+  }
+
+  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22)
 }

@@ -77,4 +77,45 @@ object Multimodal {
       }
     }
   }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: treat the payload as `meta.nFrames` fixed-size frames
+    * and emit every `everyN`-th one — the video-frame-sampling shape
+    * (chunked slices of an opaque byte payload, exploded to one row per
+    * kept frame). A real codec would replace the byte-slicing STUB; the
+    * partition-batched explode is the scalable part. */
+  def frameSample(media: Dataset[MediaRecord], everyN: Int)(implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.flatMap { r =>
+        val n = math.max(r.meta.nFrames, 1)
+        val size = math.max(r.content.length / n, 1)
+        (0 until n by everyN).iterator.map { i =>
+          val from = i * size
+          val until = math.min(from + size, r.content.length)
+          Frame(r.doc_id, i, r.content.slice(from, math.max(from, until)))
+        }
+      }
+    }
+  }
+
+  /** Resize STUB: deterministic byte subsampling to a target "resolution"
+    * (every k-th byte so the output has ~targetBytes), with metadata
+    * updated to the target dimensions — the image-resize shape without a
+    * codec. */
+  def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val targetBytes = math.max(targetW * targetH / 256, 1)
+        val step = math.max(r.content.length / targetBytes, 1)
+        val resized = r.content.indices.by(step).map(r.content).toArray
+        r.copy(
+          content = resized,
+          meta = r.meta.copy(width = targetW, height = targetH)
+        )
+      }
+    }
+  }
 }

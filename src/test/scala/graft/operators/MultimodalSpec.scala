@@ -26,6 +26,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.meta.nFrames === r.content.length % 16 + 1)
   }
 
+  test("frameSample: every k-th frame, payload fully partitioned") {
+    val media = Multimodal.packMedia(docs)
+    val frames = Multimodal.frameSample(media, everyN = 2).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    val metaByDoc = media.collect().map(r => r.doc_id -> r).toMap
+    byDoc.foreach { case (id, fs) =>
+      val n = math.max(metaByDoc(id).meta.nFrames, 1)
+      assert(fs.length === (0 until n by 2).size)
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until n by 2).toSeq)
+      fs.foreach(f => assert(f.frame.nonEmpty || metaByDoc(id).content.isEmpty))
+    }
+  }
+
+  test("resize: deterministic subsample with updated metadata") {
+    val media = Multimodal.packMedia(docs)
+    val resized = Multimodal.resize(media, targetW = 64, targetH = 64).collect()
+    resized.foreach { r =>
+      assert(r.meta.width === 64 && r.meta.height === 64)
+      assert(r.content.nonEmpty)
+    }
+    // deterministic under repartitioning
+    val again = Multimodal.resize(
+      Multimodal.packMedia(docs).repartition(5), 64, 64)
+      .collect().map(r => r.doc_id -> r.content.toSeq).toMap
+    resized.foreach(r => assert(again(r.doc_id) === r.content.toSeq))
+  }
+
   test("extractFeatures: partition-batched, deterministic, consistent") {
     val media = Multimodal.packMedia(docs)
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
