@@ -143,6 +143,60 @@ object Dedup {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** IVF-style cell assignment: the first `k` vectors (by id) act as
+    * deterministic centroids; every vector lands in the cell of its
+    * nearest centroid by cosine. The centroid set is tiny → broadcast;
+    * assignment is one scan. (A production index would Lloyd-iterate the
+    * centroids; the index/probe mechanics are what matter here.) */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val norms = withNorm(df, idCol, vecCol)
+    val cents = norms.filter(col(idCol) < k).select(
+      col(idCol).as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    norms
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
+        (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+  }
+
+  /** IVF probe search: route each query to its `nprobe` nearest cells,
+    * score exactly only within those cells — the search side of the
+    * scale path (work ∝ corpus/k × nprobe instead of the full corpus). */
+  def ivfSearch(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int, nprobe: Int, topK: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(df, idCol, vecCol, k)
+    val cents = withNorm(df, idCol, vecCol).filter(col(idCol) < k).select(
+      col(idCol).as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val queries = withNorm(df, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .filter(queryPred)
+    val probed = queries
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("qn"), col("cent_id"),
+        (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cent_id").as("cell"))
+    probed
+      .join(assigned, "cell")
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (expr("float_vec_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cosine"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rn") <= topK)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** Deterministic 8-plane hyperplane-LSH bucket per vector — the scale
     * path for near-dup candidate generation. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dims: Int = 64): DataFrame = {
