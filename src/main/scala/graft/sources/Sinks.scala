@@ -24,6 +24,12 @@ object Sinks {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Partitioned parquet layout — the 100 TB silver/gold form; partition
     * pruning on `cols` removes files before task scheduling. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =

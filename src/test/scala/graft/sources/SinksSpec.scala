@@ -37,6 +37,16 @@ class SinksSpec extends AnyFunSuite {
       src.orderBy("n_nationkey").collect().map(_.toSeq))
   }
 
+  test("ORC round-trip preserves schema and values") {
+    val dir = Files.createTempDirectory("orc-sink").toString
+    val src = t.supplier
+    Sinks.writeOrc(src, s"$dir/supplier")
+    val back = Sinks.readOrc(spark, s"$dir/supplier")
+    assert(back.schema === src.schema)
+    assert(back.orderBy("s_suppkey").collect().map(_.toSeq) ===
+      src.orderBy("s_suppkey").collect().map(_.toSeq))
+  }
+
   test("partitioned layout round-trip keeps data + enables pruning") {
     val dir = Files.createTempDirectory("part-sink").toString
     Sinks.writePartitioned(t.orders, s"$dir/orders", "o_orderstatus")
