@@ -64,6 +64,7 @@ object Dedup {
     * banded LSH keys; candidates at scale = equi-join on a band. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.MinHashAggregator.{A, B, P}
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
     val hashed = shingles(df, idCol, textCol)
       .withColumn("sh_h", expr("poly_hash(sh)"))
     val sigs = hashed
@@ -83,6 +84,7 @@ object Dedup {
 
   /** 16-bit SimHash per document (bit-majority of word hashes). */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
     val words = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .withColumn("wh", expr("poly_hash(word)"))
@@ -104,10 +106,13 @@ object Dedup {
     )
   }
 
-  /** Vectors with L2 norm attached (registers float_vec_dot). */
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  /** Vectors with L2 norm attached; registers `float_vec_dot` in the
+    * session so each public entry point works standalone. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
     df.select(col(idCol), col(vecCol).as("embedding"),
       sqrt(expr(s"float_vec_dot($vecCol, $vecCol)")).as("nrm"))
+  }
 
   /** Exact cosine near-dup pairs above `threshold` (all-pairs baseline;
     * at scale pre-block with [[lshBuckets]] and join on bucket). */

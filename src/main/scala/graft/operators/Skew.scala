@@ -11,8 +11,20 @@ import org.apache.spark.sql.functions._
   * Results are identical to the unsalted forms — the salt only splits the
   * reduce-side state; re-aggregation relies on the same associativity the
   * exact-decimal helpers guarantee (graft.functions.Exact).
+  *
+  * The salt is derived from row CONTENT (xxhash64 over all columns), not
+  * from spark_partition_id()/monotonically_increasing_id(): a content
+  * hash is stable under task retry, so a fetch-failure recomputation
+  * re-assigns every row the same salt and the two-phase shapes stay
+  * exactly-once. (Identical rows share a salt — that only skews the
+  * split when one key is dominated by one exact duplicate row, and never
+  * affects correctness.)
   */
 object Skew {
+
+  /** Deterministic per-row salt in [0, salts): content hash, retry-stable. */
+  private def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
 
   /** Two-phase salted COUNT/SUM aggregation: groupBy (key, salt) first,
     * then re-aggregate per key. `sums` maps output column name → summand
@@ -23,7 +35,7 @@ object Skew {
       salts: Int,
       sums: Map[String, Column]
   ): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("__salt", contentSalt(df, salts))
     val phase1 = salted
       .groupBy(key.as("__key"), col("__salt"))
       .agg(
@@ -49,8 +61,7 @@ object Skew {
       rightKey: Column,
       salts: Int
   ): DataFrame = {
-    val saltedLeft = left.withColumn(
-      "__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val saltedLeft = left.withColumn("__salt", contentSalt(left, salts))
     val replicatedRight = right.withColumn(
       "__salt", explode(array((0 until salts).map(lit(_)): _*)))
     saltedLeft

@@ -13,8 +13,11 @@ object Assertions {
   def notNullViolations(df: DataFrame, cols: Seq[String]): Long =
     cols.map(c => df.filter(col(c).isNull).count()).sum
 
+  /** dbt accepted_values semantics: the generated `NOT IN` predicate lets
+    * NULLs pass (three-valued logic), so only non-null values outside the
+    * set count as violations; null-ness is the job of not_null tests. */
   def acceptedValuesViolations(df: DataFrame, c: String, vals: Seq[String]): Long =
-    df.filter(col(c).isNull || !col(c).isin(vals.map(_.asInstanceOf[Any]): _*)).count()
+    df.filter(col(c).isNotNull && !col(c).isin(vals.map(_.asInstanceOf[Any]): _*)).count()
 
   /** Run the full dbt test suite over the gold tables; returns failure
     * descriptions (empty = all 12 pass). */

@@ -283,7 +283,10 @@ object GoldModels {
         statCols.map(c => avg(col(c).cast(num)).as(s"avg_$c")).tail: _*
       )
     val distinctPlayers = players.select("player_id", "player", "position").distinct()
-    val fa = freeAgents.select(col("player_id").as("fa_player_id")).distinct()
+    // free_agents is joined RAW (players_recommendations.sql:48 — no
+    // dedup), so duplicate free-agent player_ids fan out exactly as the
+    // reference's LEFT JOIN does; injuries below IS grouped (sql:49-50).
+    val fa = freeAgents.select(col("player_id").as("fa_player_id"))
     val inj = injuries.select(col("player_id").as("inj_player_id")).distinct()
     val sal = salaries
       .groupBy(col("player_id").as("sal_player_id"))

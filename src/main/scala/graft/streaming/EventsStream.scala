@@ -58,42 +58,68 @@ object EventsStream {
 
   /** Per-user sessionization with `flatMapGroupsWithState`: closes a
     * session when the gap exceeds `gapMinutes`. State is one small record
-    * per key — memory scales with active users, not event volume. */
+    * per key — memory scales with active users, not event volume.
+    *
+    * Streaming contract (`batchMode = false`): sessions closed by an
+    * in-batch gap are emitted immediately; the still-open session is held
+    * in state with an event-time timeout of `gapMinutes` past its last
+    * event, and emitted exactly once when the watermark passes that point
+    * (so Append mode never re-emits an overlapping open session, and idle
+    * keys are closed and their state freed). The caller must set
+    * `.withWatermark("ts", …)` on the input in streaming mode.
+    *
+    * Batch contract (`batchMode = true`, the x13 twin): each key is
+    * invoked exactly once with all its data and timeouts never fire, so
+    * the final open session is emitted at the end of the invocation. */
   def sessionizeStateful(
       events: Dataset[Ev],
-      gapMinutes: Int
+      gapMinutes: Int,
+      batchMode: Boolean = true
   )(implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val gapMs = gapMinutes.toLong * 60L * 1000L
 
     def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var out = List.empty[SessionOut]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val tUs = e.ts.getTime * 1000L
-        cur match {
-          case Some(s) if tUs - s.lastUs <= gapUs =>
-            cur = Some(s.copy(lastUs = tUs, n = s.n + 1))
-          case Some(s) =>
-            out = SessionOut(userId, s.startUs, s.lastUs, s.n) :: out
-            cur = Some(SessionState(tUs, tUs, 1))
-          case None =>
-            cur = Some(SessionState(tUs, tUs, 1))
+      if (state.hasTimedOut) {
+        // streaming only: gap elapsed with no new events — close and free
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, s.startUs, s.lastUs, s.n))
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var out = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val tUs = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if tUs - s.lastUs <= gapUs =>
+              cur = Some(s.copy(lastUs = tUs, n = s.n + 1))
+            case Some(s) =>
+              out = SessionOut(userId, s.startUs, s.lastUs, s.n) :: out
+              cur = Some(SessionState(tUs, tUs, 1))
+            case None =>
+              cur = Some(SessionState(tUs, tUs, 1))
+          }
         }
+        cur.foreach { s =>
+          if (batchMode) {
+            out = SessionOut(userId, s.startUs, s.lastUs, s.n) :: out
+          } else {
+            state.update(s)
+            // timeout must sit strictly past the current watermark
+            state.setTimeoutTimestamp(
+              math.max(s.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs + 1L))
+          }
+        }
+        out.reverseIterator
       }
-      cur match {
-        case Some(s) if !state.hasTimedOut =>
-          state.update(s)
-          // batch mode: no more data will arrive — emit the open session
-          out = SessionOut(userId, s.startUs, s.lastUs, s.n) :: out
-        case _ => ()
-      }
-      out.reverseIterator
     }
 
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        if (batchMode) GroupStateTimeout.NoTimeout else GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

@@ -97,4 +97,47 @@ class EventsStreamSpec extends AnyFunSuite {
     val totalEvents = sessions.collect().map(_.n_events.toLong).sum
     assert(totalEvents === events.count())
   }
+
+  test("streaming sessionization: timeout-closed sessions, no duplicate emission") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(min: Int) = new Timestamp(min.toLong * 60000L)
+    val src = MemoryStream[EventsStream.Ev]
+    val evs = src.toDS().withWatermark("ts", "0 seconds").as[EventsStream.Ev]
+    val out = EventsStream.sessionizeStateful(evs, gapMinutes = 30, batchMode = false)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream").start()
+
+    // batch 1 (events start past epoch so the initial watermark=0 drops
+    // nothing): user 1 has two events 10 min apart (one open session),
+    // user 2 one event — nothing should be emitted yet (gap not elapsed)
+    src.addData(EventsStream.Ev(1L, 100L, ts(60)), EventsStream.Ev(1L, 101L, ts(70)),
+      EventsStream.Ev(2L, 200L, ts(65)))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sess_stream").count() === 0)
+
+    // batch 2: user 1 continues within the gap (25 min ≤ 30) — the open
+    // session extends in place, nothing emitted (no overlapping duplicate)
+    src.addData(EventsStream.Ev(1L, 102L, ts(95)))
+    q.processAllAvailable()
+    // batches 3-4: push the watermark far past every timeout → both
+    // sessions close via EventTimeTimeout, exactly once each
+    src.addData(EventsStream.Ev(9L, 900L, ts(500)))
+    q.processAllAvailable()
+    src.addData(EventsStream.Ev(9L, 901L, ts(1000)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql(
+      "SELECT user_id, start_us, end_us, n_events FROM sess_stream WHERE user_id IN (1, 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    def us(min: Int) = min.toLong * 60000000L
+    // exactly one row per closed session — the append stream never re-emits
+    assert(rows === Set(
+      (2L, us(65), us(65), 1),
+      (1L, us(60), us(95), 3)))
+  }
 }
