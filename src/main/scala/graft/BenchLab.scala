@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch micro-bench for aggregation strategies (not part of the driver
+  * contract; used to pick implementations with data, not guesses). */
+object BenchLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-benchlab")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.sources.Tables
+    val t = Tables(spark, sfDir)
+    val li = t.lineitem
+
+    def time(name: String)(f: => DataFrame): Unit = {
+      f.write.format("noop").mode("overwrite").save() // warm
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[lab] $name%-28s min=${runs.min}%.3f  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+    }
+
+    val dec184 = "decimal(18,4)"
+    // A: plain double sums (the inexact lower bound)
+    time("double-sum x5") {
+      li.groupBy(col("l_suppkey")).agg(
+        sum(col("l_quantity")), sum(col("l_extendedprice")),
+        sum(col("l_discount")), sum(col("l_tax")),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+    }
+    // B: decimal(18,4) sums (current Exact path)
+    time("decimal-sum x4 + product") {
+      li.groupBy(col("l_suppkey")).agg(
+        sum(col("l_quantity").cast(dec184)), sum(col("l_extendedprice").cast(dec184)),
+        sum(col("l_discount").cast(dec184)), sum(col("l_tax").cast(dec184)),
+        sum(col("l_extendedprice").cast("decimal(12,4)") *
+          (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(12,4)"))))
+    }
+    // C: long-limb sums: unscaled scale-4 value split into 6-digit limbs
+    def limbs(c: org.apache.spark.sql.Column, scale: Int): Seq[org.apache.spark.sql.Column] = {
+      val u = (c.cast(s"decimal(18,$scale)") * pow(lit(10), lit(scale)).cast("decimal(18,0)")).cast("long")
+      Seq(u % 1000000L, (u / 1000000L) % 1000000L, u / 1000000000000L)
+    }
+    time("long-limb x4 + dec product") {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").zipWithIndex.flatMap {
+        case (c, i) => limbs(col(c), 4).zipWithIndex.map { case (l, j) => sum(l).as(s"s${i}_$j") }
+      } :+ sum(col("l_extendedprice").cast("decimal(12,4)") *
+        (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(12,4)"))).as("prod")
+      li.groupBy(col("l_suppkey")).agg(cols.head, cols.tail: _*)
+    }
+    // D: long-limb for everything incl. product via long math
+    time("long-limb x5 (prod long)") {
+      val prodU = ((col("l_extendedprice").cast("decimal(12,4)") *
+        (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(12,4)"))) *
+        lit(100000000L).cast("decimal(18,0)")).cast("long")
+      val prodLimbs = Seq(prodU % 1000000L, (prodU / 1000000L) % 1000000L, prodU / 1000000000000L)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").zipWithIndex.flatMap {
+        case (c, i) => limbs(col(c), 4).zipWithIndex.map { case (l, j) => sum(l).as(s"s${i}_$j") }
+      } ++ prodLimbs.zipWithIndex.map { case (l, j) => sum(l).as(s"p_$j") }
+      li.groupBy(col("l_suppkey")).agg(cols.head, cols.tail: _*)
+    }
+    spark.stop()
+  }
+}

@@ -22,9 +22,12 @@ object Analytics {
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
     )
   ) { t =>
+    val aggs = count(lit(1)).as("n") +: limbAggs("qty", unscaledLong(col("l_quantity"), 4))
     t.lineitem
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        limbSumDouble("qty").as("sum_qty"))
   }
 
   /** CUBE over two dimensions (all grouping-set combinations). */
@@ -36,9 +39,12 @@ object Analytics {
         "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
     )
   ) { t =>
+    val aggs = count(lit(1)).as("n") +: limbAggs("price", unscaledLong(col("o_totalprice"), 4))
     t.orders
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+        limbSumDouble("price").as("sum_price"))
   }
 
   /** Pivot via conditional aggregation — the engine-portable pivot form

@@ -36,60 +36,56 @@ object GoldAnalogs {
     s"CASE WHEN CAST(year($d) AS VARCHAR) = '2001' THEN '2001-02' " +
       s"ELSE CAST(year($d) AS VARCHAR) END"
 
-  /** One unpivot metric (team_weaknesses_unpivoted.sql:4-18): Spark agg +
-    * SQL twin + comparison direction + the recommendation branch's filter
-    * brand-list and reason literal (players_recommendations.sql:54-147). */
+  /** One unpivot metric (team_weaknesses_unpivoted.sql:4-18): per-row
+    * unscaled-long summand (Exact limb fast path) + SQL twin + comparison
+    * direction + the recommendation branch's filter brand-list and reason
+    * literal (players_recommendations.sql:54-147).
+    *
+    * `unscaled` is the exact scale-4 integer of the summand; averages are
+    * rebuilt per group via Exact.limbAvg — bit-identical to the decimal
+    * forms the oracle SQL computes, but accumulated as primitive longs
+    * inside whole-stage codegen instead of per-row BigDecimal. The
+    * revenue product is exact at scale 4 too: 2-decimal price × 2-decimal
+    * (1-disc) carries ≤4 decimals, so the oracle's scale-8 decimal
+    * product and `round(SUM, 4)` see the same rational value. */
   private final case class M(
       key: String,
       label: String,
       lowerIsBetter: Boolean,
-      agg: Column,
       aggSql: String,
-      sumInner: Column,   // exact decimal summand (per-row), for one-pass reaggregation
-      isProduct: Boolean, // product sums are rounded to scale 4 before the double cast
+      unscaled: Column, // exact scale-4 integer summand (per-row)
       brands: Seq[String],
       reason: String
   )
 
-  private val revenueExpr: Column =
-    dec(col("l_extendedprice")) * (decOne - dec(col("l_discount")))
+  private val revenueUnscaled: Column =
+    unscaledLong(col("l_extendedprice"), 2) *
+      (lit(100L) - unscaledLong(col("l_discount"), 2))
   private val revenueSql: String =
     s"${sqlDec("l_extendedprice")} * ($sqlDecOne - ${sqlDec("l_discount")})"
 
   private val metrics: Seq[M] = Seq(
     M("qty", "Cantidad", lowerIsBetter = false,
-      exactAvg(col("l_quantity")), sqlAvg("l_quantity"),
-      col("l_quantity").cast(Dec), isProduct = false,
+      sqlAvg("l_quantity"), unscaledLong(col("l_quantity"), 4),
       (1 to 10).map(i => s"Brand#$i"),
       "Aumentar el volumen con partes de alta cantidad media."),
     M("price", "Precio", lowerIsBetter = false,
-      exactAvg(col("l_extendedprice")), sqlAvg("l_extendedprice"),
-      col("l_extendedprice").cast(Dec), isProduct = false,
+      sqlAvg("l_extendedprice"), unscaledLong(col("l_extendedprice"), 4),
       (6 to 18).map(i => s"Brand#$i"),
       "Incorporar partes de precio medio elevado."),
     M("disc", "Descuento", lowerIsBetter = true,
-      exactAvg(col("l_discount")), sqlAvg("l_discount"),
-      col("l_discount").cast(Dec), isProduct = false,
+      sqlAvg("l_discount"), unscaledLong(col("l_discount"), 4),
       Seq("Brand#1", "Brand#5", "Brand#9", "Brand#13", "Brand#17", "Brand#21"),
       "Reducir el descuento medio concedido."),
     M("tax", "Impuesto", lowerIsBetter = false,
-      exactAvg(col("l_tax")), sqlAvg("l_tax"),
-      col("l_tax").cast(Dec), isProduct = false,
+      sqlAvg("l_tax"), unscaledLong(col("l_tax"), 4),
       Seq("Brand#2", "Brand#4", "Brand#6", "Brand#8", "Brand#10", "Brand#12"),
       "Optimizar la carga impositiva media."),
     M("revenue", "Ingreso", lowerIsBetter = false,
-      exactAvgDec(revenueExpr), sqlAvgDec(revenueSql),
-      revenueExpr, isProduct = true,
+      sqlAvgDec(revenueSql), revenueUnscaled,
       Seq.empty, // like the plus_minus branch: no position filter
       "Contratar partes con impacto positivo en el ingreso.")
   )
-
-  /** Rebuild an exact average from a (decimal sum, count) pair — same
-    * value, bit-for-bit, as computing the average directly (decimal sums
-    * are associative; product sums round to scale 4 first, matching
-    * Exact.exactAvgDec / the oracle's sqlAvgDec). */
-  private def avgFromSums(m: M, sumC: Column, cntC: Column): Column =
-    (if (m.isProduct) round(sumC, 4) else sumC).cast("double") / cntC
 
   private val focusNation = "NATION_7"
   private val streakNation = "NATION_3"
@@ -143,27 +139,29 @@ object GoldAnalogs {
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .withColumn("season2", seasonCol(col("l_shipdate")))
 
-  private def aggCols(prefix: String): Seq[Column] =
-    metrics.map(m => m.agg.as(s"$prefix${m.key}"))
+  /** Limb-sum aggregate columns for every metric plus the shared row
+    * count — place inside `.agg(...)`, rebuild with [[avgCols]]. */
+  private def limbAggCols: Seq[Column] =
+    metrics.flatMap(m => limbAggs(m.key, m.unscaled)) :+ count(lit(1)).as("cnt")
+
+  /** Rebuild `<prefix><key>` exact averages from limb sums. */
+  private def avgCols(prefix: String): Seq[Column] =
+    metrics.map(m => limbAvg(m.key, col("cnt")).as(s"$prefix${m.key}"))
 
   /** Spark twin of [[weaknessCtes]]'s final `weaknesses` CTE.
     *
-    * One fact-table pass: per-(season, team) exact decimal sums + counts,
+    * One fact-table pass: per-(season, team) exact limb sums + counts,
     * from which all three aggregate levels (focus team, league, best team)
-    * are re-derived — decimal sums are associative, so league averages
-    * rebuilt from team sums are bit-identical to a direct scan (the oracle
-    * SQL keeps the reference's three-CTE form; values match exactly).
-    * A naive translation scans and joins the fact table three times.
+    * are re-derived — limb sums are associative long sums, so league
+    * averages rebuilt from team sums are bit-identical to a direct scan
+    * (the oracle SQL keeps the reference's three-CTE form; values match
+    * exactly). A naive translation scans and joins the fact table three
+    * times.
     */
   private def weaknesses(t: Tables): DataFrame = {
     val perTeamRaw = games(t)
       .groupBy(col("season2"), col("n_name"))
-      .agg(
-        (metrics.map(m => sum(m.sumInner).as(s"sum_${m.key}")) :+
-          count(lit(1)).as("cnt")).head,
-        (metrics.map(m => sum(m.sumInner).as(s"sum_${m.key}")) :+
-          count(lit(1)).as("cnt")).tail: _*
-      )
+      .agg(limbAggCols.head, limbAggCols.tail: _*)
     // league + best-team stats as windows over the per-team aggregate: a
     // literal translation joins three aggregates of the same subtree, and
     // Catalyst pushes the focus-team filter below one of them, defeating
@@ -172,19 +170,18 @@ object GoldAnalogs {
     val wSeason = Window.partitionBy(col("season2"))
     val withAvgs = perTeamRaw.select(
       Seq(col("season2"), col("n_name"), col("cnt")) ++
-        metrics.map(m => col(s"sum_${m.key}")) ++
-        metrics.map(m =>
-          avgFromSums(m, col(s"sum_${m.key}"), col("cnt")).as(s"avg_${m.key}")): _*
+        metrics.flatMap(m => limbCols(m.key)) ++
+        avgCols("avg_"): _*
     )
     val joined = withAvgs
       .select(
         Seq(col("season2"), col("n_name")) ++
           metrics.map(m => col(s"avg_${m.key}")) ++
-          metrics.map(m =>
-            avgFromSums(m,
-              sum(col(s"sum_${m.key}")).over(wSeason),
-              sum(col("cnt")).over(wSeason)
-            ).as(s"avg_league_${m.key}")) ++
+          metrics.map { m =>
+            val ls = limbCols(m.key).map(c => sum(c).over(wSeason))
+            (limbValueOf(ls(0), ls(1), ls(2), 4).cast("double") /
+              sum(col("cnt")).over(wSeason)).as(s"avg_league_${m.key}")
+          } ++
           metrics.map { m =>
             val c = col(s"avg_${m.key}")
             (if (m.lowerIsBetter) min(c) else max(c)).over(wSeason).as(s"best_${m.key}")
@@ -336,8 +333,8 @@ object GoldAnalogs {
     val src = games(t)
       .filter(col("n_name") === focusNation)
       .groupBy(col("l_suppkey").as("s_suppkey"), col("s_name"))
-      .agg(aggCols("avg_").head, aggCols("avg_").tail: _*)
-      .withColumnRenamed("l_suppkey", "s_suppkey")
+      .agg(limbAggCols.head, limbAggCols.tail: _*)
+      .select(Seq(col("s_suppkey"), col("s_name")) ++ avgCols("avg_"): _*)
     src
       .select(
         col("s_suppkey"), col("s_name"),
@@ -527,15 +524,17 @@ object GoldAnalogs {
     // over aggregated subqueries, but since every pooled part joins the
     // stats inner-join anyway, the existence flags and max-price collapse
     // into the same aggregate — identical values, 3 fewer fact scans.
+    val perPartCols = limbAggCols ++ Seq(
+      max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret_flag"),
+      max(when(col("l_linestatus") === "O", 1).otherwise(0)).as("open_flag"),
+      max(col("l_extendedprice")).as("list_price")
+    )
     val perPart = t.lineitem
       .groupBy(col("l_partkey"))
-      .agg(
-        aggCols("avg_").head,
-        aggCols("avg_").tail ++ Seq(
-          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret_flag"),
-          max(when(col("l_linestatus") === "O", 1).otherwise(0)).as("open_flag"),
-          max(col("l_extendedprice")).as("list_price")
-        ): _*
+      .agg(perPartCols.head, perPartCols.tail: _*)
+      .select(
+        Seq(col("l_partkey"), col("ret_flag"), col("open_flag"),
+          col("list_price")) ++ avgCols("avg_"): _*
       )
     val parts = t.part.select("p_partkey", "p_name", "p_brand").distinct()
     var pool = parts

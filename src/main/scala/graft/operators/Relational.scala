@@ -232,15 +232,18 @@ object Relational {
         "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
     )
   ) { t =>
+    // revenue as a scale-4 limb sum: 2-decimal price × 2-decimal (1-disc)
+    // carries ≤4 decimals, so the oracle's scale-8 product and round(·,4)
+    // see the same value — accumulated as primitive longs, not BigDecimal
+    val rev = unscaledLong(col("l_extendedprice"), 2) *
+      (lit(100L) - unscaledLong(col("l_discount"), 2))
+    val aggs = limbAggs("rev", rev) :+ count(lit(1)).as("n_items")
     t.lineitem
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(
-        exactSumDec(dec(col("l_extendedprice")) * (decOne - dec(col("l_discount"))))
-          .as("revenue"),
-        count(lit(1)).as("n_items")
-      )
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_name"), limbSumDouble("rev").as("revenue"), col("n_items"))
   }
 
   /** J3+P6 (players_recommendations.sql:16,48): left join to derive an
@@ -317,22 +320,34 @@ object Relational {
         "GROUP BY l_returnflag, l_linestatus"
     )
   ) { t =>
+    // All five exact sums as limb sums (primitive-long accumulation).
+    // disc_price = 2dp × 2dp → exact at scale 4; charge = 2dp×2dp×2dp →
+    // exact at scale 6, rounded to 4 at rebuild exactly as the oracle's
+    // round(SUM(decimal), 4) rounds the same rational value.
+    val p2 = unscaledLong(col("l_extendedprice"), 2)
+    val d2 = unscaledLong(col("l_discount"), 2)
+    val t2 = unscaledLong(col("l_tax"), 2)
+    val discPrice = p2 * (lit(100L) - d2) // scale 4
+    val charge = discPrice * (lit(100L) + t2) // scale 6
+    val aggs = limbAggs("qty", unscaledLong(col("l_quantity"), 4)) ++
+      limbAggs("price", unscaledLong(col("l_extendedprice"), 4)) ++
+      limbAggs("disc", unscaledLong(col("l_discount"), 4)) ++
+      limbAggs("dp", discPrice) ++
+      limbAggs("ch", charge) :+ count(lit(1)).as("cnt")
     t.lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        exactSum(col("l_quantity")).as("sum_qty"),
-        exactSum(col("l_extendedprice")).as("sum_base_price"),
-        exactSumDec(dec(col("l_extendedprice")) * (decOne - dec(col("l_discount"))))
-          .as("sum_disc_price"),
-        exactSumDec(
-          dec(col("l_extendedprice")) * (decOne - dec(col("l_discount"))) *
-            (decOne + dec(col("l_tax")))
-        ).as("sum_charge"),
-        exactAvg(col("l_quantity")).as("avg_qty"),
-        exactAvg(col("l_extendedprice")).as("avg_price"),
-        exactAvg(col("l_discount")).as("avg_disc"),
-        count(lit(1)).as("count_order")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        limbSumDouble("qty").as("sum_qty"),
+        limbSumDouble("price").as("sum_base_price"),
+        limbSumDouble("dp").as("sum_disc_price"),
+        round(limbValue("ch", 6), 4).cast("double").as("sum_charge"),
+        limbAvg("qty", col("cnt")).as("avg_qty"),
+        limbAvg("price", col("cnt")).as("avg_price"),
+        limbAvg("disc", col("cnt")).as("avg_disc"),
+        col("cnt").as("count_order")
       )
   }
 

@@ -372,16 +372,17 @@ object TrainingData {
         "FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type"
     )
   ) { t =>
+    val aggs = count(lit(1)).as("n_events") +:
+      limbAggs("v", unscaledLong(col("value"), 4))
     t.events
       .groupBy(
         date_trunc("hour", col("ts")).as("window_start"),
         col("event_type")
       )
-      .agg(
-        count(lit(1)).as("n_events"),
-        exactSum(col("value")).as("sum_value"),
-        exactAvg(col("value")).as("avg_value")
-      )
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        limbSumDouble("v").as("sum_value"),
+        limbAvg("v", col("n_events")).as("avg_value"))
   }
 
   val all: Seq[Q] = Seq(
