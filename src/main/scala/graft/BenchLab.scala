@@ -31,6 +31,18 @@ object BenchLab {
       println(f"[lab] $name%-28s min=${runs.min}%.3f  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
     }
 
+    if (sys.env.get("LAB_MODE").contains("x02")) {
+      val docs = t.documents
+      time("x02 hashed shingles") {
+        graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05)
+      }
+      time("x02 string shingles") {
+        graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05,
+          hashShingles = false)
+      }
+      spark.stop(); return
+    }
+
     val dec184 = "decimal(18,4)"
     // A: plain double sums (the inexact lower bound)
     time("double-sum x5") {

@@ -67,7 +67,9 @@ object TrainingData {
 
   /** N-gram Jaccard near-dup detection via inverted-index join (explode
     * shingles → self-join on shingle → count common / union) — the
-    * shuffle-scalable formulation; never an O(n²) cross join. */
+    * shuffle-scalable formulation; never an O(n²) cross join. String
+    * shingle keys here (single-node optimum); Dedup.ngramJaccardPairs
+    * offers hashed keys for network-bound clusters. */
   val x02 = Q(
     "x02_dedup_ngram_jaccard",
     Some(

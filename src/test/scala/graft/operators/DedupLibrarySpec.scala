@@ -36,6 +36,21 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(capped.nonEmpty)
   }
 
+  test("hashed shingle keys find the same near-dup pairs as string keys") {
+    // ~2^30 hash space vs a few hundred thousand shingles: collisions are
+    // rare enough that the pair inventory at a high threshold is identical
+    val viaStrings = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaHashes = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5, hashShingles = true)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStrings.nonEmpty)
+    assert(viaHashes === viaStrings)
+  }
+
   test("lshBuckets is deterministic across repartitioning") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     graft.functions.VectorExpressions.ensureRegistered(spark)
