@@ -211,5 +211,32 @@ object Analytics {
       )
   }
 
-  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22)
+  /** Broadcast range join: events bucketed into literal value tiers via
+    * a BETWEEN-style predicate against a tiny broadcast dimension — the
+    * classic scale pattern for dimension-range joins (each event probes
+    * the broadcast ranges; no shuffle of the fact side). */
+  val x23 = Q(
+    "x23_range_join_tiers",
+    Some(
+      "WITH tiers(tier, lo, hi) AS (VALUES ('low', 0.0, 50.0), " +
+        "('mid', 50.0, 150.0), ('high', 150.0, 1000000.0)) " +
+        s"SELECT tier, event_type, $sqlCount AS n, ${sqlSum("value")} AS sum_value " +
+        "FROM events JOIN tiers ON value >= lo AND value < hi " +
+        "GROUP BY tier, event_type"
+    )
+  ) { t =>
+    val s = t.spark
+    import s.implicits._
+    val tiers = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1000000.0))
+      .toDF("tier", "lo", "hi")
+    val aggs = count(lit(1)).as("n") +: limbAggs("v", unscaledLong(col("value"), 4))
+    t.events
+      .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("tier"), col("event_type"), col("n"),
+        limbSumDouble("v").as("sum_value"))
+  }
+
+  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23)
 }

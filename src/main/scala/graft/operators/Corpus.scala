@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus-statistics library for training-data curation, beyond the
+  * per-document scalars in [[graft.functions.Text]]: repetition /
+  * duplication quality signals (the Gopher-style filters), corpus-wide
+  * n-gram frequencies, TF-IDF term extraction, stopword filtering, and
+  * deterministic stratified sampling.
+  *
+  * Scale notes: every function is one or two hash-shuffles on explicit
+  * keys (word / n-gram / doc_id) — no driver-side loops, no cross joins.
+  * TF-IDF keeps both shuffles (term-frequency by (doc, term), document
+  * frequency by term); the document count rides in as a broadcast 1-row
+  * aggregate. Scoring uses only per-row IEEE chains (two divisions, one
+  * multiply) so results are deterministic at any parallelism and
+  * bit-identical cross-engine — no `ln()` whose rounding differs across
+  * math libraries.
+  */
+object Corpus {
+
+  private def words(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(Text.wordNgrams("w", 2)).as("bg"))
+
+  /** Gopher-style repetition signals per document: duplicate-word
+    * fraction (1 − distinct/total) and top-bigram fraction (count of the
+    * most frequent bigram / bigram total). High values flag low-quality
+    * repetitive text. Two shuffles (word + bigram), joined on doc_id. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(df, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("word")).as("n_distinct_words"))
+    val bs = bigrams(df, idCol, textCol)
+      .groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_bigram_count"), sum(col("c")).as("n_bigrams"))
+    ws.join(bs, idCol)
+      .select(
+        col(idCol), col("n_words"), col("n_distinct_words"),
+        ((col("n_words") - col("n_distinct_words")).cast("double") / col("n_words"))
+          .as("dup_word_fraction"),
+        (col("top_bigram_count").cast("double") / col("n_bigrams"))
+          .as("top_bigram_fraction")
+      )
+  }
+
+  /** Corpus-wide top-k n-grams (n=2) by count, deterministically
+    * tiebroken by the n-gram itself. One shuffle + a global top-k (Spark
+    * runs TakeOrderedAndProject: per-partition heaps, no full sort). */
+  def topBigrams(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    bigrams(df, idCol, textCol)
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg").asc)
+      .limit(k)
+
+  /** Top TF-IDF term per document. IDF is the rational N/df (not
+    * log-scaled) so cross-engine results are bit-exact; the ranking is
+    * unchanged for any monotone transform. Tiebreak: (score desc, term
+    * asc). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = words(df, idCol, textCol)
+      .groupBy(col(idCol), col("word").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val withLen = tf.withColumn(
+      "doc_len", sum(col("tf")).over(Window.partitionBy(col(idCol))))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = withLen
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("tf").cast("double") / col("doc_len")) *
+          (col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** Remove stopwords via a broadcast left-anti join (NOT-IN semantics
+    * for a non-null list), then re-count per document. */
+  def stopwordFilter(
+      df: DataFrame, idCol: String, textCol: String, stopwords: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stops = stopwords.toDF("sw")
+    words(df, idCol, textCol)
+      .join(broadcast(stops), col("word") === col("sw"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"), countDistinct(col("word")).as("n_distinct_kept"))
+  }
+
+  /** Deterministic stratified sample: `k` rows per stratum, chosen by an
+    * arithmetic LCG of the unique key — reproducible on any cluster
+    * size, no RNG state. One shuffle (the window by stratum). */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: Column, keyCol: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(((keyCol * lit(48271L)) % lit(2147483647L)).asc, keyCol.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

@@ -387,8 +387,99 @@ object TrainingData {
         limbAvg("v", col("n_events")).as("avg_value"))
   }
 
+  // ---- corpus curation (Corpus library) --------------------------------
+
+  /** Gopher-style repetition quality signals: duplicate-word fraction and
+    * top-bigram fraction per document — the filters a pretraining corpus
+    * applies to drop degenerate repetitive text. */
+  val x24 = Q(
+    "x24_repetition_signals",
+    Some(
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "ws AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words FROM words GROUP BY doc_id), " +
+        "wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+        "i -> w[i] || ' ' || w[i+1])) AS bg FROM wl), " +
+        "bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg), " +
+        "bstat AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count, " +
+        "CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bgc GROUP BY doc_id) " +
+        "SELECT ws.doc_id, n_words, n_distinct_words, " +
+        "CAST(n_words - n_distinct_words AS DOUBLE) / n_words AS dup_word_fraction, " +
+        "CAST(top_bigram_count AS DOUBLE) / n_bigrams AS top_bigram_fraction " +
+        "FROM ws JOIN bstat ON ws.doc_id = bstat.doc_id"
+    )
+  ) { t => Corpus.repetitionSignals(t.documents, "doc_id", "text") }
+
+  /** Corpus-wide top-20 bigrams (count desc, bigram asc) — vocabulary /
+    * boilerplate analysis; Spark runs it as per-partition heaps
+    * (TakeOrderedAndProject), never a full sort. */
+  val x25 = Q(
+    "x25_top_bigrams",
+    Some(
+      "WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+        "i -> w[i] || ' ' || w[i+1])) AS bg FROM wl) " +
+        "SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM bgs GROUP BY bg " +
+        "ORDER BY n DESC, bg ASC LIMIT 20"
+    )
+  ) { t => Corpus.topBigrams(t.documents, "doc_id", "text", 20) }
+
+  /** Top TF-IDF term per document. IDF stays the rational N/df (no ln):
+    * bit-exact cross-engine, identical ranking under any monotone
+    * transform. */
+  val x26 = Q(
+    "x26_tfidf_top_term",
+    Some(
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "tf AS (SELECT doc_id, word AS term, CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM words GROUP BY doc_id, word), " +
+        "wl AS (SELECT doc_id, term, tf, SUM(tf) OVER (PARTITION BY doc_id) AS doc_len FROM tf), " +
+        "dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), " +
+        "scored AS (SELECT wl.doc_id, wl.term, wl.tf, " +
+        "(CAST(tf AS DOUBLE) / doc_len) * (CAST(n_docs AS DOUBLE) / df) AS tfidf " +
+        "FROM wl JOIN dfreq ON wl.term = dfreq.term CROSS JOIN nd), " +
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, term ASC) AS rn FROM scored) " +
+        "SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn = 1"
+    )
+  ) { t => Corpus.tfidfTopTerms(t.documents, "doc_id", "text") }
+
+  /** Deterministic stratified sample: 5 orders per priority stratum via
+    * an arithmetic LCG of the key — reproducible at any parallelism. */
+  val x27 = Q(
+    "x27_stratified_sample",
+    Some(
+      "WITH ranked AS (SELECT o_orderpriority, o_orderkey, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY (o_orderkey * 48271) % 2147483647, o_orderkey) AS rn FROM orders) " +
+        "SELECT o_orderpriority, o_orderkey FROM ranked WHERE rn <= 5"
+    )
+  ) { t =>
+    Corpus.stratifiedSample(t.orders, col("o_orderpriority"), col("o_orderkey"), 5)
+      .select("o_orderpriority", "o_orderkey")
+  }
+
+  /** Stopword removal (broadcast left-anti join ≡ NOT IN for a non-null
+    * list) + per-document re-count. */
+  val x28 = Q(
+    "x28_stopword_filter",
+    Some(
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+        "CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_kept " +
+        "FROM words WHERE word NOT IN ('the', 'a', 'data', 'row', 'join') " +
+        "GROUP BY doc_id"
+    )
+  ) { t =>
+    Corpus.stopwordFilter(t.documents, "doc_id", "text",
+      Seq("the", "a", "data", "row", "join"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
-    x08, x09, x10, x11, x12, x13, x14
+    x08, x09, x10, x11, x12, x13, x14,
+    x24, x25, x26, x27, x28
   )
 }

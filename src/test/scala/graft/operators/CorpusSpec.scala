@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.sources.Tables
+
+/** Corpus library behaviors + plan shapes for the x23–x28 queries. */
+class CorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("corpus-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  lazy val docs = Tables(spark, sf).documents
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("x23 range join broadcasts the tier dimension (fact side unshuffled by the join)") {
+    val p = plan("x23_range_join_tiers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x25 top-bigrams plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("x25_top_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x28 stopword anti-join is broadcast") {
+    val p = plan("x28_stopword_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("stratifiedSample: exactly k per stratum, deterministic across repartitioning") {
+    val orders = Tables(spark, sf).orders
+    def run(df: DataFrame) =
+      Corpus.stratifiedSample(df, col("o_orderpriority"), col("o_orderkey"), 7)
+        .select("o_orderpriority", "o_orderkey")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = run(orders)
+    val b = run(orders.repartition(13))
+    assert(a === b)
+    val perStratum = a.groupBy(_._1).map { case (_, v) => v.size }.toSet
+    assert(perStratum === Set(7))
+  }
+
+  test("repetition signals: fractions bounded, degenerate doc scores high") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val sig = Corpus.repetitionSignals(synth, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(sig(1L)._1 > 0.8 && sig(1L)._2 === 1.0) // all one word/bigram
+    assert(sig(2L)._1 === 0.0)                     // all distinct words
+    val real = Corpus.repetitionSignals(docs, "doc_id", "text").collect()
+    real.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("tf-idf top term: rare term beats frequent term") {
+    import spark.implicits._
+    // 'rare' appears in doc 1 only; 'common' in every doc
+    val synth = Seq(
+      (1L, "common rare rare common"),
+      (2L, "common common common common"),
+      (3L, "common other other common")
+    ).toDF("doc_id", "text")
+    val top = Corpus.tfidfTopTerms(synth, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) === "rare")
+    assert(top(3L) === "other")
+  }
+}
