@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("poly_hash", "portable polynomial string hash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)
     ))
+    // SUM(CAST(x AS DECIMAL(18,4))) → primitive-long limb sums; see
+    // graft.plans.LimbSumRewrite (spark.graft.limbSumRewrite=false to opt out)
+    ext.injectOptimizerRule(_ => graft.plans.LimbSumRewrite)
   }
 }
