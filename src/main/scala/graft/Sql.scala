@@ -19,6 +19,7 @@ object Sql {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-sql")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
