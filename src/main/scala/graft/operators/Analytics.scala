@@ -238,5 +238,45 @@ object Analytics {
         limbSumDouble("v").as("sum_value"))
   }
 
-  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23)
+  /** SCD2-style dimension history: each order is a customer "version"
+    * valid until the customer's next order (Temporal.scd2Snapshot). */
+  val x29 = Q(
+    "x29_scd2_snapshot",
+    Some(
+      "SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate AS valid_from, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS valid_to, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current " +
+        "FROM orders"
+    )
+  ) { t =>
+    Temporal.scd2Snapshot(t.orders, col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "valid_from",
+        "valid_to", "is_current")
+  }
+
+  /** First-touch conversion funnel over the event stream: first click →
+    * first strictly-later purchase per user, with the exact microsecond
+    * gap (epoch_us on both engines — no sub-second truncation drift). */
+  val x30 = Q(
+    "x30_conversion_funnel",
+    Some(
+      "WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "firsts AS (SELECT user_id, MIN(ts) AS first_from FROM ev " +
+        "WHERE event_type = 'click' GROUP BY user_id), " +
+        "conv AS (SELECT f.user_id, MIN(e.ts) AS first_to FROM ev e " +
+        "JOIN firsts f ON e.user_id = f.user_id AND e.ts > f.first_from " +
+        "WHERE e.event_type = 'purchase' GROUP BY f.user_id) " +
+        "SELECT f.user_id, first_from, first_to, " +
+        "first_to IS NOT NULL AS converted, " +
+        "CAST(epoch_us(first_to) - epoch_us(first_from) AS BIGINT) AS micros_to_convert " +
+        "FROM firsts f LEFT JOIN conv c ON f.user_id = c.user_id"
+    )
+  ) { t =>
+    Temporal.conversionFunnel(t.events, "user_id", "event_type", "ts",
+      fromEvent = "click", toEvent = "purchase")
+  }
+
+  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30)
 }
