@@ -19,6 +19,27 @@ object Assertions {
   def acceptedValuesViolations(df: DataFrame, c: String, vals: Seq[String]): Long =
     df.filter(col(c).isNotNull && !col(c).isin(vals.map(_.asInstanceOf[Any]): _*)).count()
 
+  /** dbt `unique` semantics: count of VALUES that appear more than once
+    * (dbt groups by the column and counts groups having count(*) > 1);
+    * NULLs are excluded (dbt's generated SQL filters them). */
+  def uniqueViolations(df: DataFrame, c: String): Long =
+    df.filter(col(c).isNotNull)
+      .groupBy(col(c))
+      .count()
+      .filter(col("count") > 1)
+      .count()
+
+  /** dbt `relationships` semantics: child values (non-null) that have no
+    * match in the parent column — a broadcast-friendly left-anti join. */
+  def relationshipViolations(
+      child: DataFrame, childCol: String, parent: DataFrame, parentCol: String): Long = {
+    // alias the parent key so child==parent self-checks don't collide
+    val keys = parent.select(col(parentCol).as("__parent_key")).distinct()
+    child.filter(col(childCol).isNotNull)
+      .join(keys, col(childCol) === col("__parent_key"), "left_anti")
+      .count()
+  }
+
   /** Run the full dbt test suite over the gold tables; returns failure
     * descriptions (empty = all 12 pass). */
   def runAll(gold: Map[String, DataFrame]): Seq[String] = {

@@ -133,4 +133,19 @@ class NbaPipelineSpec extends AnyFunSuite {
   test("dbt schema assertions: all 12 green") {
     assert(pipe.assertGold() === Seq.empty)
   }
+
+  test("dbt unique / relationships semantics") {
+    import spark.implicits._
+    val dup = Seq("a", "b", "b", "c", "c", null.asInstanceOf[String])
+      .toDF("k")
+    // 'b' and 'c' are duplicated VALUES → 2 violations; nulls excluded
+    assert(Assertions.uniqueViolations(dup, "k") === 2L)
+    assert(Assertions.uniqueViolations(dup.distinct(), "k") === 0L)
+
+    val parent = Seq("x", "y").toDF("pk")
+    val child = Seq("x", "x", "z", null.asInstanceOf[String]).toDF("fk")
+    // one child value ('z', once) misses the parent; nulls pass
+    assert(Assertions.relationshipViolations(child, "fk", parent, "pk") === 1L)
+    assert(Assertions.relationshipViolations(parent, "pk", parent, "pk") === 0L)
+  }
 }

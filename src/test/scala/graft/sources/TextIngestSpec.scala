@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("text-ingest-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("batch ingestion: content-addressed rows with provenance, blanks dropped") {
+    val dir = Files.createTempDirectory("txt-ingest").toString
+    Files.writeString(Paths.get(s"$dir/a.txt"),
+      "the quick brown fox\n\nshared line across files\n")
+    Files.writeString(Paths.get(s"$dir/b.txt"),
+      "shared line across files\nanother document line\n")
+    val df = TextIngest.ingestTextFiles(spark, dir).cache()
+    assert(df.count() === 4) // blank line dropped
+    assert(df.columns.toSeq ===
+      Seq("doc_hash", "text", "source_file", "n_chars"))
+    // the duplicated line hashes identically across files
+    val dupHashes = df.groupBy("doc_hash").count().filter(col("count") > 1).collect()
+    assert(dupHashes.length === 1 && dupHashes(0).getLong(1) === 2)
+    // provenance points at the real files
+    val files = df.select("source_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(files.exists(_.endsWith("a.txt")) && files.exists(_.endsWith("b.txt")))
+    // exact dedup collapses to 3 distinct documents
+    assert(df.select("doc_hash").distinct().count() === 3)
+  }
+
+  test("streaming ingestion dedups content within the watermark horizon") {
+    val dir = Files.createTempDirectory("txt-stream").toString
+    Files.writeString(Paths.get(s"$dir/a.txt"), "doc one\ndoc two\n")
+    val q = TextIngest.streamTextFiles(spark, dir, horizon = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txt_ingest").start()
+    q.processAllAvailable()
+    // a later file replays one document and adds one new
+    Files.writeString(Paths.get(s"$dir/b.txt"), "doc two\ndoc three\n")
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.sql("SELECT text FROM txt_ingest")
+      .collect().map(_.getString(0)).sorted
+    assert(texts.toSeq === Seq("doc one", "doc three", "doc two"))
+  }
+}
