@@ -31,6 +31,21 @@ object BenchLab {
       println(f"[lab] $name%-28s min=${runs.min}%.3f  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
     }
 
+    if (sys.env.get("LAB_MODE").contains("topk")) {
+      import org.apache.spark.sql.expressions.Window
+      val keys = Seq("l_suppkey")
+      val orders = Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true))
+      time("topk window form") {
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        li.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5).drop("__rn")
+      }
+      time("topk pruned form") {
+        graft.operators.Ranks.topKPerGroup(li, keys, orders, 5)
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("LAB_MODE").contains("x02")) {
       val docs = t.documents
       time("x02 hashed shingles") {

@@ -1,0 +1,103 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Top-k-per-group with a partial per-partition prune.
+  *
+  * Spark's `row_number().over(partitionBy(key).orderBy(...)) <= k` first
+  * shuffles EVERY row of every group, then sorts whole partitions — at
+  * 100 TB the shuffle is the bottleneck, and it carries rows that cannot
+  * possibly survive the filter. This operator keeps a bounded heap per
+  * key inside each input partition (mapPartitions — no shuffle), so at
+  * most `k × |keys-in-partition|` rows reach the exchange; the exact
+  * window then runs on the survivors. Any row outside its partition-local
+  * top-k is outside the global top-k (the ordering is total thanks to
+  * mandatory tiebreak columns), so results are identical to the plain
+  * window form — only the shuffle volume changes.
+  *
+  * This is preference-order (a)+(d) from the build rules: the exact
+  * semantics stay declarative (the final window); the prune is the one
+  * piece Spark cannot express relationally.
+  */
+object Ranks {
+
+  /** Ordering over the projected sort columns of a Row (nulls first on
+    * asc, mirroring Spark's default NULLS FIRST). */
+  private def rowOrdering(
+      schema: StructType, orderCols: Seq[(String, Boolean)]): Ordering[Row] = {
+    val extractors: Seq[(Int, Boolean, Ordering[Any])] = orderCols.map { case (name, asc) =>
+      val idx = schema.fieldIndex(name)
+      val base: Ordering[Any] = (schema(idx).dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+          Ordering.by((v: Any) => v.asInstanceOf[Number].longValue())
+        case _: FloatType | _: DoubleType =>
+          Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue())
+        case _: DecimalType =>
+          Ordering.by((v: Any) => v.asInstanceOf[java.math.BigDecimal])
+        case _: StringType => Ordering.by((v: Any) => v.asInstanceOf[String])
+        case _: DateType => Ordering.by((v: Any) => v.asInstanceOf[java.sql.Date].getTime)
+        case _: TimestampType =>
+          Ordering.by((v: Any) => v.asInstanceOf[java.sql.Timestamp].getTime)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported order column type: $other")
+      }).asInstanceOf[Ordering[Any]]
+      (idx, asc, base)
+    }
+    (a: Row, b: Row) => {
+      var i = 0
+      var cmp = 0
+      while (cmp == 0 && i < extractors.length) {
+        val (idx, asc, ord) = extractors(i)
+        val (x, y) = (a.get(idx), b.get(idx))
+        cmp =
+          if (x == null && y == null) 0
+          else if (x == null) -1 // NULLS FIRST under asc
+          else if (y == null) 1
+          else ord.compare(x, y)
+        if (!asc) cmp = -cmp
+        i += 1
+      }
+      cmp
+    }
+  }
+
+  /** Top `k` rows per `keyCols` group under `orderCols` ((name, asc)
+    * pairs — MUST form a total order within each group, i.e. end with a
+    * unique tiebreak). Identical output to the row_number window form,
+    * with the shuffle bounded at k rows per (partition, key). */
+  def topKPerGroup(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val schema = df.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val ord = rowOrdering(schema, orderCols)
+    val pruned = df.mapPartitions { rows =>
+      // per-key bounded heap: worst survivor on top for O(log k) eviction
+      val heaps = mutable.HashMap.empty[Seq[Any], mutable.PriorityQueue[Row]]
+      rows.foreach { r =>
+        val key = keyIdx.map(r.get)
+        val heap = heaps.getOrElseUpdate(key, mutable.PriorityQueue.empty(ord))
+        if (heap.size < k) heap.enqueue(r)
+        else if (ord.compare(r, heap.head) < 0) { heap.dequeue(); heap.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(schema))
+    // exact ranks over the survivors — same result as over the full input
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+    pruned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}
