@@ -34,4 +34,19 @@ object Sinks {
     * pruning on `cols` removes files before task scheduling. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Malformed-tolerant JSON read: PERMISSIVE mode nulls unparseable
+    * fields and captures the raw bad line in `_corrupt` instead of
+    * failing the job — at 100 TB a handful of broken records must never
+    * kill a scan. Filter `_corrupt IS NOT NULL` downstream to quarantine
+    * them (the reference's retry loop handles transport errors;
+    * this is the data-shape half of that robustness). */
+  def readJsonRobust(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+  }
 }

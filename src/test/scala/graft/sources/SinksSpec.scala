@@ -55,4 +55,24 @@ class SinksSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/orders").listFiles()
       .exists(_.getName.startsWith("o_orderstatus=")))
   }
+
+  test("robust JSON read quarantines malformed lines instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("json-robust").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"id": 1, "name": "ok"}
+        |{"id": "NOT A NUMBER", "name": "bad type"}
+        |this is not json at all
+        |{"id": 3, "name": "fine"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = Sinks.readJsonRobust(spark, dir, schema).cache()
+    assert(df.count() === 4) // no rows lost, no job failure
+    val good = df.filter(col("_corrupt").isNull)
+    val bad = df.filter(col("_corrupt").isNotNull)
+    assert(good.count() === 2)
+    assert(bad.count() === 2)
+    assert(good.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
 }

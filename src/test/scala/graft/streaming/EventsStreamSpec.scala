@@ -140,4 +140,33 @@ class EventsStreamSpec extends AnyFunSuite {
       (2L, us(65), us(65), 1),
       (1L, us(60), us(95), 3)))
   }
+
+  test("idempotent parquet sink: batch-keyed layout, no duplicates across restart") {
+    val src = Files.createTempDirectory("sink-src").toString
+    val out = Files.createTempDirectory("sink-out").toString
+    val ckpt = Files.createTempDirectory("sink-ckpt").toString
+    events.limit(100).write.mode("overwrite").parquet(s"$src/a")
+    val schema = spark.read.parquet(s"$src/a").schema
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$src/*")
+      val q = StreamSinks.startIdempotentParquetSink(stream, out, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst === 100)
+    // restart from the same checkpoint with one new file: old batches are
+    // not re-emitted, the new file lands in a new batch_id directory
+    events.limit(150).write.mode("overwrite").parquet(s"$src/b")
+    run()
+    val all = spark.read.parquet(out)
+    assert(all.count() === 250)
+    assert(all.select("batch_id").distinct().count() >= 2)
+    // event_ids from the first batch appear exactly once
+    val dupes = all.groupBy("event_id", "batch_id").count()
+      .filter(col("count") > 1).count()
+    assert(dupes === 0)
+  }
 }
