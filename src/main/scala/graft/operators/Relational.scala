@@ -483,10 +483,97 @@ object Relational {
     )
   }
 
+  // ---- U/J/W/F extensions: core engine surface beyond the reference ---
+
+  /** INTERSECT / EXCEPT set semantics (distinct, like the SQL
+    * operators): customer keys ordering in both statuses vs only one. */
+  val u04 = Q(
+    "u04_intersect_except",
+    Some(
+      "WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'), " +
+        "o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') " +
+        "SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM f INTERSECT SELECT * FROM o) " +
+        "UNION ALL " +
+        "SELECT 'only_f' AS tag, o_custkey FROM (SELECT * FROM f EXCEPT SELECT * FROM o)"
+    )
+  ) { t =>
+    val f = t.orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val o = t.orders.filter(col("o_orderstatus") === "O").select("o_custkey")
+    f.intersect(o).select(lit("both").as("tag"), col("o_custkey"))
+      .unionAll(f.except(o).select(lit("only_f").as("tag"), col("o_custkey")))
+  }
+
+  /** NOT EXISTS correlated subquery as a left-anti join: customers that
+    * never ordered. */
+  val j11 = Q(
+    "j11_not_exists_anti",
+    Some(
+      "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    )
+  ) { t =>
+    t.customer
+      .join(t.orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** The full rank-function family over one window: rank, dense_rank,
+    * percent_rank, cume_dist, ntile — each a deterministic value given
+    * the unique tiebreak (percent_rank/cume_dist are single-division
+    * rationals, identical in both engines). */
+  val w05 = Q(
+    "w05_rank_functions",
+    Some(
+      "SELECT o_orderpriority, o_orderkey, " +
+        "CAST(rank() OVER w AS BIGINT) AS rnk, " +
+        "CAST(dense_rank() OVER w AS BIGINT) AS drnk, " +
+        "percent_rank() OVER w AS prnk, " +
+        "cume_dist() OVER w AS cdist, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC, o_orderkey)"
+    )
+  ) { t =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t.orders.select(
+      col("o_orderpriority"), col("o_orderkey"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cdist"),
+      ntile(4).over(w).cast("long").as("quartile")
+    )
+  }
+
+  /** Date-part extraction + interval arithmetic (year/quarter/month/day
+    * agree across engines; +INTERVAL on timestamps is exact). */
+  val f03 = Q(
+    "f03_date_parts",
+    Some(
+      "SELECT o_orderkey, " +
+        "CAST(year(o_orderdate) AS BIGINT) AS y, " +
+        "CAST(quarter(o_orderdate) AS BIGINT) AS q, " +
+        "CAST(month(o_orderdate) AS BIGINT) AS m, " +
+        "CAST(day(o_orderdate) AS BIGINT) AS d, " +
+        "o_orderdate + INTERVAL 30 DAY AS due_ts FROM orders"
+    )
+  ) { t =>
+    t.orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ts")
+    )
+  }
+
   val all: Seq[Q] = Seq(
     s01, s02, s05, s06, s07,
     p01, p02, p03, p04, p05, p09,
-    j01, j03, j05, j09,
+    j01, j03, j05, j09, j11, u04, w05, f03,
     a01, a03, a08, a10, a12,
     w04, o01, f01, f02
   )
