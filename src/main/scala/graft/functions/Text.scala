@@ -30,6 +30,15 @@ object Text {
     s"(length(' ' || $textCol || ' ') - " +
       s"length(replace(' ' || $textCol || ' ', ' $word ', ' '))) / ${word.length + 1}"
 
+  /** BPE-ish regex token count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — the pre-merge word
+    * segmentation a byte-pair tokenizer starts from. The character-class
+    * pattern runs identically under Java regex and RE2. */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def regexTokenCount(textCol: String): Column =
+    regexp_count(col(textCol), lit(BpeIshPattern)).cast("long")
+
   /** Length-normalized quality score with a stopword-ratio boost. */
   def qualityScore(nTokens: Column, stopHits: Column): Column =
     least(lit(1.0), nTokens / lit(100.0)) * (lit(0.2) + stopHits / nTokens)

@@ -151,6 +151,26 @@ object TrainingData {
     )
   }
 
+  /** BPE-ish regex token counting (alpha runs / digit runs / single
+    * punctuation) next to the whitespace count — the pre-merge word
+    * segmentation a byte-pair tokenizer starts from; the character-class
+    * regex behaves identically under Java regex and DuckDB's RE2. */
+  val x31 = Q(
+    "x31_regex_tokens",
+    Some(
+      "SELECT doc_id, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) " +
+        "AS regex_tokens FROM documents"
+    )
+  ) { t =>
+    t.documents.select(
+      col("doc_id"),
+      graft.functions.Text.tokenCount("text").as("ws_tokens"),
+      graft.functions.Text.regexTokenCount("text").as("regex_tokens")
+    )
+  }
+
   /** Quality scoring: length-normalized token count × stopword-ratio
     * boost — a pure per-row arithmetic pipeline (deterministic IEEE ops on
     * identical inputs; only cross-row float SUMs are order-dependent). */
@@ -480,6 +500,6 @@ object TrainingData {
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
-    x24, x25, x26, x27, x28
+    x24, x25, x26, x27, x28, x31
   )
 }

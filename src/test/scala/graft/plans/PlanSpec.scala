@@ -55,4 +55,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("partial_"), p) // partial aggregate before exchange
   }
+
+  test("x05: documents scan reads only the projected columns") {
+    val p = plan("x05_token_count")
+    // n_chars/doc_id/text used; lang/source must be pruned from the scan
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("lang"), p)
+    assert(!p.contains("source"), p)
+  }
+
+  test("x26: tf subtree is computed once (exchange reuse, not 3 scans)") {
+    val p = plan("x26_tfidf_top_term")
+    val scans = "Scan parquet".r.findAllIn(
+      p.linesIterator.takeWhile(!_.startsWith("(")).mkString("\n")).size
+    // words/tf feed doc_len, dfreq, and the join — reuse keeps the
+    // documents scan count at 2 (tf subtree + the 1-row n_docs agg)
+    assert(scans <= 3, s"documents scanned $scans times:\n$p")
+  }
 }
