@@ -278,5 +278,39 @@ object Analytics {
       fromEvent = "click", toEvent = "purchase")
   }
 
-  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30)
+  /** Exact second moments: population variance / stddev rebuilt from
+    * exact limb sums of x and x² plus a shared per-group double chain —
+    * native stddev aggregates accumulate floating state in partition
+    * order (non-reproducible across cluster layouts); this form is
+    * bit-identical at any parallelism (sqrt is correctly rounded IEEE,
+    * unlike ln/exp). */
+  val x32 = Q(
+    "x32_exact_moments",
+    Some(
+      "WITH s AS (SELECT l_returnflag, " +
+        s"${sqlSum("l_quantity")} AS sum_q, " +
+        "CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,4)) * " +
+        "CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_q2, " +
+        s"$sqlCount AS n FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, sum_q, sum_q2, " +
+        "(sum_q2 - sum_q * sum_q / n) / n AS var_pop, " +
+        "sqrt((sum_q2 - sum_q * sum_q / n) / n) AS stddev_pop FROM s"
+    )
+  ) { t =>
+    // q² as a scale-4 limb sum: (2dp)² carries ≤4 decimals, so the
+    // oracle's scale-8 decimal product rounds to the same value
+    val q2 = unscaledLong(col("l_quantity"), 2) * unscaledLong(col("l_quantity"), 2)
+    val aggs = limbAggs("q", unscaledLong(col("l_quantity"), 4)) ++
+      limbAggs("q2", q2) :+ count(lit(1)).as("n")
+    val s = t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"), col("n"),
+        limbSumDouble("q").as("sum_q"), limbSumDouble("q2").as("sum_q2"))
+    val varPop = (col("sum_q2") - col("sum_q") * col("sum_q") / col("n")) / col("n")
+    s.select(col("l_returnflag"), col("n"), col("sum_q"), col("sum_q2"),
+      varPop.as("var_pop"), sqrt(varPop).as("stddev_pop"))
+  }
+
+  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30, x32)
 }

@@ -35,15 +35,19 @@ object Corpus {
     * most frequent bigram / bigram total). High values flag low-quality
     * repetitive text. Two shuffles (word + bigram), joined on doc_id. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // n_words per ROW (length arithmetic — no explode); mixing count(*)
+    // with countDistinct in one agg would plan an Expand that doubles the
+    // exploded word rows, so the distinct count aggregates alone
+    val lens = df.select(col(idCol), Text.tokenCount(textCol).as("n_words"))
     val ws = words(df, idCol, textCol)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), countDistinct(col("word")).as("n_distinct_words"))
+      .agg(countDistinct(col("word")).as("n_distinct_words"))
     val bs = bigrams(df, idCol, textCol)
       .groupBy(col(idCol), col("bg"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(max(col("c")).as("top_bigram_count"), sum(col("c")).as("n_bigrams"))
-    ws.join(bs, idCol)
+    lens.join(ws, idCol).join(bs, idCol)
       .select(
         col(idCol), col("n_words"), col("n_distinct_words"),
         ((col("n_words") - col("n_distinct_words")).cast("double") / col("n_words"))

@@ -76,6 +76,34 @@ class ExactSpec extends AnyFunSuite {
     }
   }
 
+  test("property: limb sums equal BigDecimal reference on random 2dp data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 5).foreach { trial =>
+      // random 2-decimal values across magnitudes and signs, random keys
+      val data = Seq.fill(2000) {
+        val cents = rnd.between(-5000000000L, 5000000000L) // ±5e7 units
+        (rnd.nextInt(11), cents / 100.0)
+      }
+      val df = data.toDF("k", "v").repartition(rnd.nextInt(7) + 2)
+      val got = df.groupBy("k")
+        .agg(limbAggs("v", unscaledLong(col("v"), 4)).head,
+          limbAggs("v", unscaledLong(col("v"), 4)).tail: _*)
+        .select(col("k"), limbSumDouble("v").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // independent reference: exact BigDecimal sum per key → double
+      val want = data.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(v => java.math.BigDecimal.valueOf(v._2).setScale(4))
+          .reduce(_ add _).doubleValue()
+      }
+      assert(got.keySet === want.keySet, s"trial $trial")
+      want.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToLongBits(v) ===
+          java.lang.Double.doubleToLongBits(got(k)), s"trial $trial key $k")
+      }
+    }
+  }
+
   test("synthetic big-magnitude values exercise the top limb") {
     import spark.implicits._
     // values around 1e9 with binary-exact 2-decimal fractions (multiples
