@@ -31,6 +31,34 @@ object BenchLab {
       println(f"[lab] $name%-28s min=${runs.min}%.3f  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
     }
 
+    if (sys.env.get("LAB_MODE").contains("x02reuse")) {
+      val df = graft.operators.Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", 0.05)
+      df.write.format("noop").mode("overwrite").save()
+      time("x02 as-is") {
+        graft.operators.Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", 0.05)
+      }
+      // variant: materialize the distinct shingle set once
+      def pairsCached(): DataFrame = {
+        val sh = graft.operators.Dedup.shingles(t.documents, "doc_id", "text", 3)
+          .localCheckpoint(true)
+        val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+        val pairs = a.join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+        val ca = counts.select(col("doc_id").as("ca_id"), col("n").as("na"))
+        val cb = counts.select(col("doc_id").as("cb_id"), col("n").as("nb"))
+        pairs.join(ca, col("doc_a") === col("ca_id"))
+          .join(cb, col("doc_b") === col("cb_id"))
+          .withColumn("jaccard",
+            col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .filter(col("jaccard") >= 0.05)
+          .select("doc_a", "doc_b", "common", "jaccard")
+      }
+      time("x02 checkpointed sh") { pairsCached() }
+      spark.stop(); return
+    }
+
     if (sys.env.get("LAB_MODE").contains("topk")) {
       import org.apache.spark.sql.expressions.Window
       val keys = Seq("l_suppkey")

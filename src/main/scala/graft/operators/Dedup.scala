@@ -220,6 +220,44 @@ object Dedup {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Connected components over a near-dup pair list via distributed
+    * min-label propagation: every node's label converges to the smallest
+    * doc id reachable from it (= a canonical cluster root), in at most
+    * `diameter` rounds of one join + one aggregate each. Near-dup
+    * clusters are short-diameter by construction, so this terminates in
+    * a handful of rounds even at corpus scale; each round's lineage is
+    * truncated with an eager localCheckpoint so the plan stays flat. The
+    * per-round convergence check is a single driver-side count — the
+    * only scalar the loop needs.
+    *
+    * Returns (node, cluster_root) for every doc appearing in ≥1 pair;
+    * the canonical dedup keep-list is `node == cluster_root`. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbr = edges.join(labels, edges("v") === labels("node"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      val updated = labels
+        .join(nbr, labels("node") === nbr("u"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("new_lbl") =!= col("lbl")).count() == 0L
+      labels = updated.select(col("node"), col("new_lbl").as("lbl"))
+      i += 1
+    }
+    labels.select(col("node"), col("lbl").as("cluster_root"))
+  }
+
   /** Deterministic 8-plane hyperplane-LSH bucket per vector — the scale
     * path for near-dup candidate generation. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dims: Int = 64): DataFrame = {

@@ -151,6 +151,36 @@ object TrainingData {
     )
   }
 
+  /** End-to-end dedup: near-dup pairs (Jaccard ≥ 0.5) → connected
+    * components → canonical keep-list (cluster root = min doc id). The
+    * Spark side is iterative min-label propagation (Dedup
+    * .connectedComponents); the oracle computes the same closure with a
+    * recursive CTE — both converge to min-reachable-id per node. */
+  val x33 = Q(
+    "x33_dedup_clusters",
+    Some(
+      s"WITH RECURSIVE $duckShingleCtes, " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "prs AS (SELECT doc_a, doc_b FROM " +
+        "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) p " +
+        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5), " +
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM prs " +
+        "UNION SELECT doc_b, doc_a FROM prs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
+        "SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root, " +
+        "(u = LEAST(u, MIN(v))) AS is_keeper FROM reach GROUP BY u"
+    )
+  ) { t =>
+    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("cluster_root"),
+        (col("node") === col("cluster_root")).as("is_keeper"))
+  }
+
   /** BPE-ish regex token counting (alpha runs / digit runs / single
     * punctuation) next to the whitespace count — the pre-merge word
     * segmentation a byte-pair tokenizer starts from; the character-class
@@ -500,6 +530,6 @@ object TrainingData {
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
-    x24, x25, x26, x27, x28, x31
+    x24, x25, x26, x27, x28, x31, x33
   )
 }

@@ -51,6 +51,23 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(viaHashes === viaStrings)
   }
 
+  test("connectedComponents: chains, stars, and isolated pairs converge to min roots") {
+    import spark.implicits._
+    // component A: chain 10-11-12-13-14 (diameter 4 → needs >1 round)
+    // component B: star centered at 20; component C: lone pair (30, 31)
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L), (20L, 22L), (20L, 23L),
+      (30L, 31L)
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 14L).forall(cc(_) === 10L))
+    assert((20L to 23L).forall(cc(_) === 20L))
+    assert(cc(30L) === 30L && cc(31L) === 30L)
+    assert(cc.size === 11)
+  }
+
   test("lshBuckets is deterministic across repartitioning") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     graft.functions.VectorExpressions.ensureRegistered(spark)
