@@ -31,6 +31,20 @@ object BenchLab {
       println(f"[lab] $name%-28s min=${runs.min}%.3f  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
     }
 
+    if (sys.env.get("LAB_MODE").contains("x33")) {
+      time("x33 cc clusters") {
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", 0.5)
+        graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      }
+      time("pairs naive t=0.5") {
+        graft.operators.Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", 0.5)
+      }
+      time("pairs prefix t=0.5") {
+        graft.operators.Dedup.ngramJaccardPairsPrefix(t.documents, "doc_id", "text", 0.5)
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("LAB_MODE").contains("x02reuse")) {
       val df = graft.operators.Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", 0.05)
       df.write.format("noop").mode("overwrite").save()

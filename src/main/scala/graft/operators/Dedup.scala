@@ -220,6 +220,60 @@ object Dedup {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Prefix-filtered n-gram Jaccard pairs (PPJoin-style, Xiao et al.):
+    * with shingles globally ordered by (document frequency asc, shingle
+    * asc), any pair with jaccard ≥ t must share a shingle inside each
+    * side's first `|d| - ⌈t·|d|⌉ + 1` shingles — so only those prefix
+    * shingles enter the candidate self-join (at t=0.5 roughly half, and
+    * the RAREST half, so candidate buckets are far smaller than the full
+    * inverted index's). Exact common counts are then rebuilt for the
+    * candidates from sorted full-shingle arrays (array_intersect).
+    * Results are identical to [[ngramJaccardPairs]] at the same
+    * threshold (DedupLibrarySpec pins equality); the win grows with the
+    * threshold and with inverted-index bucket size. Measured at sf0.1
+    * (small buckets, no skew) the naive join is still faster (~1.7s vs
+    * ~4.2s — the gdf/window/array machinery outweighs the pruning), so
+    * this is the documented path for web-scale corpora where common
+    * shingles make naive buckets quadratic, not the local default. */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
+    val gdf = sh.groupBy(col("sh")).agg(count(lit(1)).as("gdf"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val wPos = wDoc.orderBy(col("gdf").asc, col("sh").asc)
+    val ranked = sh.join(gdf, "sh")
+      .withColumn("pos", row_number().over(wPos))
+      .withColumn("nsh", count(lit(1)).over(wDoc))
+      .filter(col("pos") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+    val a = ranked.select(col(idCol).as("doc_a"), col("sh"))
+    val b = ranked.select(col(idCol).as("doc_b"), col("sh"))
+    val candidates = a
+      .join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val arrs = sh.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("sh"))).as("arr"))
+    val aa = arrs.select(col(idCol).as("a_id"), col("arr").as("sa"))
+    val bb = arrs.select(col(idCol).as("b_id"), col("arr").as("sb"))
+    candidates
+      .join(aa, col("doc_a") === col("a_id"))
+      .join(bb, col("doc_b") === col("b_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "jaccard")
+  }
+
   /** Connected components over a near-dup pair list via distributed
     * min-label propagation: every node's label converges to the smallest
     * doc id reachable from it (= a canonical cluster root), in at most
@@ -234,8 +288,12 @@ object Dedup {
     * the canonical dedup keep-list is `node == cluster_root`. */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // materialize the (possibly expensive) pair computation ONCE before
+    // the union doubles the plan — both directions then read the
+    // checkpointed rows instead of recomputing the upstream join twice
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(true)
+    val edges = p.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(p.select(col("b").as("u"), col("a").as("v")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("node")).distinct()

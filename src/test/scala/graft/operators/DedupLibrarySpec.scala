@@ -51,6 +51,19 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(viaHashes === viaStrings)
   }
 
+  test("prefix-filtered Jaccard pairs equal the naive inverted-index join") {
+    for (t <- Seq(0.5, 0.9)) {
+      val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t)
+        .select("doc_a", "doc_b", "common")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", threshold = t)
+        .select("doc_a", "doc_b", "common")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(naive.nonEmpty, s"t=$t")
+      assert(prefix === naive, s"t=$t")
+    }
+  }
+
   test("connectedComponents: chains, stars, and isolated pairs converge to min roots") {
     import spark.implicits._
     // component A: chain 10-11-12-13-14 (diameter 4 → needs >1 round)
