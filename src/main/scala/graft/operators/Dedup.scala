@@ -292,10 +292,18 @@ object Dedup {
     // the union doubles the plan — both directions then read the
     // checkpointed rows instead of recomputing the upstream join twice
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(true)
-    val edges = p.select(col("a").as("u"), col("b").as("v"))
+    val edgesWide = p.select(col("a").as("u"), col("b").as("v"))
       .unionAll(p.select(col("b").as("u"), col("a").as("v")))
       .distinct()
       .localCheckpoint(true)
+    // near-dup graphs are usually a tiny fraction of the corpus: once the
+    // edge count is known, collapse small graphs to few partitions so
+    // each propagation round is a handful of tasks instead of full-width
+    // shuffles; big graphs keep the parallel layout
+    val nEdges = edgesWide.count()
+    val parts = math.max(1, math.min(
+      edgesWide.rdd.getNumPartitions, (nEdges / 100000L).toInt))
+    val edges = edgesWide.coalesce(parts).localCheckpoint(true)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
