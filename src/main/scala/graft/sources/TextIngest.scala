@@ -27,6 +27,21 @@ object TextIngest {
         length(col("value")).cast("long").as("n_chars")
       )
 
+  /** Per-row quality enrichment: whitespace + BPE-ish token counts and
+    * the length/stopword quality score, appended to any frame with a
+    * `text` column. Stateless per-row expressions — the SAME function
+    * works on a batch frame and on a `readStream` frame, so a streaming
+    * curation gate (filter on quality before landing) is just
+    * `streamTextFiles(...).transform(withQualitySignals).filter(...)`. */
+  def withQualitySignals(df: DataFrame): DataFrame = {
+    val nTok = graft.functions.Text.tokenCount("text")
+    val stops = expr(graft.functions.Text.wordCountSql("text", "the"))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_regex_tokens", graft.functions.Text.regexTokenCount("text"))
+      .withColumn("quality",
+        graft.functions.Text.qualityScore(col("n_tokens"), stops))
+  }
+
   /** Continuous ingestion: the same projection over `readStream`, with
     * exact content dedup bounded to a processing-time `horizon` —
     * `dropDuplicatesWithinWatermark` keeps one state entry per distinct

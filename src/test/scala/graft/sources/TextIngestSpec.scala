@@ -36,6 +36,35 @@ class TextIngestSpec extends AnyFunSuite {
     assert(df.select("doc_hash").distinct().count() === 3)
   }
 
+  test("quality signals: identical on batch and stream paths, filter-ready") {
+    val dir = Files.createTempDirectory("txt-quality").toString
+    Files.writeString(Paths.get(s"$dir/a.txt"),
+      "the quick brown fox jumps over the lazy dog\nshort\n")
+    val batch = TextIngest.withQualitySignals(
+      TextIngest.ingestTextFiles(spark, dir))
+    val collected = batch.collect().map(r =>
+      r.getAs[String]("text") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_regex_tokens"),
+          r.getAs[Double]("quality"))).toMap
+    assert(collected("short")._1 === 1L)
+    assert(collected.keys.exists(_.startsWith("the quick")))
+    val longDoc = collected.keys.find(_.startsWith("the quick")).get
+    assert(collected(longDoc)._1 === 9L && collected(longDoc)._2 === 9L)
+    assert(collected(longDoc)._3 > collected("short")._3) // quality orders sensibly
+
+    // the same transform runs unchanged on the streaming path
+    val q = TextIngest.streamTextFiles(spark, dir, "1 hour")
+      .transform(TextIngest.withQualitySignals)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("txt_quality").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT text, n_tokens, n_regex_tokens, quality FROM txt_quality")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed === collected)
+  }
+
   test("streaming ingestion dedups content within the watermark horizon") {
     val dir = Files.createTempDirectory("txt-stream").toString
     Files.writeString(Paths.get(s"$dir/a.txt"), "doc one\ndoc two\n")
