@@ -66,6 +66,18 @@ class LimbSumRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("fires on DataFrame-API plans too (Exact.exactSum call sites)") {
+    import graft.functions.Exact
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables(spark, "/root/testdata/sf0.001").customer
+      .groupBy(col("c_mktsegment"))
+      .agg(Exact.exactSum(col("c_acctbal")).as("s"))
+    // the remaining exactSum call sites (a03, s05, x17, …) are built via
+    // the DataFrame API, not SQL text — the rule must still catch them
+    assert(!df.queryExecution.optimizedPlan.toString.contains("sum(cast("),
+      df.queryExecution.optimizedPlan.toString)
+  }
+
   test("does not rewrite DISTINCT sums or non-(18,4) casts") {
     graft.sources.Tables(spark, "/root/testdata/sf0.001").lineitem
       .createOrReplaceTempView("li")
