@@ -10,10 +10,20 @@ import org.apache.spark.sql.SparkSession
   * standard estimator for the query's true cost. Results are forced
   * through a noop sink so every column is fully materialized (a bare
   * count() would let Catalyst skip work).
+  *
+  * Two additions beyond the one-line contract:
+  *   - the full JSON is ALSO written to SPARK_GRAFT_BENCH_OUT (default
+  *     ./BENCH_LOCAL.json) so a truncated stdout capture can't lose it;
+  *   - the six gold analogs are re-timed at SPARK_GRAFT_SF_DIR_SMALL
+  *     (default sf0.01, ~60k lineitem rows — the scale actually
+  *     comparable to BASELINE.md's 28.5k rows) and reported under
+  *     `queries_small` / `total_small` in the same JSON object.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,9 +36,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    def runOnce(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Boolean =
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
         true
       } catch {
         case e: Throwable =>
@@ -36,25 +47,45 @@ object Bench {
           false
       }
 
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    qs.foreach { case (_, fn) => runOnce(fn) } // warmup
-    def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = runOnce(fn)
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+    /** warmup + two timed passes; per-query min. */
+    def bench(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+        dir: String): Seq[(String, Double)] = {
+      qs.foreach { case (_, fn) => runOnce(fn, dir) }
+      def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = runOnce(fn, dir)
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) dt else -1.0)
+      }
+      val (p1, p2) = (timedPass(), timedPass())
+      p1.zip(p2).map { case ((name, a), (_, b)) =>
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
-    val qJson = results
+
+    def toJson(results: Seq[(String, Double)]): String = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
-    )
+    def totalOf(results: Seq[(String, Double)]): Double =
+      results.collect { case (_, v) if v >= 0 => v }.sum
+
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = bench(qs, sfDir)
+
+    // baseline-comparable pass: the six gold analogs at the small SF
+    val goldSmall =
+      if (new java.io.File(smallDir).isDirectory && smallDir != sfDir)
+        bench(qs.filter(_._1.startsWith("g0")), smallDir)
+      else Seq.empty
+    val smallJson =
+      if (goldSmall.isEmpty) ""
+      else s""","queries_small":${toJson(goldSmall)},"total_small":${totalOf(goldSmall)},"sf_small":"$smallDir""""
+
+    val line =
+      s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$smallJson}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -188,6 +188,22 @@ object Analytics {
       )
   }
 
+  /** The exact twin of x21's comparison column as its own oracle-checked
+    * query: per-group COUNT(DISTINCT) is engine-portable (integer
+    * semantics, no sketch state), so it gets the full hash gate while the
+    * HLL sketch stays rows-only in x21. */
+  val x36 = Q(
+    "x36_count_distinct_exact",
+    Some(
+      "SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts " +
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+  ) { t =>
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+  }
+
   /** Exact percentiles with linear interpolation (Spark `percentile` ==
     * DuckDB `quantile_cont`) over exact integer cents — interpolation on
     * integers is a single deterministic arithmetic step in both engines. */
@@ -312,5 +328,5 @@ object Analytics {
       varPop.as("var_pop"), sqrt(varPop).as("stddev_pop"))
   }
 
-  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30, x32)
+  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30, x32, x36)
 }

@@ -324,18 +324,115 @@ object Dedup {
     labels.select(col("node"), col("lbl").as("cluster_root"))
   }
 
+  /** Signed projection of `vecCol` onto arithmetic hyperplane `j` — the
+    * shared plane family of [[lshBuckets]] and [[lshBandKeys]] (and of
+    * their DuckDB oracle twins, which evaluate the same left-fold). */
+  private def planeDot(vecCol: String, j: Int, dims: Int): String =
+    s"aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE), " +
+      s"(acc, i) -> acc + CAST(element_at($vecCol, i + 1) AS DOUBLE) * " +
+      s"(CAST((($j * $dims + i) * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))"
+
   /** Deterministic 8-plane hyperplane-LSH bucket per vector — the scale
     * path for near-dup candidate generation. */
-  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dims: Int = 64): DataFrame = {
-    def planeDot(j: Int): String =
-      s"aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE), " +
-        s"(acc, i) -> acc + CAST(element_at($vecCol, i + 1) AS DOUBLE) * " +
-        s"(CAST((($j * $dims + i) * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))"
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dims: Int = 64): DataFrame =
     df.select(
       df.columns.map(col) :+
         (0 until 8).map { j =>
-          when(expr(planeDot(j)) >= 0, lit(1L << j)).otherwise(lit(0L))
+          when(expr(planeDot(vecCol, j, dims)) >= 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _).cast("long").as("bucket"): _*
     )
+
+  /** Banded hyperplane LSH: `bands` independent sign-buckets of
+    * `planesPerBand` planes each, exploded to one (…, band, band_key) row
+    * per band. Two vectors are candidates when ANY band key matches —
+    * the OR-of-ANDs construction that trades a little precision work for
+    * recall (an 8-plane single bucket keeps only ~(1−θ/π)^8 of true
+    * pairs; 4 bands of 4 planes keep 1−(1−(1−θ/π)^4)^4). Plane `p` of
+    * band `k` is global plane `k·planesPerBand + p` from the same
+    * arithmetic family as [[lshBuckets]]. */
+  def lshBandKeys(
+      df: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 4, planesPerBand: Int = 4, dims: Int = 64): DataFrame = {
+    val bandStructs = (0 until bands).map { k =>
+      val key = (0 until planesPerBand).map { p =>
+        when(expr(planeDot(vecCol, k * planesPerBand + p, dims)) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _).cast("long")
+      struct(lit(k).as("band"), key.as("band_key"))
+    }
+    df.select(df.columns.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(df.columns.map(col) :+ col("bk.band") :+ col("bk.band_key"): _*)
+  }
+
+  /** Bucketed embedding near-dup — the scale path [[embeddingNearDups]]
+    * is the correctness baseline for: banded-LSH candidate generation
+    * (equi-join on (band, band_key) — never an all-pairs comparison),
+    * then exact cosine scoring of the candidates only. Work scales with
+    * Σ bucket² instead of n²; recall is the standard LSH trade
+    * (DedupLibrarySpec pins it against the exact baseline on the
+    * fixture), and precision is 1.0 because survivors are re-scored
+    * exactly. A pair matching several bands is deduplicated BEFORE the
+    * dot products, so each candidate is scored once. */
+  def embeddingNearDupsBucketed(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    val norms = withNorm(df, idCol, vecCol)
+    val keys = lshBandKeys(norms.select(col(idCol), col("embedding")), idCol, "embedding",
+      bands, planesPerBand)
+      .select(col(idCol), col("band"), col("band_key"))
+    val a = keys.select(col(idCol).as("vec_a"), col("band"), col("band_key"))
+    val b = keys.select(col(idCol).as("vec_b"), col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val na = norms.select(col(idCol).as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    val nb = norms.select(col(idCol).as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    cand
+      .join(na, col("vec_a") === col("a_id"))
+      .join(nb, col("vec_b") === col("b_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** MinHash banded candidate pairs with exact verification — the scale
+    * path [[ngramJaccardPairs]] is the correctness baseline for:
+    * signatures ([[minhashSignatures]]) → explode the 4 band keys →
+    * equi-join on (band, key) → distinct candidate pairs → exact Jaccard
+    * from each side's full shingle set, keeping pairs ≥ `threshold`.
+    * Candidate volume scales with band-bucket sizes instead of the
+    * inverted index's shingle-bucket sizes; recall is the banding curve
+    * 1−(1−s²)⁴ (pinned vs the exact join in DedupLibrarySpec), precision
+    * 1.0 via the exact re-check. */
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol)
+    val bandStructs = (0 until 4).map { k =>
+      struct(lit(k).as("band"), col(s"band$k").as("key"))
+    }
+    val keys = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val a = keys.select(col(idCol).as("doc_a"), col("band"), col("key"))
+    val b = keys.select(col(idCol).as("doc_b"), col("band"), col("key"))
+    val cand = a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sh = shingles(df, idCol, textCol)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col(idCol).as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "jaccard")
   }
 }

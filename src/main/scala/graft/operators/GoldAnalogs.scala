@@ -411,11 +411,13 @@ object GoldAnalogs {
         when(col("o_orderstatus") === "F", 1).otherwise(0).as("is_win"),
         when(col("o_orderstatus") === "O", 1).otherwise(0).as("is_loss")
       )
-    // The four scalar components each consume teamGames; without
-    // materialization Catalyst re-expands the 3-way join per consumer
-    // (6 fact scans — verified via graft.Explain). The filtered base is
-    // tiny (one team's games), so cache it: one scan feeds everything.
-    teamGames.cache()
+      // The four scalar components each consume teamGames; without
+      // materialization Catalyst re-expands the 3-way join per consumer
+      // (6 fact scans — verified via graft.Explain). The filtered base is
+      // tiny (one team's games); localCheckpoint (not cache) materializes
+      // it once AND lets the ContextCleaner reclaim the blocks when the
+      // frame is unreachable — cache() would leak into the session.
+      .localCheckpoint(true)
     // W1: unpartitioned ordered window — parity with the reference; at
     // 100 TB this becomes per-team via partitionBy (see SCALE.md). Both
     // running sums share one window spec → a single Window pass.

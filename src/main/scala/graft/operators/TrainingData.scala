@@ -348,6 +348,74 @@ object TrainingData {
     Dedup.embeddingNearDups(t.embeddings, "vec_id", "embedding", threshold = 0.4)
   }
 
+  /** Bucketed embedding near-dup — the composed 100 TB path (banded-LSH
+    * candidates → exact cosine on candidates only), oracle-checked: the
+    * oracle evaluates the same arithmetic hyperplanes, so both engines
+    * produce the identical candidate set and then bit-identical
+    * sequential-fold cosines. x11 (all-pairs) is the recall baseline;
+    * DedupLibrarySpec pins this query's recall against it. */
+  val x34 = Q(
+    "x34_embedding_neardup_bucketed",
+    Some {
+      val bandKeys = (0 until 4).map { k =>
+        val bits = (0 until 4).map { p =>
+          s"(CASE WHEN ${duckLshDot(k * 4 + p)} >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $k AS band, CAST($bits AS BIGINT) AS band_key FROM embeddings"
+      }.mkString(" UNION ALL ")
+      s"WITH $duckNorms, " +
+        s"keys AS ($bandKeys), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key " +
+        "AND a.vec_id < b.vec_id) " +
+        "SELECT vec_a, vec_b, " +
+        s"${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine " +
+        "FROM cand JOIN norms a ON vec_a = a.vec_id JOIN norms b ON vec_b = b.vec_id " +
+        s"WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.embeddingNearDupsBucketed(t.embeddings, "vec_id", "embedding", threshold = 0.4)
+  }
+
+  /** MinHash band-join candidate pairs + exact Jaccard verification —
+    * completes the x03 signatures into the full LSH dedup pipeline:
+    * candidates are an equi-join on any equal band, and only candidates
+    * pay the exact-verification cost. Oracle computes the same portable
+    * signature arithmetic; recall vs the exact inverted-index join at the
+    * same threshold is pinned in DedupLibrarySpec. */
+  val x35 = Q(
+    "x35_minhash_band_pairs",
+    Some {
+      val mins = mhA.indices.map { j =>
+        s"CAST(MIN((sh_h * ${mhA(j)} + ${mhB(j)}) % $P) AS BIGINT) AS mh$j"
+      }.mkString(", ")
+      val bandKeys = (0 until 4).map { k =>
+        s"SELECT doc_id, $k AS band, " +
+          s"CAST((mh${2 * k} * 1000003 + mh${2 * k + 1}) % $P AS BIGINT) AS key FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"WITH $duckShingleCtes, " +
+        s"hashed AS (SELECT doc_id, ${duckPolyHash("sh")} AS sh_h FROM shingles), " +
+        s"sigs AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id), " +
+        s"keys AS ($bandKeys), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key " +
+        "AND a.doc_id < b.doc_id), " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "com AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM cand c JOIN shingles sa ON sa.doc_id = c.doc_a " +
+        "JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh " +
+        "GROUP BY c.doc_a, c.doc_b) " +
+        "SELECT doc_a, doc_b, common, " +
+        "CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard " +
+        "FROM com JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    Dedup.minhashCandidatePairs(t.documents, "doc_id", "text", threshold = 0.5)
+  }
+
   // ---- multimodal plumbing --------------------------------------------
 
   /** Multimodal byte-column plumbing: content → binary column → deterministic
@@ -530,6 +598,6 @@ object TrainingData {
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
-    x24, x25, x26, x27, x28, x31, x33
+    x24, x25, x26, x27, x28, x31, x33, x34, x35
   )
 }

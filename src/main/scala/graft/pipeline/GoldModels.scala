@@ -173,6 +173,11 @@ object GoldModels {
   // ---- streaks_and_rivals.sql -----------------------------------------
 
   def streaksAndRivals(games: DataFrame): DataFrame = {
+    // Materialize the one-team base eagerly: four scalar consumers would
+    // otherwise each re-expand the scan subtree (see GoldAnalogs g05
+    // note). localCheckpoint (not cache) so the blocks are reclaimed by
+    // the ContextCleaner once the frame is unreachable — a session-held
+    // cache entry would leak in a long-lived service.
     val spursGames = games
       .filter(col("team_abbreviation") === "SAS")
       .select(
@@ -183,9 +188,7 @@ object GoldModels {
         when(col("wl") === "W", 1).otherwise(0).as("is_win"),
         when(col("wl") === "L", 1).otherwise(0).as("is_loss")
       )
-    // Cache the one-team base: four scalar consumers would otherwise each
-    // re-expand the scan subtree (see GoldAnalogs g05 note).
-    spursGames.cache()
+      .localCheckpoint(true)
     // W1: gaps-and-islands — running sum over game_date (ISO strings order
     // correctly). Unpartitioned, as in the reference; the scale-out variant
     // partitions by season/team first (SURVEY.md §7.4). One window pass
