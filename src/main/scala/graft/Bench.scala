@@ -72,10 +72,14 @@ object Bench {
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = bench(qs, sfDir)
 
+    // the baseline-comparable set IS the gold-analog registry — derived,
+    // not a name-prefix match, so renames can't silently empty the pass
+    val goldNames = graft.operators.GoldAnalogs.all.map(_.name).toSet
+
     // baseline-comparable pass: the six gold analogs at the small SF
     val goldSmall =
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir)
-        bench(qs.filter(_._1.startsWith("g0")), smallDir)
+        bench(qs.filter { case (name, _) => goldNames(name) }, smallDir)
       else Seq.empty
     val smallJson =
       if (goldSmall.isEmpty) ""

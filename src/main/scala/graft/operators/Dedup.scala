@@ -351,7 +351,7 @@ object Dedup {
     * band `k` is global plane `k·planesPerBand + p` from the same
     * arithmetic family as [[lshBuckets]]. */
   def lshBandKeys(
-      df: DataFrame, idCol: String, vecCol: String,
+      df: DataFrame, vecCol: String,
       bands: Int = 4, planesPerBand: Int = 4, dims: Int = 64): DataFrame = {
     val bandStructs = (0 until bands).map { k =>
       val key = (0 until planesPerBand).map { p =>
@@ -377,7 +377,7 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
     val norms = withNorm(df, idCol, vecCol)
-    val keys = lshBandKeys(norms.select(col(idCol), col("embedding")), idCol, "embedding",
+    val keys = lshBandKeys(norms.select(col(idCol), col("embedding")), "embedding",
       bands, planesPerBand)
       .select(col(idCol), col("band"), col("band_key"))
     val a = keys.select(col(idCol).as("vec_a"), col("band"), col("band_key"))

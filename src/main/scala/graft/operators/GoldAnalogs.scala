@@ -417,6 +417,10 @@ object GoldAnalogs {
       // tiny (one team's games); localCheckpoint (not cache) materializes
       // it once AND lets the ContextCleaner reclaim the blocks when the
       // frame is unreachable — cache() would leak into the session.
+      // Cluster caveat: checkpoint blocks are non-replicated and lineage
+      // is truncated, so losing an executor fails the job instead of
+      // recomputing; deployments where executor loss matters should
+      // switch to cache() + explicit unpersist after assembly.
       .localCheckpoint(true)
     // W1: unpartitioned ordered window — parity with the reference; at
     // 100 TB this becomes per-team via partitionBy (see SCALE.md). Both

@@ -177,7 +177,10 @@ object GoldModels {
     // otherwise each re-expand the scan subtree (see GoldAnalogs g05
     // note). localCheckpoint (not cache) so the blocks are reclaimed by
     // the ContextCleaner once the frame is unreachable — a session-held
-    // cache entry would leak in a long-lived service.
+    // cache entry would leak in a long-lived service. Cluster caveat:
+    // checkpoint blocks are non-replicated and lineage is truncated, so
+    // an executor loss fails the job instead of recomputing; switch to
+    // cache() + explicit unpersist where executor loss matters.
     val spursGames = games
       .filter(col("team_abbreviation") === "SAS")
       .select(

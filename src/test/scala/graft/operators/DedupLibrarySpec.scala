@@ -81,6 +81,54 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(cc.size === 11)
   }
 
+  test("bucketed embedding near-dup: precision 1.0 and pinned recall vs all-pairs") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val exact = Dedup.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.4)
+      .select("vec_a", "vec_b", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = Dedup.embeddingNearDupsBucketed(e, "vec_id", "embedding", threshold = 0.4)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // survivors are re-scored with the exact cosine → no false positives
+    assert(bucketed.subsetOf(exact.keySet))
+    // banding curve 1−(1−(1−θ/π)⁴)⁴: ≈0.50 AT the 0.4 threshold boundary
+    // and ≥0.87 at cosine 0.8. Every fixture pair sits in the borderline
+    // 0.4–0.5 band (none ≥ 0.6), so the honest pin is the boundary value
+    // minus sampling noise (66 pairs → σ≈0.06): floor 0.3. If the fixture
+    // ever gains strong pairs, they get the tighter 0.8-cosine pin.
+    val recall = bucketed.size.toDouble / exact.size
+    val strong = exact.collect { case (p, c) if c >= 0.8 => p }.toSet
+    info(f"x34 recall vs x11: overall $recall%.3f (${bucketed.size}/${exact.size}), " +
+      f"strong(≥0.8) pairs: ${strong.size}")
+    assert(recall >= 0.3, f"banded-LSH overall recall $recall%.3f below pinned floor")
+    if (strong.nonEmpty) {
+      val strongRecall = strong.count(bucketed).toDouble / strong.size
+      assert(strongRecall >= 0.8, f"strong-pair recall $strongRecall%.3f below pinned floor")
+    }
+  }
+
+  test("minhash band pairs: subset of the exact Jaccard join with pinned recall") {
+    graft.functions.PolyHashFunctions.ensureRegistered(spark)
+    val small = Tables(spark, "/root/testdata/sf0.001").documents
+    val exact = Dedup.ngramJaccardPairs(small, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.minhashCandidatePairs(small, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // candidates that survive are verified with the same exact Jaccard →
+    // every emitted pair is a true pair of the inverted-index join
+    assert(banded.subsetOf(exact))
+    val recall = banded.size.toDouble / exact.size
+    info(f"x35 recall vs x02 exact join: $recall%.3f (${banded.size}/${exact.size})")
+    // banding curve 1−(1−s²)⁴ at s ≥ 0.5 gives ≥ 0.66 in expectation and
+    // near-dup fixture pairs have much higher similarity
+    assert(recall >= 0.5, f"minhash-band recall $recall%.3f below pinned floor")
+  }
+
   test("lshBuckets is deterministic across repartitioning") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     graft.functions.VectorExpressions.ensureRegistered(spark)
