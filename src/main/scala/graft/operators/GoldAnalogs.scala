@@ -543,7 +543,7 @@ object GoldAnalogs {
           col("list_price")) ++ avgCols("avg_"): _*
       )
     val parts = t.part.select("p_partkey", "p_name", "p_brand").distinct()
-    var pool = parts
+    val pool = parts
       .join(perPart, col("p_partkey") === col("l_partkey"))
       .select(
         Seq(
@@ -553,39 +553,48 @@ object GoldAnalogs {
           col("list_price")
         ) ++ metrics.map(m => col(s"avg_${m.key}")): _*
       )
-    metrics.foreach { m =>
-      val c = col(s"avg_${m.key}")
-      val w = Window.orderBy(
-        if (m.lowerIsBetter) c.asc else c.desc, col("p_partkey"))
-      pool = pool.withColumn(s"rank_${m.key}", row_number().over(w))
-    }
-    // single-pass unpivot of the 5 top-target branches (avoids recomputing
-    // the ranked pool per branch); per-branch rank/brand predicates become
-    // an `included` flag filtered after the explode
+    // W3 bounded: explode the 5 branch metrics FIRST, then global top-5
+    // per branch via Ranks.topKPerGroup — per-partition bounded heaps
+    // mean at most 5 rows per (partition, branch) ever reach the
+    // exchange, where the reference shape (5 unpartitioned row_number
+    // windows over the pool) sorts every pooled part in ONE task — the
+    // scale ceiling at 100×. Output is identical because
+    // (sort_value, p_partkey) totally orders each branch; descending
+    // metrics are negated so one ascending ordering serves all branches
+    // (exact for doubles). Brand predicates are evaluated AFTER the
+    // top-5 cut, exactly as the reference ranks before filtering.
     val branchStructs = metrics.map { m =>
       val brandOk =
         if (m.brands.isEmpty) lit(true) else col("p_brand").isin(m.brands: _*)
+      val c = col(s"avg_${m.key}")
       struct(
         lit(m.label).as("weakness_type"),
-        col(s"avg_${m.key}").as("metric_value"),
-        (col(s"rank_${m.key}") <= 5 && brandOk).as("included"),
+        c.as("metric_value"),
+        (if (m.lowerIsBetter) c else -c).as("sort_value"),
+        brandOk.as("brand_ok"),
         lit(m.reason).as("reason")
       )
     }
-    val targets = pool
+    val exploded = pool
       .select(
         col("p_partkey"), col("is_returned"), col("is_open"), col("p_name"),
         col("p_brand"), col("list_price"),
         explode(array(branchStructs: _*)).as("b")
       )
-      .filter(col("b.included"))
       .select(
         col("b.weakness_type").as("weakness_type"),
         col("p_partkey"), col("is_returned"), col("is_open"), col("p_name"),
         col("b.metric_value").as("metric_value"),
         col("p_brand"), col("list_price"),
+        col("b.sort_value").as("sort_value"),
+        col("b.brand_ok").as("brand_ok"),
         col("b.reason").as("reason")
       )
+    val targets = Ranks
+      .topKPerGroup(exploded, Seq("weakness_type"),
+        Seq(("sort_value", true), ("p_partkey", true)), 5)
+      .filter(col("brand_ok"))
+      .drop("sort_value", "brand_ok")
     weak
       .join(targets, "weakness_type")
       .select(

@@ -297,7 +297,7 @@ object GoldModels {
     val sal = salaries
       .groupBy(col("player_id").as("sal_player_id"))
       .agg(max(col("salary_usd")).as("salary_usd"))
-    var ranked = distinctPlayers
+    val ranked = distinctPlayers
       .join(pgs, col("player_id") === col("pgs_player_id"), "inner")
       .join(fa, col("player_id") === col("fa_player_id"), "left")
       .join(inj, col("player_id") === col("inj_player_id"), "left")
@@ -312,40 +312,46 @@ object GoldModels {
           col("salary_usd").cast(num).as("salary")
         ) ++ statCols.map(c => col(s"avg_$c")): _*
       )
-    // W3: seven global ROW_NUMBER leaderboards (sql:26-32) — faithful to
-    // the reference's un-tiebroken windows; fixtures must be tie-free.
-    recBranches.foreach { case (_, avgCol, asc, _, _) =>
-      val w = Window.orderBy(if (asc) col(avgCol).asc else col(avgCol).desc)
-      ranked = ranked.withColumn(s"rank_$avgCol", row_number().over(w))
-    }
-    // top_targets (sql:54-147) as a one-pass unpivot: branch predicates
-    // become an `included` flag filtered after the explode, so the ranked
-    // pool (7 windows over the joined aggregates) is computed once
-    val targets = ranked
-      .select(
-        col("player_id"), col("is_free_agent"), col("is_injured"),
-        col("player_name"), col("position"), col("salary"),
-        explode(array(recBranches.map { case (label, avgCol, _, positions, reason) =>
-          val posOk =
-            if (positions.isEmpty) lit(true)
-            else col("position").isin(positions: _*)
-          struct(
-            lit(label).as("weakness_type"),
-            col(avgCol).as("metric_value"),
-            (col(s"rank_$avgCol") <= 5 && posOk).as("included"),
-            lit(reason).as("reason")
-          )
-        }: _*)).as("b")
-      )
-      .filter(col("b.included"))
-      .select(
-        col("b.weakness_type").as("weakness_type"),
-        col("player_id"), col("is_free_agent"), col("is_injured"),
-        col("player_name"),
-        col("b.metric_value").as("metric_value"),
-        col("position"), col("salary"),
-        col("b.reason").as("reason")
-      )
+    // W3 bounded: the reference runs seven global ROW_NUMBER leaderboards
+    // (sql:26-32) — un-tiebroken windows whose single sort task is the
+    // scale ceiling. Here the branches are exploded FIRST and the global
+    // top-5 per branch comes from Ranks.topKPerGroup (per-partition
+    // bounded heaps: ≤5 rows per (partition, branch) reach the exchange).
+    // (sort_value, player_id) totally orders each branch up to duplicate
+    // free-agent fan-out rows, which are byte-identical copies — any
+    // resolution of those ties yields the same multiset. Descending
+    // metrics are negated so one ascending ordering serves all branches;
+    // position predicates apply AFTER the top-5 cut, as in the reference.
+    val targets = graft.operators.Ranks
+      .topKPerGroup(
+        ranked.select(
+          col("player_id"), col("is_free_agent"), col("is_injured"),
+          col("player_name"), col("position"), col("salary"),
+          explode(array(recBranches.map { case (label, avgCol, asc, positions, reason) =>
+            val posOk =
+              if (positions.isEmpty) lit(true)
+              else col("position").isin(positions: _*)
+            struct(
+              lit(label).as("weakness_type"),
+              col(avgCol).as("metric_value"),
+              (if (asc) col(avgCol) else -col(avgCol)).as("sort_value"),
+              posOk.as("pos_ok"),
+              lit(reason).as("reason")
+            )
+          }: _*)).as("b")
+        ).select(
+          col("b.weakness_type").as("weakness_type"),
+          col("player_id"), col("is_free_agent"), col("is_injured"),
+          col("player_name"),
+          col("b.metric_value").as("metric_value"),
+          col("position"), col("salary"),
+          col("b.sort_value").as("sort_value"),
+          col("b.pos_ok").as("pos_ok"),
+          col("b.reason").as("reason")
+        ),
+        Seq("weakness_type"), Seq(("sort_value", true), ("player_id", true)), 5)
+      .filter(col("pos_ok"))
+      .drop("sort_value", "pos_ok")
     // final many-to-many join on weakness_type (sql:149-161)
     weak
       .join(targets, "weakness_type")

@@ -64,6 +64,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("source"), p)
   }
 
+  test("g06: no unpartitioned Window over the leaderboard pool") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("g06_recommendations")(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    // the W3 leaderboards are bounded (Ranks.topKPerGroup keyed by
+    // branch); any window left in the plan must be partitioned
+    assert(globalWindows.isEmpty,
+      s"found ${globalWindows.size} unpartitioned Window(s):\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("x26: tf subtree is computed once (exchange reuse, not 3 scans)") {
     val p = plan("x26_tfidf_top_term")
     val scans = "Scan parquet".r.findAllIn(
