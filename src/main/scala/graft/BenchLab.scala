@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
 object BenchLab {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .appName("graft-benchlab")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // LAB_EXTENSIONS=1 reproduces the Bench/Verify session shape
+    // (GraftExtensions active) so rule effects can be A/B-timed
+    val spark = (if (sys.env.get("LAB_EXTENSIONS").contains("1"))
+      builder.config("spark.sql.extensions", "graft.GraftExtensions")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.sources.Tables
     val t = Tables(spark, sfDir)
@@ -29,6 +33,45 @@ object BenchLab {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[lab] $name%-28s min=${runs.min}%.3f  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+    }
+
+    if (sys.env.get("LAB_MODE").contains("x17")) {
+      val fn = SparkEntry.queries("x17_pivot_conditional")
+      time("x17 pivot") { fn(spark, sfDir) }
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val ev = t.events
+      time("x17 scan+count floor") {
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      }
+      time("x17 plain double sums") {
+        val aggs = types.flatMap { ty =>
+          Seq(
+            sum(when(col("event_type") === ty, lit(1)).otherwise(lit(0))).as(s"n_$ty"),
+            sum(when(col("event_type") === ty, col("value"))).as(s"sum_$ty"))
+        }
+        ev.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+      }
+      time("x17 decimal sums") {
+        val aggs = types.flatMap { ty =>
+          Seq(
+            sum(when(col("event_type") === ty, lit(1)).otherwise(lit(0))).as(s"n_$ty"),
+            sum(when(col("event_type") === ty, col("value").cast("decimal(18,4)")))
+              .cast("double").as(s"sum_$ty"))
+        }
+        ev.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+      }
+      time("x17 limb sums") {
+        import graft.functions.Exact
+        val aggs = types.flatMap { ty =>
+          val u = when(col("event_type") === ty, Exact.unscaledLong(col("value"), 4))
+          Exact.countIf(col("event_type") === ty).as(s"n_$ty") +: Exact.limbAggs(s"s_$ty", u)
+        }
+        ev.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+          .select(col("user_id") +: types.flatMap { ty =>
+            Seq(col(s"n_$ty"), Exact.limbSumDouble(s"s_$ty").as(s"sum_$ty"))
+          }: _*)
+      }
+      spark.stop(); return
     }
 
     if (sys.env.get("LAB_MODE").contains("x33")) {

@@ -62,23 +62,22 @@ object Analytics {
     }
   ) { t =>
     val types = Seq("click", "view", "purchase", "signup", "error")
+    // conditional limb sums: the predicate gates the unscaled long (null
+    // when it misses, so the limbs skip exactly the rows the reference
+    // CASE WHEN skips) and all 5 decimal sums run as primitive long
+    // adds in codegen — the per-row BigDecimal accumulation of
+    // sum(decimal(28,4)) was this query's whole cost
+    val aggCols = types.flatMap { ty =>
+      val u = when(col("event_type") === ty, unscaledLong(col("value"), 4))
+      countIf(col("event_type") === ty).as(s"n_$ty") +: limbAggs(s"s_$ty", u)
+    }
     t.events
       .groupBy(col("user_id"))
-      .agg(
-        types.flatMap { ty =>
-          Seq(
-            countIf(col("event_type") === ty).as(s"n_$ty"),
-            sum(when(col("event_type") === ty, col("value").cast(Dec)))
-              .cast("double").as(s"sum_$ty")
-          )
-        }.head,
-        types.flatMap { ty =>
-          Seq(
-            countIf(col("event_type") === ty).as(s"n_$ty"),
-            sum(when(col("event_type") === ty, col("value").cast(Dec)))
-              .cast("double").as(s"sum_$ty")
-          )
-        }.tail: _*
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(
+        col("user_id") +: types.flatMap { ty =>
+          Seq(col(s"n_$ty"), limbSumDouble(s"s_$ty").as(s"sum_$ty"))
+        }: _*
       )
   }
 

@@ -21,8 +21,11 @@ import org.apache.spark.sql.types._
   * decimal places (the engine's data contract — see Exact.unscaledLong);
   * measured ~1.5× on aggregation-bound queries.
   *
-  * Scope guards: only non-DISTINCT Sum directly over
-  * Cast(double → DECIMAL(18,4)); FILTER clauses are propagated to all
+  * Scope guards: only non-DISTINCT Sum over Cast(double → DECIMAL(18,4))
+  * — directly, or under the conditional-pivot shape
+  * `CASE WHEN p THEN CAST(x) END` (single branch, no/NULL else), where
+  * the predicate gates the unscaled long so the limbs skip the same
+  * rows; FILTER clauses are propagated to all
   * three limb sums; window frames and typed aggregators never match.
   * Null semantics are preserved: a null input yields null in every limb,
   * so the three Sums skip exactly the same rows, and an all-null (or
@@ -33,14 +36,28 @@ object LimbSumRewrite extends Rule[LogicalPlan] {
 
   private val TargetType = DecimalType(18, 4)
 
+  /** The double-typed summand under a rewritable Sum, if any: either a
+    * direct Cast(double → DECIMAL(18,4)) or the conditional-pivot shape
+    * CASE WHEN p THEN CAST(x) END (single branch, no/NULL else) — the
+    * canonical SQL conditional sum, where a missed predicate yields NULL
+    * and the limb Sums skip exactly the same rows. */
+  private def summand(e: Expression): Option[(Expression, Option[Expression])] = e match {
+    case c: Cast if c.dataType == TargetType && c.child.dataType == DoubleType =>
+      Some((c.child, None))
+    case CaseWhen(Seq((pred, c: Cast)), elseOpt)
+        if c.dataType == TargetType && c.child.dataType == DoubleType &&
+          elseOpt.forall(_ match {
+            case Literal(null, _) => true
+            case _ => false
+          }) =>
+      Some((c.child, Some(pred)))
+    case _ => None
+  }
+
   private def isRewritable(e: Expression): Boolean = e match {
     case ae: AggregateExpression if !ae.isDistinct =>
       ae.aggregateFunction match {
-        case s: Sum =>
-          s.child match {
-            case c: Cast => c.dataType == TargetType && c.child.dataType == DoubleType
-            case _ => false
-          }
+        case s: Sum => summand(s.child).isDefined
         case _ => false
       }
     case _ => false
@@ -55,9 +72,14 @@ object LimbSumRewrite extends Rule[LogicalPlan] {
   }
 
   private def rewrite(ae: AggregateExpression): Expression = {
-    val child = ae.aggregateFunction.asInstanceOf[Sum]
-      .child.asInstanceOf[Cast].child
-    val u = unscaled4(child)
+    val (child, predOpt) =
+      summand(ae.aggregateFunction.asInstanceOf[Sum].child).get
+    // gate the unscaled long on the branch predicate: NULL when it
+    // misses, so every limb Sum skips exactly the rows the CASE skips
+    val u = predOpt match {
+      case Some(p) => If(p, unscaled4(child), Literal(null, LongType))
+      case None => unscaled4(child)
+    }
     val l6 = Literal(1000000L)
     val l12 = Literal(1000000000000L)
     def limbSum(limb: Expression): Expression =

@@ -93,6 +93,36 @@ class LimbSumRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("conditional-pivot shape (CASE WHEN p THEN CAST(x) END) is rewritten") {
+    graft.sources.Tables(spark, "/root/testdata/sf0.001").lineitem
+      .createOrReplaceTempView("li")
+    val pivotSql =
+      "SELECT l_returnflag, " +
+        "CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS s_o, " +
+        "CAST(SUM(CASE WHEN l_linestatus = 'Z' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS s_z " +
+        "FROM li GROUP BY 1"
+    val (rewrittenPlan, viaRule) = withFlag(on = true) {
+      val df = spark.sql(pivotSql)
+      (df.queryExecution.optimizedPlan.toString, df.collect())
+    }
+    val (plainPlan, plain) = withFlag(on = false) {
+      val df = spark.sql(pivotSql)
+      (df.queryExecution.optimizedPlan.toString, df.collect())
+    }
+    // the decimal accumulator is gone — conditional sums run as long limbs
+    // (the CASE turns into the limb-gating `if`, so no sum(CASE...) remains)
+    assert(plainPlan.contains("sum(CASE WHEN"), plainPlan)
+    assert(!rewrittenPlan.contains("sum(CASE WHEN"), rewrittenPlan)
+    def m(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getString(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }.toMap
+    assert(m(viaRule) === m(plain))
+    // no row has linestatus 'Z' → the all-null sum stays NULL via both paths
+    assert(m(plain).values.forall(_._2.isEmpty) && m(viaRule).values.forall(_._2.isEmpty))
+  }
+
   test("FILTER clause and all-null groups survive the rewrite") {
     graft.sources.Tables(spark, "/root/testdata/sf0.001").lineitem
       .createOrReplaceTempView("li")
