@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink round-trips (reference S8/S9: JSON to an object store;
@@ -34,6 +35,37 @@ object Sinks {
     * pruning on `cols` removes files before task scheduling. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** All-VARCHAR JDBC silver sink — the literal twin of the reference's
+    * Postgres staging load (dags/spurs_historic_games.py:345-423: CREATE
+    * TABLE with every column VARCHAR, then batched INSERTs). Every column
+    * is cast to string (the silver staging contract; a frame already
+    * through SilverNormalize is a no-op cast) and the CREATE TABLE DDL is
+    * pinned to VARCHAR(len) via createTableColumnTypes so the database
+    * dialect cannot substitute CLOB/TEXT. Overwrite mode drops and
+    * recreates, mirroring the reference's full-refresh staging.
+    * `numPartitions` bounds the concurrent connection count — at scale
+    * the writer must not open one connection per input partition. */
+  def writeJdbcVarchar(
+      df: DataFrame, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties,
+      varcharLen: Int = 4000, numPartitions: Int = 8): Unit = {
+    val stringly = df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+    val ddl = stringly.columns.map(c => s"$c VARCHAR($varcharLen)").mkString(", ")
+    stringly
+      .coalesce(numPartitions)
+      .write.mode("overwrite")
+      .option("createTableColumnTypes", ddl)
+      .jdbc(url, table, properties)
+  }
+
+  /** JDBC read-back of a staged table (partition options belong to the
+    * caller: pass predicates/bounds through `properties` when a staged
+    * table is big enough to need a parallel read). */
+  def readJdbc(
+      spark: SparkSession, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, properties)
 
   /** Malformed-tolerant JSON read: PERMISSIVE mode nulls unparseable
     * fields and captures the raw bad line in `_corrupt` instead of
