@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen-friendly float-vector dot product.
   *
@@ -59,16 +59,122 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane-LSH band keys of a float vector in one codegen pass.
+  *
+  * The HOF form (one `aggregate(sequence(...))` fold per plane) is the
+  * portable reference — and the DuckDB oracle twin — but it is
+  * interpreted: 16 folds × 64 steps per row, evaluated on BOTH sides of
+  * the candidate self-join. This expression carries the identical
+  * arithmetic — plane `j = band·planesPerBand + p` has weight
+  * `((j·dims + i)·2654435761 mod 2147483647) / 2147483647 − 0.5` at
+  * dimension `i`, accumulated left-to-right in doubles — as a tight loop
+  * over a weight table precomputed once per plan, so results are
+  * bit-identical to the folds while the per-row cost drops to
+  * `bands·planesPerBand·dims` fused multiply-adds inside whole-stage
+  * codegen. Returns `array<long>` of length `bands`; bit `p` of band `k`
+  * is set when the plane-`(k,p)` projection is ≥ 0.
+  *
+  * Vectors shorter than `dims` are projected over their available
+  * dimensions (the HOF twin null-poisons such folds; fixture and contract
+  * vectors are always exactly `dims`-dimensional).
+  */
+case class HyperplaneBands(child: Expression, bands: Int, planesPerBand: Int, dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  /** weights(j*dims + i) for plane j, dimension i — same value the HOF
+    * computes per step, hoisted out of the per-row loop. */
+  private lazy val weights: Array[Double] = {
+    val planes = bands * planesPerBand
+    Array.tabulate(planes * dims) { idx =>
+      ((idx.toLong * 2654435761L) % 2147483647L).toDouble / 2147483647.0 - 0.5
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dims)
+    val out = new Array[Long](bands)
+    var k = 0
+    while (k < bands) {
+      var key = 0L
+      var p = 0
+      while (p < planesPerBand) {
+        val base = (k * planesPerBand + p) * dims
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += x.getFloat(i).toDouble * weights(base + i)
+          i += 1
+        }
+        if (acc >= 0) key |= 1L << p
+        p += 1
+      }
+      out(k) = key
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val key = ctx.freshName("key")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dims);
+         |long[] $out = new long[$bands];
+         |for (int $k = 0; $k < $bands; $k++) {
+         |  long $key = 0L;
+         |  for (int $p = 0; $p < $planesPerBand; $p++) {
+         |    int $base = ($k * $planesPerBand + $p) * $dims;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += (double) $v.getFloat($i) * $w[$base + $i];
+         |    }
+         |    if ($acc >= 0) $key |= 1L << $p;
+         |  }
+         |  $out[$k] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Register `float_vec_dot` in the session's function registry (idempotent)
     * and return a Column-building helper usable from the DataFrame API. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_vec_dot",
       exprs => FloatVecDot(exprs(0), exprs(1)),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bands",
+      exprs => HyperplaneBands(exprs(0), intLit(exprs(1)), intLit(exprs(2)), intLit(exprs(3))),
+      "built-in"
+    )
+  }
+
+  private def intLit(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"hyperplane_bands expects int literals, got $other")
+  }
 
   /** Dot product column over two array<float> columns (by name/expr text,
     * resolved through the registry — keeps us off Spark-internal Column

@@ -333,14 +333,17 @@ object Dedup {
       s"(CAST((($j * $dims + i) * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))"
 
   /** Deterministic 8-plane hyperplane-LSH bucket per vector — the scale
-    * path for near-dup candidate generation. */
-  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dims: Int = 64): DataFrame =
+    * path for near-dup candidate generation. One band of 8 planes via the
+    * codegen [[graft.functions.HyperplaneBands]] expression (bit-identical
+    * to the HOF fold family [[planeDot]] documents, which remains the
+    * DuckDB-oracle twin). */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dims: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
     df.select(
       df.columns.map(col) :+
-        (0 until 8).map { j =>
-          when(expr(planeDot(vecCol, j, dims)) >= 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).cast("long").as("bucket"): _*
+        expr(s"element_at(hyperplane_bands($vecCol, 1, 8, $dims), 1)").as("bucket"): _*
     )
+  }
 
   /** Banded hyperplane LSH: `bands` independent sign-buckets of
     * `planesPerBand` planes each, exploded to one (…, band, band_key) row
@@ -353,15 +356,15 @@ object Dedup {
   def lshBandKeys(
       df: DataFrame, vecCol: String,
       bands: Int = 4, planesPerBand: Int = 4, dims: Int = 64): DataFrame = {
-    val bandStructs = (0 until bands).map { k =>
-      val key = (0 until planesPerBand).map { p =>
-        when(expr(planeDot(vecCol, k * planesPerBand + p, dims)) >= 0,
-          lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _).cast("long")
-      struct(lit(k).as("band"), key.as("band_key"))
-    }
-    df.select(df.columns.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*)
-      .select(df.columns.map(col) :+ col("bk.band") :+ col("bk.band_key"): _*)
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
+    // all band keys in ONE codegen pass over the vector (the per-plane
+    // HOF folds are the interpreted documentation/oracle twin), then
+    // posexplode to (band, band_key) rows
+    df.select(
+      df.columns.map(col) :+
+        posexplode(expr(s"hyperplane_bands($vecCol, $bands, $planesPerBand, $dims)"))
+          .as(Seq("band", "band_key")): _*
+    )
   }
 
   /** Bucketed embedding near-dup — the scale path [[embeddingNearDups]]

@@ -60,4 +60,31 @@ class VectorExpressionsSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(expected))
     }
   }
+
+  test("hyperplane_bands is bit-identical to the per-plane HOF folds") {
+    VectorExpressions.ensureRegistered(spark)
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val dims = 64
+    // the oracle-twin fold for plane j (Dedup.planeDot's shape)
+    def hofPlane(j: Int): String =
+      s"aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE), " +
+        s"(acc, i) -> acc + CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
+        s"(CAST((($j * $dims + i) * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))"
+    val (bands, planes) = (4, 4)
+    val hofKeys = (0 until bands).map { k =>
+      (0 until planes).map { p =>
+        when(expr(hofPlane(k * planes + p)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _).cast("long").as(s"hof_$k")
+    }
+    val rows = e.select(
+      (expr(s"hyperplane_bands(embedding, $bands, $planes, $dims)").as("native") +:
+        hofKeys): _*
+    ).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val native = r.getSeq[Long](0)
+      val hof = (1 to bands).map(r.getLong)
+      assert(native === hof)
+    }
+  }
 }
