@@ -74,6 +74,44 @@ object BenchLab {
       spark.stop(); return
     }
 
+    if (sys.env.get("LAB_MODE").contains("x35")) {
+      graft.functions.PolyHashFunctions.ensureRegistered(spark)
+      import graft.operators.Dedup
+      time("x35 as-is") {
+        Dedup.minhashCandidatePairs(t.documents, "doc_id", "text", 0.5)
+      }
+      time("x35 checkpointed shingles") {
+        val sh = Dedup.shingles(t.documents, "doc_id", "text", 3).localCheckpoint(true)
+        val sigs = Dedup.minhashSignaturesFromShingles(sh, "doc_id").localCheckpoint(true)
+        val bandStructs = (0 until 4).map { k =>
+          struct(lit(k).as("band"), col(s"band$k").as("key"))
+        }
+        val keys = sigs
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        val a = keys.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+        val b = keys.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+        val cand = a.join(b, Seq("band", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+          .distinct()
+        val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val common = cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+          .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+          .withColumn("jaccard",
+            col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "common", "jaccard")
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("LAB_MODE").contains("x33")) {
       time("x33 cc clusters") {
         val pairs = graft.operators.Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", 0.5)

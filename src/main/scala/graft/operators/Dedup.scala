@@ -81,10 +81,17 @@ object Dedup {
   /** MinHash signatures (constants shared with MinHashAggregator) plus
     * banded LSH keys; candidates at scale = equi-join on a band. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.MinHashAggregator.{A, B, P}
     graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
-    val hashed = shingles(df, idCol, textCol)
-      .withColumn("sh_h", expr("poly_hash(sh)"))
+    minhashSignaturesFromShingles(shingles(df, idCol, textCol), idCol)
+  }
+
+  /** [[minhashSignatures]] from an existing `(idCol, sh)` shingle frame —
+    * lets a caller materialize the shingle set once and feed signatures,
+    * verification joins, and per-doc counts from the same blocks. */
+  def minhashSignaturesFromShingles(sh: DataFrame, idCol: String): DataFrame = {
+    import graft.functions.MinHashAggregator.{A, B, P}
+    graft.functions.PolyHashFunctions.ensureRegistered(sh.sparkSession)
+    val hashed = sh.withColumn("sh_h", expr("poly_hash(sh)"))
     val sigs = hashed
       .groupBy(col(idCol))
       .agg(

@@ -416,6 +416,39 @@ object TrainingData {
     Dedup.minhashCandidatePairs(t.documents, "doc_id", "text", threshold = 0.5)
   }
 
+  /** Context-window packing stats — the concatenate-and-chunk batching
+    * step of a pretraining pipeline: documents are concatenated per
+    * source shard in doc_id order and sliced into fixed 2048-token
+    * windows; each document is attributed to the window its first token
+    * lands in, and per-(shard, window) stats (documents begun, tokens
+    * contributed) are what a batch planner needs to size shards. The
+    * running sum is PARTITIONED by source — every shard packs
+    * independently, so no global sort exists at any scale; doc_id is the
+    * total-order tiebreak within a shard. */
+  val x37 = Q(
+    "x37_sequence_packing",
+    Some(
+      "WITH toks AS (SELECT source, doc_id, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "cum AS (SELECT source, doc_id, n_tokens, " +
+        "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens FROM toks) " +
+        "SELECT source, CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS window_id, " +
+        s"$sqlCount AS docs_begun, CAST(SUM(n_tokens) AS BIGINT) AS tokens " +
+        "FROM cum GROUP BY source, window_id"
+    )
+  ) { t =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    t.documents
+      .select(col("source"), col("doc_id"),
+        graft.functions.Text.tokenCount("text").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("window_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(2048.0)).cast("long"))
+      .groupBy(col("source"), col("window_id"))
+      .agg(count(lit(1)).as("docs_begun"), sum(col("n_tokens")).as("tokens"))
+  }
+
   // ---- multimodal plumbing --------------------------------------------
 
   /** Multimodal byte-column plumbing: content → binary column → deterministic
@@ -598,6 +631,6 @@ object TrainingData {
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
-    x24, x25, x26, x27, x28, x31, x33, x34, x35
+    x24, x25, x26, x27, x28, x31, x33, x34, x35, x37
   )
 }
