@@ -449,6 +449,49 @@ object TrainingData {
       .agg(count(lit(1)).as("docs_begun"), sum(col("n_tokens")).as("tokens"))
   }
 
+  /** Chunk-level duplication coverage — the duplicated-substring signal
+    * of web-corpus curation (what fraction of a document is made of
+    * 16-word chunks that occur elsewhere in the corpus): documents are
+    * sliced into fixed 16-word chunks (HOF slice — no shuffle until the
+    * aggregate), chunks are counted corpus-wide BY PORTABLE HASH (the
+    * shuffle carries an 8-byte key, never chunk text), and each document
+    * reports its chunk count, duplicated-chunk count, and duplicated
+    * fraction. Thresholding dup_frac is the standard drop rule. */
+  val x38 = Q(
+    "x38_chunk_dedup_stats",
+    Some(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "ch AS (SELECT doc_id, unnest(list_transform(" +
+        "range(0, CAST(ceil(len(w) / 16.0) AS INT)), " +
+        "i -> array_to_string(w[i * 16 + 1 : i * 16 + 16], ' '))) AS chunk FROM w), " +
+        s"h AS (SELECT doc_id, ${duckPolyHash("chunk")} AS h FROM ch), " +
+        "cnt AS (SELECT h, COUNT(*) AS n FROM h GROUP BY h), " +
+        "per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+        "CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks " +
+        "FROM h JOIN cnt USING (h) GROUP BY doc_id) " +
+        "SELECT doc_id, n_chunks, n_dup_chunks, " +
+        "CAST(n_dup_chunks AS DOUBLE) / n_chunks AS dup_frac FROM per_doc"
+    )
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val chunks = t.documents
+      .select(col("doc_id"), expr(
+        "posexplode(transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 16.0) AS INT) - 1), " +
+          "i -> array_join(slice(split(text, ' '), i * 16 + 1, 16), ' ')))"
+      ).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), expr("poly_hash(chunk)").as("h"))
+    val counts = chunks.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    chunks
+      .join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countIf(col("n") > 1).as("n_dup_chunks")
+      )
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
+  }
+
   // ---- multimodal plumbing --------------------------------------------
 
   /** Multimodal byte-column plumbing: content → binary column → deterministic
@@ -631,6 +674,6 @@ object TrainingData {
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
-    x24, x25, x26, x27, x28, x31, x33, x34, x35, x37
+    x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38
   )
 }
