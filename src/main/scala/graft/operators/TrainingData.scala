@@ -449,6 +449,45 @@ object TrainingData {
       .agg(count(lit(1)).as("docs_begun"), sum(col("n_tokens")).as("tokens"))
   }
 
+  /** IVF probe search, oracle-checked end to end: deterministic centroids
+    * (first 16 vectors), nearest-centroid cell assignment, queries routed
+    * to their 2 nearest cells, exact cosine scoring only within probed
+    * cells, top-5 per query. Work ∝ corpus/k × nprobe instead of the full
+    * corpus — the search half of the IVF scale path (IvfSpec pins recall
+    * vs x09's exact top-k; this query pins cross-engine exactness of the
+    * index+probe mechanics). */
+  val x39 = Q(
+    "x39_ivf_probe_search",
+    Some {
+      def cos(a: String, an: String, b: String, bn: String) =
+        s"${duckDot(a, b)} / ($an * $bn)"
+      s"WITH $duckNorms, " +
+        "cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+        "FROM norms WHERE vec_id < 16), " +
+        "assigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
+        "SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell, " +
+        s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+        s"${cos("n.embedding", "n.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
+        "FROM norms n CROSS JOIN cents c) WHERE rn = 1), " +
+        "probed AS (SELECT query_id, qe, qn, cell FROM (" +
+        "SELECT q.vec_id AS query_id, q.embedding AS qe, q.nrm AS qn, c.cent_id AS cell, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        s"${cos("q.embedding", "q.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
+        "FROM norms q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE rn <= 2) " +
+        "SELECT query_id, neighbor_id, cosine FROM (" +
+        "SELECT p.query_id, a.vec_id AS neighbor_id, " +
+        s"${cos("p.qe", "p.qn", "a.embedding", "a.nrm")} AS cosine, " +
+        s"row_number() OVER (PARTITION BY p.query_id ORDER BY " +
+        s"${cos("p.qe", "p.qn", "a.embedding", "a.nrm")} DESC, a.vec_id) AS rn " +
+        "FROM probed p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id" +
+        ") WHERE rn <= 5"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
+      col("query_id") < 10, k = 16, nprobe = 2, topK = 5)
+  }
+
   /** Chunk-level duplication coverage — the duplicated-substring signal
     * of web-corpus curation (what fraction of a document is made of
     * 16-word chunks that occur elsewhere in the corpus): documents are
@@ -674,6 +713,6 @@ object TrainingData {
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
-    x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38
+    x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39
   )
 }
