@@ -11,13 +11,20 @@ import org.apache.spark.sql.SparkSession
   * through a noop sink so every column is fully materialized (a bare
   * count() would let Catalyst skip work).
   *
-  * Two additions beyond the one-line contract:
+  * Three additions beyond the one-line contract:
   *   - the full JSON is ALSO written to SPARK_GRAFT_BENCH_OUT (default
   *     ./BENCH_LOCAL.json) so a truncated stdout capture can't lose it;
   *   - the six gold analogs are re-timed at SPARK_GRAFT_SF_DIR_SMALL
   *     (default sf0.01, ~60k lineitem rows — the scale actually
   *     comparable to BASELINE.md's 28.5k rows) and reported under
-  *     `queries_small` / `total_small` in the same JSON object.
+  *     `queries_small` / `total_small` in the same JSON object;
+  *   - a SECOND, compact JSON line (total + the baseline-comparable
+  *     small-SF timings + a pointer to the full file, no per-query map)
+  *     prints last: the driver keeps only the final ~2000 chars of
+  *     stdout, and the full line outgrew that window at 73 queries
+  *     (BENCH_r02/r03 both captured a headless fragment). The compact
+  *     trailer always fits, so the tail always ends with a parsable
+  *     `{"metric":…}` object whatever the query count.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -90,6 +97,9 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(line)
+    val compact =
+      s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","n_queries":${results.size},"queries_file":"$outFile","sf":"$sfDir"$smallJson}"""
+    println(compact)
     spark.stop()
   }
 }
