@@ -488,6 +488,124 @@ object TrainingData {
       col("query_id") < 10, k = 16, nprobe = 2, topK = 5)
   }
 
+  /** Benchmark decontamination — the eval-overlap gate every training
+    * corpus runs before release (filter documents sharing long n-grams
+    * with a held-out benchmark): a deterministic ~1% of docs stands in
+    * for the benchmark (`doc_id % 97 = 0`), both sides reduce to DISTINCT
+    * per-doc 8-word-gram hashes (the shuffle carries 8-byte keys, never
+    * gram text), and each training doc reports its gram count, hits
+    * against the benchmark set, hit fraction, and a contaminated flag.
+    * At 100 TB the benchmark set stays eval-sized → broadcast the hash
+    * set; corpus side is one explode + one per-doc aggregate, no
+    * self-join. Docs shorter than 8 words carry no n-gram evidence and
+    * drop out (both engines agree). */
+  val x40 = Q(
+    "x40_benchmark_decontamination",
+    Some {
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        s"g AS (SELECT DISTINCT doc_id, ${duckPolyHash("gm")} AS h FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), " +
+        "i -> array_to_string(w[i:i+7], ' '))) AS gm FROM w) t), " +
+        "bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0), " +
+        "train AS (SELECT doc_id, h FROM g WHERE doc_id % 97 <> 0) " +
+        "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+        "CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, " +
+        "CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hit_frac, " +
+        "SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated " +
+        "FROM train t LEFT JOIN bench b ON t.h = b.h GROUP BY t.doc_id"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val grams = t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7), " +
+          "i -> array_join(slice(ws, i, 8), ' ')) ELSE array() END"
+      )).as("gm"))
+      .select(col("doc_id"), expr("poly_hash(gm)").as("h"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("h")).distinct().withColumn("hit", lit(1))
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), countIf(col("hit").isNotNull).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams")).as("hit_frac"),
+        (col("n_hits") > 0).as("contaminated"))
+  }
+
+  /** Tokenizer-vocabulary coverage — build the top-K word vocabulary
+    * (count desc, word asc tiebreak — fully deterministic) and report
+    * each document's token count, out-of-vocabulary token count, and OOV
+    * rate: the coverage check run before committing to a tokenizer vocab.
+    * K=16 here because the synthetic corpus has only 31 distinct words;
+    * the plan is K-invariant. At scale: word frequency is one map-side-
+    * combined shuffle, the vocab is top-K bounded (TakeOrdered — never a
+    * global sort), and the per-doc pass joins against the broadcast
+    * vocab — corpus is touched exactly twice, no self-join. */
+  val x41 = Q(
+    "x41_vocab_oov_rate",
+    Some {
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w " +
+        "ORDER BY c DESC, w LIMIT 16)) " +
+        "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate " +
+        "FROM tok t LEFT JOIN vocab v ON t.w = v.w GROUP BY t.doc_id"
+    }
+  ) { t =>
+    val tok = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(16)
+      .select(col("w")).withColumn("in_vocab", lit(1))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), countIf(col("in_vocab").isNull).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  /** Temperature-scaled mixture resampling — reshape the per-language
+    * corpus mix toward count^α (α = 0.5: upsample tail languages, the
+    * standard multilingual-mixing move): per-language accept probability
+    * sqrt(n_min / n_lang) keeps the rarest language whole and thins the
+    * head toward √-proportional shares; the accept draw is the explicit
+    * LCG on doc_id, so the sample is identical on any cluster layout.
+    * Distinct from x27 (fixed-size per-stratum top-k): this is
+    * rate-based, sized by the observed distribution. The draw is TWO
+    * Lehmer steps on seed doc_id+1 — one step is still linear below the
+    * modulus (small ids all land near 0 and nothing gets rejected), and
+    * seed 0 is the Lehmer fixpoint. Cross-engine exactness: n_min/n is
+    * one exact int→double division, sqrt is IEEE-correctly-rounded in
+    * both engines, and the LCG compare is integer-exact. Plan: tiny
+    * per-category frame (aggregate → broadcast scalar n_min → broadcast
+    * join), corpus touched once, no sort. */
+  val x42 = Q(
+    "x42_mixture_resample",
+    Some {
+      "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), " +
+        "m AS (SELECT MIN(n) AS nmin FROM c), " +
+        "a AS (SELECT lang, sqrt(CAST(nmin AS DOUBLE) / n) AS accept_prob FROM c, m) " +
+        "SELECT d.doc_id, d.lang, a.accept_prob FROM documents d " +
+        "JOIN a ON d.lang = a.lang " +
+        "WHERE CAST((((d.doc_id + 1) * 48271) % 2147483647 * 48271) % 2147483647 AS DOUBLE) " +
+        "/ 2147483647 < a.accept_prob"
+    }
+  ) { t =>
+    val counts = t.documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val nmin = counts.agg(min(col("n")).as("nmin"))
+    val accept = counts.crossJoin(broadcast(nmin))
+      .select(col("lang"), sqrt(col("nmin").cast("double") / col("n")).as("accept_prob"))
+    val draw = (((col("doc_id") + 1) * 48271) % 2147483647L * 48271) % 2147483647L
+    t.documents
+      .join(broadcast(accept), Seq("lang"))
+      .filter(draw.cast("double") / 2147483647L < col("accept_prob"))
+      .select(col("doc_id"), col("lang"), col("accept_prob"))
+  }
+
   /** Chunk-level duplication coverage — the duplicated-substring signal
     * of web-corpus curation (what fraction of a document is made of
     * 16-word chunks that occur elsewhere in the corpus): documents are
@@ -713,6 +831,6 @@ object TrainingData {
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
-    x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39
+    x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42
   )
 }

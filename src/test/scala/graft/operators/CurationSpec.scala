@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Semantics + plan shapes for the corpus-curation queries x40–x42
+  * (decontamination, vocab coverage, mixture resampling). Cross-engine
+  * exactness is the oracle's job; these pin the operator CONTRACT (who
+  * is filtered, bounds, determinism) and the scale-relevant plan shape
+  * (benchmark/vocab/category sides broadcast — the corpus side never
+  * shuffles through a SortMergeJoin).
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("curation-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("x40 excludes benchmark docs, bounds hit_frac, and flags hits consistently") {
+    val rows = run("x40_benchmark_decontamination")
+      .select("doc_id", "n_grams", "n_hits", "hit_frac", "contaminated")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 97 != 0), "benchmark docs must not appear")
+    assert(rows.forall { r =>
+      val (g, h, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      h >= 0 && h <= g && math.abs(f - h.toDouble / g) == 0 &&
+        r.getBoolean(4) == (h > 0)
+    })
+    assert(rows.exists(_.getBoolean(4)), "fixture should contain contaminated docs")
+  }
+
+  test("x40 benchmark-set join is broadcast (corpus side never sort-merge joins)") {
+    val p = plan("x40_benchmark_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x41 vocab is top-K bounded (TakeOrdered, no global sort) and OOV rates are sane") {
+    val p = plan("x41_vocab_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val rows = run("x41_vocab_oov_rate").select("n_tokens", "n_oov", "oov_rate").collect()
+    assert(rows.forall { r =>
+      r.getLong(1) <= r.getLong(0) && r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0
+    })
+    assert(rows.exists(_.getLong(1) > 0), "K=16 of 31 words must leave some OOV tokens")
+  }
+
+  test("x42 keeps the rarest language whole and thins the head toward sqrt shares") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = run("x42_mixture_resample").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rarest = before.minBy(_._2)._1
+    assert(after(rarest) == before(rarest), "rarest language must be kept in full")
+    val head = before.maxBy(_._2)._1
+    val expected = math.sqrt(before(rarest).toDouble / before(head)) * before(head)
+    assert(after(head) < before(head), "head language must be thinned")
+    assert(math.abs(after(head) - expected) / expected < 0.15,
+      s"head kept ${after(head)} vs expected ~$expected")
+  }
+
+  test("x42 runs deterministic and broadcast-only") {
+    val a = run("x42_mixture_resample").orderBy("doc_id").collect().toSeq
+    val b = run("x42_mixture_resample").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(!plan("x42_mixture_resample").contains("SortMergeJoin"))
+  }
+}
