@@ -445,4 +445,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "jaccard")
   }
+
+  /** Incremental-batch dedup — the ingestion-time question ("is this
+    * newly crawled doc already in the corpus?") rather than the
+    * self-dedup one: each NEW doc (per `isNew`) gets a verdict against
+    * the EXISTING side only — `exact_dup` (identical content),
+    * `near_dup` (≥ `threshold` shingle Jaccard with any existing doc via
+    * MinHash band candidates), else `unique`. New batches are small
+    * relative to the corpus, so every new-side frame broadcasts: the
+    * existing corpus is scanned, never shuffled against itself — at
+    * 100 TB this is the difference between O(batch × bands) and the
+    * full self-join. Candidate generation is banded (same recall
+    * contract as [[minhashCandidatePairs]]); exact matches are caught
+    * by content equality independent of banding. */
+  def incrementalDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      isNew: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
+    val flags = df.select(col(idCol), isNew.as("is_new"))
+    val newIds = flags.filter(col("is_new")).select(col(idCol))
+
+    // exact: new content seen verbatim on the existing side
+    val extTexts = df.join(flags.filter(!col("is_new")), idCol)
+      .select(col(textCol)).distinct()
+    val exactHits = df.join(broadcast(newIds), idCol)
+      .join(extTexts, Seq(textCol), "left_semi")
+      .select(col(idCol).as("__exact_id"))
+
+    // near: banded candidates restricted to new × existing
+    val sigs = minhashSignatures(df, idCol, textCol)
+    val bandStructs = (0 until 4).map { k =>
+      struct(lit(k).as("band"), col(s"band$k").as("key"))
+    }
+    val keys = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+      .join(flags, idCol)
+    val newK = keys.filter(col("is_new"))
+      .select(col(idCol).as("new_id"), col("band"), col("key"))
+    val extK = keys.filter(!col("is_new"))
+      .select(col(idCol).as("ext_id"), col("band"), col("key"))
+    val cand = broadcast(newK).join(extK, Seq("band", "key"))
+      .select("new_id", "ext_id").distinct()
+
+    val sh = shingles(df, idCol, textCol)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val near = cand
+      .join(sh.select(col(idCol).as("new_id"), col("sh")), Seq("new_id"))
+      .join(sh.select(col(idCol).as("ext_id"), col("sh")), Seq("ext_id", "sh"))
+      .groupBy(col("new_id"), col("ext_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(counts.select(col(idCol).as("new_id"), col("n").as("na")), Seq("new_id"))
+      .join(counts.select(col(idCol).as("ext_id"), col("n").as("nb")), Seq("ext_id"))
+      .filter(col("common").cast("double") / (col("na") + col("nb") - col("common"))
+        >= threshold)
+      .groupBy(col("new_id")).agg(count(lit(1)).as("n_near"))
+
+    newIds
+      .join(broadcast(exactHits), col(idCol) === col("__exact_id"), "left")
+      .join(broadcast(near), col(idCol) === col("new_id"), "left")
+      .select(
+        col(idCol),
+        col("__exact_id").isNotNull.as("is_exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(col("__exact_id").isNotNull, "exact_dup")
+          .when(coalesce(col("n_near"), lit(0L)) > 0, "near_dup")
+          .otherwise("unique").as("verdict"))
+  }
 }

@@ -606,6 +606,75 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), col("accept_prob"))
   }
 
+  /** Content-hash train/val/test split — the standard deterministic
+    * 98/1/1 assignment, keyed on the CONTENT hash rather than doc_id so
+    * byte-identical documents land in the same split whatever their ids
+    * or crawl batch (the property that prevents train/test leakage
+    * through duplicates; CurationSpec pins it synthetically). Pure
+    * map-side: no shuffle, no state, reproducible at any parallelism. */
+  val x43 = Q(
+    "x43_content_hash_split",
+    Some {
+      s"SELECT doc_id, bucket, CASE WHEN bucket < 98 THEN 'train' " +
+        "WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split_name " +
+        s"FROM (SELECT doc_id, ${duckPolyHash("text")} % 100 AS bucket FROM documents) t"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    t.documents
+      .select(col("doc_id"), expr("poly_hash(text) % 100").as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") < 99, "val")
+          .otherwise("test").as("split_name"))
+  }
+
+  /** Incremental-batch dedup — dedups a NEW crawl batch (`doc_id % 10 =
+    * 7` stands in for the incoming batch) against the EXISTING corpus:
+    * per new doc, `exact_dup` on verbatim content match, `near_dup` on
+    * MinHash-band candidates verified at ≥0.5 shingle Jaccard against
+    * existing docs only, else `unique`. The scale shape is the point:
+    * the new batch broadcasts, the corpus never self-joins (see
+    * [[Dedup.incrementalDedup]]). */
+  val x44 = Q(
+    "x44_incremental_dedup",
+    Some {
+      val mins = mhA.indices.map { j =>
+        s"CAST(MIN((sh_h * ${mhA(j)} + ${mhB(j)}) % $P) AS BIGINT) AS mh$j"
+      }.mkString(", ")
+      val bandKeys = (0 until 4).map { k =>
+        s"SELECT doc_id, $k AS band, " +
+          s"CAST((mh${2 * k} * 1000003 + mh${2 * k + 1}) % $P AS BIGINT) AS key FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"WITH $duckShingleCtes, " +
+        s"hashed AS (SELECT doc_id, ${duckPolyHash("sh")} AS sh_h FROM shingles), " +
+        s"sigs AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id), " +
+        s"keys AS ($bandKeys), " +
+        "newk AS (SELECT doc_id AS new_id, band, key FROM keys WHERE doc_id % 10 = 7), " +
+        "extk AS (SELECT doc_id AS ext_id, band, key FROM keys WHERE doc_id % 10 <> 7), " +
+        "cand AS (SELECT DISTINCT new_id, ext_id FROM newk JOIN extk USING (band, key)), " +
+        "counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id), " +
+        "com AS (SELECT c.new_id, c.ext_id, COUNT(*) AS common FROM cand c " +
+        "JOIN shingles sa ON sa.doc_id = c.new_id " +
+        "JOIN shingles sb ON sb.doc_id = c.ext_id AND sb.sh = sa.sh " +
+        "GROUP BY c.new_id, c.ext_id), " +
+        "near AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_near FROM com " +
+        "JOIN counts ca ON new_id = ca.doc_id JOIN counts cb ON ext_id = cb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5 GROUP BY new_id), " +
+        "ex AS (SELECT DISTINCT n.doc_id FROM documents n " +
+        "JOIN documents e ON n.text = e.text AND e.doc_id % 10 <> 7 WHERE n.doc_id % 10 = 7) " +
+        "SELECT d.doc_id, (ex.doc_id IS NOT NULL) AS is_exact_dup, " +
+        "COALESCE(near.n_near, 0) AS n_near, " +
+        "CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' " +
+        "WHEN COALESCE(near.n_near, 0) > 0 THEN 'near_dup' ELSE 'unique' END AS verdict " +
+        "FROM documents d LEFT JOIN ex ON d.doc_id = ex.doc_id " +
+        "LEFT JOIN near ON d.doc_id = near.new_id WHERE d.doc_id % 10 = 7"
+    }
+  ) { t =>
+    Dedup.incrementalDedup(t.documents, "doc_id", "text",
+      col("doc_id") % 10 === 7, threshold = 0.5)
+  }
+
   /** Chunk-level duplication coverage — the duplicated-substring signal
     * of web-corpus curation (what fraction of a document is made of
     * 16-word chunks that occur elsewhere in the corpus): documents are
@@ -831,6 +900,7 @@ object TrainingData {
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
-    x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42
+    x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
+    x43, x44
   )
 }

@@ -81,4 +81,52 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b)
     assert(!plan("x42_mixture_resample").contains("SortMergeJoin"))
   }
+
+  test("x43 buckets are in [0,100), splits match buckets, same text -> same split") {
+    val rows = run("x43_content_hash_split").collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val b = r.getLong(1)
+      b >= 0 && b < 100 && r.getString(2) == (
+        if (b < 98) "train" else if (b < 99) "val" else "test")
+    })
+    // content-keyed: duplicated text across ids must land in one split
+    import spark.implicits._
+    graft.functions.PolyHashFunctions.ensureRegistered(spark)
+    val dup = Seq((1L, "spark big data"), (2L, "spark big data"), (3L, "other text"))
+      .toDF("doc_id", "text")
+      .select(expr("poly_hash(text) % 100").as("bucket"), col("text"))
+    assert(dup.select("text", "bucket").distinct().count() == 2)
+  }
+
+  test("incrementalDedup issues exact/near/unique verdicts against the existing side only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // existing
+      (2L, "one two three four five six seven"),         // existing
+      (17L, "alpha beta gamma delta epsilon zeta"),      // new: exact dup of 1
+      (27L, "one two three four five six eight"),        // new: near dup of 2
+      (37L, "totally different words entirely here now") // new: unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, "doc_id", "text",
+        col("doc_id") >= 10, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(17L -> "exact_dup", 27L -> "near_dup", 37L -> "unique"))
+  }
+
+  test("x44 new-batch frames broadcast; corpus side is never sort-merge self-joined") {
+    val p = plan("x44_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val rows = run("x44_incremental_dedup").collect()
+    assert(rows.length == 50)
+    assert(rows.exists(_.getString(3) == "near_dup"), "fixture has cross-boundary near dups")
+    assert(rows.forall { r =>
+      (r.getString(3), r.getBoolean(1), r.getLong(2)) match {
+        case ("exact_dup", ex, _)   => ex
+        case ("near_dup", ex, n)    => !ex && n > 0
+        case ("unique", ex, n)      => !ex && n == 0
+        case _                      => false
+      }
+    })
+  }
 }
