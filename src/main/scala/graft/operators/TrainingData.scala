@@ -675,6 +675,80 @@ object TrainingData {
       col("doc_id") % 10 === 7, threshold = 0.5)
   }
 
+  /** Percentile-based length-outlier filter — drop documents whose token
+    * count falls outside the corpus's [p5, p95] band (the distribution-
+    * relative cousin of Gopher's absolute length rules). Exactness rides
+    * on x22's result: interpolated percentiles over INTEGER token counts
+    * are one exact-int interpolation, bit-identical to DuckDB's
+    * quantile_cont. The bounds are a broadcast 1-row aggregate; the
+    * corpus is touched twice (count pass + filter pass), never sorted. */
+  val x45 = Q(
+    "x45_length_outlier_filter",
+    Some {
+      "WITH n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo, " +
+        "quantile_cont(n_tokens, 0.95) AS hi FROM n) " +
+        "SELECT doc_id, n_tokens, lo, hi, " +
+        "(n_tokens >= lo AND n_tokens <= hi) AS keep FROM n, b"
+    }
+  ) { t =>
+    val n = t.documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bounds = n.agg(
+      percentile(col("n_tokens"), lit(0.05)).as("lo"),
+      percentile(col("n_tokens"), lit(0.95)).as("hi"))
+    n.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_tokens"), col("lo"), col("hi"),
+        (col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi")).as("keep"))
+  }
+
+  /** Collocation extraction — top bigrams by LIFT (observed co-occurrence
+    * over independence): lift = n_ab·N / (n_a·n_b), the log-free PMI
+    * (identical ranking under any monotone transform — same trick as
+    * x26's rational IDF, so the statistic is bit-exact cross-engine:
+    * both factors are exact 64-bit products, one correctly-rounded
+    * double division). Min support n_ab ≥ 5; top-20 with a lexicographic
+    * tiebreak. Unigram counts are vocabulary-sized → broadcast; the
+    * result is TakeOrdered-bounded, never a global sort. */
+  val x46 = Q(
+    "x46_collocation_lift",
+    Some {
+      "WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bgs AS (SELECT unnest(list_transform(range(1, len(w)), " +
+        "i -> w[i] || ' ' || w[i+1])) AS bg FROM wl), " +
+        "words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY word), " +
+        "nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM words), " +
+        "ab AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bgs GROUP BY bg) " +
+        "SELECT bg, n_ab, CAST(n_ab * nn AS DOUBLE) / (ua.n * ub.n) AS lift " +
+        "FROM ab JOIN uni ua ON split_part(bg, ' ', 1) = ua.word " +
+        "JOIN uni ub ON split_part(bg, ' ', 2) = ub.word CROSS JOIN nw " +
+        "WHERE n_ab >= 5 ORDER BY lift DESC, bg LIMIT 20"
+    }
+  ) { t =>
+    val words = t.documents.select(explode(split(col("text"), " ")).as("word"))
+    val uni = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val nw = words.agg(count(lit(1)).as("nn"))
+    val ab = t.documents
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> element_at(ws, i) || ' ' || element_at(ws, i + 1))")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    ab
+      .join(broadcast(uni.select(col("word").as("w1"), col("n").as("na"))),
+        expr("split_part(bg, ' ', 1)") === col("w1"))
+      .join(broadcast(uni.select(col("word").as("w2"), col("n").as("nb"))),
+        expr("split_part(bg, ' ', 2)") === col("w2"))
+      .crossJoin(broadcast(nw))
+      .select(col("bg"), col("n_ab"),
+        ((col("n_ab") * col("nn")).cast("double") / (col("na") * col("nb"))).as("lift"))
+      .orderBy(col("lift").desc, col("bg").asc)
+      .limit(20)
+  }
+
   /** Chunk-level duplication coverage — the duplicated-substring signal
     * of web-corpus curation (what fraction of a document is made of
     * 16-word chunks that occur elsewhere in the corpus): documents are
@@ -901,6 +975,6 @@ object TrainingData {
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
-    x43, x44
+    x43, x44, x45, x46
   )
 }

@@ -114,6 +114,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Map(17L -> "exact_dup", 27L -> "near_dup", 37L -> "unique"))
   }
 
+  test("x45 keeps ~90% inside the [p5,p95] band; bounds ride a broadcast 1-row aggregate") {
+    val rows = run("x45_length_outlier_filter").select("n_tokens", "lo", "hi", "keep").collect()
+    val keepRate = rows.count(_.getBoolean(3)).toDouble / rows.length
+    assert(keepRate >= 0.85 && keepRate <= 0.95, s"keep rate $keepRate")
+    assert(rows.forall { r =>
+      r.getBoolean(3) == (r.getLong(0) >= r.getDouble(1) && r.getLong(0) <= r.getDouble(2))
+    })
+    val p = plan("x45_length_outlier_filter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x46 collocations are TakeOrdered-bounded with broadcast unigram sides") {
+    val p = plan("x46_collocation_lift")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val rows = run("x46_collocation_lift").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getLong(1) >= 5), "min support")
+    val lifts = rows.map(_.getDouble(2)).toSeq
+    assert(lifts == lifts.sorted.reverse, "descending lift order")
+  }
+
   test("x44 new-batch frames broadcast; corpus side is never sort-merge self-joined") {
     val p = plan("x44_incremental_dedup")
     assert(p.contains("BroadcastHashJoin"), p)
