@@ -749,6 +749,76 @@ object TrainingData {
       .limit(20)
   }
 
+  /** End-to-end curated-corpus assembly — the flagship composition: the
+    * full release gate a training corpus passes, as ONE declarative
+    * plan. A document survives iff it (1) is the canonical copy of its
+    * content (exact-dedup keeper = min doc_id per text), (2) sits inside
+    * the [p5, p95] token-length band, (3) shares no 8-gram with the
+    * held-out benchmark slice (and is not itself benchmark), and the
+    * survivors get their content-hash train/val/test split. Composes the
+    * x40/x43/x45/x01 fragments — each stage keeps its scale shape
+    * (broadcast bounds, broadcast benchmark hash set, one corpus
+    * aggregate per signal); Catalyst fuses the stages over shared scans
+    * rather than running four pipelines. */
+  val x47 = Q(
+    "x47_curated_corpus",
+    Some {
+      "WITH n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo, " +
+        "quantile_cont(n_tokens, 0.95) AS hi FROM n), " +
+        "keep_len AS (SELECT doc_id FROM n, b WHERE n_tokens >= lo AND n_tokens <= hi), " +
+        "w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        s"g AS (SELECT DISTINCT doc_id, ${duckPolyHash("gm")} AS h FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), " +
+        "i -> array_to_string(w[i:i+7], ' '))) AS gm FROM w) t), " +
+        "bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0), " +
+        "contaminated AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (h) " +
+        "WHERE doc_id % 97 <> 0), " +
+        "keeper AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) " +
+        "SELECT d.doc_id, CASE WHEN bu < 98 THEN 'train' WHEN bu < 99 THEN 'val' " +
+        "ELSE 'test' END AS split_name " +
+        s"FROM (SELECT doc_id, ${duckPolyHash("text")} % 100 AS bu FROM documents) d " +
+        "JOIN keeper k ON d.doc_id = k.doc_id " +
+        "JOIN keep_len kl ON d.doc_id = kl.doc_id " +
+        "LEFT JOIN contaminated c ON d.doc_id = c.doc_id " +
+        "WHERE c.doc_id IS NULL AND d.doc_id % 97 <> 0"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val docs = t.documents
+    val n = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bounds = n.agg(
+      percentile(col("n_tokens"), lit(0.05)).as("lo"),
+      percentile(col("n_tokens"), lit(0.95)).as("hi"))
+    val keepLen = n.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .select("doc_id")
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7), " +
+          "i -> array_join(slice(ws, i, 8), ' ')) ELSE array() END"
+      )).as("gm"))
+      .select(col("doc_id"), expr("poly_hash(gm)").as("h"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val keeper = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs
+      .select(col("doc_id"), (expr("poly_hash(text)") % 100).as("bu"))
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(keeper, Seq("doc_id"), "left_semi")
+      .join(keepLen, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        when(col("bu") < 98, "train").when(col("bu") < 99, "val")
+          .otherwise("test").as("split_name"))
+  }
+
   /** Chunk-level duplication coverage — the duplicated-substring signal
     * of web-corpus curation (what fraction of a document is made of
     * 16-word chunks that occur elsewhere in the corpus): documents are
@@ -975,6 +1045,6 @@ object TrainingData {
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46
+    x43, x44, x45, x46, x47
   )
 }
