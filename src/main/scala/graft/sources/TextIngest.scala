@@ -42,6 +42,53 @@ object TextIngest {
         graft.functions.Text.qualityScore(col("n_tokens"), stops))
   }
 
+  /** Content-hash train/val/test assignment (x43's rule as an ingest
+    * column): `poly_hash(text) % 100` → 98/1/1. Per-row and stateless,
+    * so the SAME call works on batch and `readStream` frames — and
+    * because the key is the CONTENT hash, duplicate documents land in
+    * one split whatever batch or stream they arrive in. */
+  def withSplitAssignment(df: DataFrame): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    val bucket = expr("poly_hash(text) % 100")
+    df.withColumn("split_name",
+      when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test"))
+  }
+
+  /** Ingest-time decontamination: flag arriving documents that share any
+    * `n`-word-gram with a held-out benchmark, given the benchmark's gram
+    * hash set. The set is eval-sized at any corpus scale, so it ships as
+    * a broadcast literal and the check is one stateless per-row
+    * `arrays_overlap` — no join, no state, streaming-safe (the
+    * stream-static-join formulation would force a per-doc re-aggregation
+    * under watermark; this shape needs neither). Pair with
+    * [[benchmarkGramHashes]] to build the set from the benchmark frame. */
+  def withContaminationFlag(df: DataFrame, benchGramHashes: Seq[Long], n: Int = 8): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    val grams = expr(
+      s"CASE WHEN size(split(text, ' ')) >= $n THEN " +
+        s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
+        s"i -> poly_hash(array_join(slice(split(text, ' '), i, $n), ' '))) " +
+        "ELSE array() END")
+    df.withColumn("contaminated",
+      arrays_overlap(grams, typedLit(benchGramHashes)))
+  }
+
+  /** Distinct `n`-gram poly-hashes of a benchmark frame, collected to
+    * the driver. Deliberately driver-side: benchmarks are eval-sized
+    * (thousands of docs), and the literal set is what makes the
+    * streaming contamination check stateless. */
+  def benchmarkGramHashes(bench: DataFrame, textCol: String, n: Int = 8): Seq[Long] = {
+    graft.functions.PolyHashFunctions.ensureRegistered(bench.sparkSession)
+    bench
+      .select(explode(expr(
+        s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
+          s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+          s"i -> poly_hash(array_join(slice(split($textCol, ' '), i, $n), ' '))) " +
+          "ELSE array() END")).as("h"))
+      .distinct()
+      .collect().map(_.getLong(0)).toSeq
+  }
+
   /** Continuous ingestion: the same projection over `readStream`, with
     * exact content dedup bounded to a processing-time `horizon` —
     * `dropDuplicatesWithinWatermark` keeps one state entry per distinct

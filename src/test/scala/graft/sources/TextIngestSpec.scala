@@ -65,6 +65,42 @@ class TextIngestSpec extends AnyFunSuite {
     assert(streamed === collected)
   }
 
+  test("split assignment and contamination flags: identical on batch and stream paths") {
+    val dir = Files.createTempDirectory("txt-curation").toString
+    Files.writeString(Paths.get(s"$dir/a.txt"),
+      "one two three four five six seven eight nine ten\n" +
+        "alpha beta gamma delta epsilon zeta eta theta iota\n" +
+        "short line\n")
+    // benchmark shares one 8-gram with the first doc only
+    import spark.implicits._
+    val bench = Seq("zero one two three four five six seven eight").toDF("text")
+    val hashes = TextIngest.benchmarkGramHashes(bench, "text")
+    assert(hashes.length == 2) // 9 words -> two 8-grams
+
+    val batch = TextIngest.withContaminationFlag(
+        TextIngest.withSplitAssignment(TextIngest.ingestTextFiles(spark, dir)), hashes)
+      .select("text", "split_name", "contaminated")
+    val collected = batch.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(collected.size == 3)
+    assert(collected.filter(_._2._2).keys.toSeq == collected.keys.filter(_.startsWith("one two")).toSeq,
+      "exactly the overlapping doc is flagged")
+    assert(collected("short line")._2 == false) // < 8 words: no gram evidence
+    assert(collected.values.forall(v => Set("train", "val", "test")(v._1)))
+
+    // the same two transforms run unchanged on the streaming path
+    val q = TextIngest.streamTextFiles(spark, dir, "1 hour")
+      .transform(TextIngest.withSplitAssignment)
+      .transform(df => TextIngest.withContaminationFlag(df, hashes))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("txt_curation").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT text, split_name, contaminated FROM txt_curation")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(streamed === collected)
+  }
+
   test("streaming ingestion dedups content within the watermark horizon") {
     val dir = Files.createTempDirectory("txt-stream").toString
     Files.writeString(Paths.get(s"$dir/a.txt"), "doc one\ndoc two\n")
