@@ -327,5 +327,29 @@ object Analytics {
       varPop.as("var_pop"), sqrt(varPop).as("stddev_pop"))
   }
 
-  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30, x32, x36)
+  /** Salted two-phase aggregation under the oracle gate — the shape a
+    * 100 TB run needs when one group key dominates (a handful of return
+    * flags over the whole fact table is exactly that): phase 1 groups by
+    * (key, content-salt) so no reducer owns a whole hot key, phase 2
+    * re-aggregates per key. Bit-identical to the plain groupBy because
+    * decimal sums are associative (the salt only splits reduce state) and
+    * the salt derives from row content, so task retries re-assign
+    * identically (see [[Skew]]). */
+  val x48 = Q(
+    "x48_salted_skew_agg",
+    Some(
+      s"SELECT l_returnflag, ${sqlSum("l_quantity")} AS sum_qty, " +
+        s"$sqlCount AS n FROM lineitem GROUP BY l_returnflag"
+    )
+  ) { t =>
+    Skew.saltedSum(
+      t.lineitem.select(col("l_returnflag"), col("l_quantity").cast(Dec).as("__q")),
+      col("l_returnflag"), salts = 8,
+      sums = Map("sum_qty" -> col("__q"), "n" -> lit(1L)))
+      .select(col("__key").as("l_returnflag"),
+        col("sum_qty").cast("double").as("sum_qty"), col("n"))
+  }
+
+  val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30, x32,
+    x36, x48)
 }
