@@ -137,6 +137,19 @@ class CurationSpec extends AnyFunSuite {
     assert(lifts == lifts.sorted.reverse, "descending lift order")
   }
 
+  test("x47 flagship curation plan: pruned scans, no sort-merge joins, split totals consistent") {
+    val p = plan("x47_curated_corpus")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(!p.contains("lang"), "unused columns must not reach any scan")
+    val rows = run("x47_curated_corpus").collect()
+    assert(rows.nonEmpty && rows.length < 500, "some docs must be filtered")
+    // survivors are a subset of x43's split assignment with identical labels
+    val splits = run("x43_content_hash_split").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.forall(r => splits(r.getLong(0)) == r.getString(1)))
+  }
+
   test("x44 new-batch frames broadcast; corpus side is never sort-merge self-joined") {
     val p = plan("x44_incremental_dedup")
     assert(p.contains("BroadcastHashJoin"), p)
