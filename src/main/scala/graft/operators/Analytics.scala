@@ -350,6 +350,64 @@ object Analytics {
         col("sum_qty").cast("double").as("sum_qty"), col("n"))
   }
 
+  /** Arbitrary GROUPING SETS (the general form x15/x16's rollup/cube
+    * specialize) with per-column GROUPING flags. The flags are emitted
+    * as one column per grouping column — portable across engines without
+    * depending on either engine's grouping_id bit order. One Expand +
+    * one aggregate; at scale identical cost shape to rollup. */
+  val x49 = Q(
+    "x49_grouping_sets",
+    Some(
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status, " +
+        s"$sqlCount AS n, ${sqlSum("l_quantity")} AS sum_qty FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))"
+    )
+  ) { t =>
+    t.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n"),
+        exactSum(col("l_quantity")).as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
+  }
+
+  /** Time-RANGE rolling window — a 7-day trailing spend sum per customer
+    * (RANGE frame over epoch seconds, so all tied timestamps are peers:
+    * no tiebreak needed, unlike ROWS frames). The reference surface has
+    * only ROWS frames (x18); RANGE-by-value is the other half users
+    * expect. Partitioned by customer → parallel at any scale. */
+  val x50 = Q(
+    "x50_range_interval_window",
+    Some(
+      "WITH o AS (SELECT o_custkey, o_orderkey, " +
+        "epoch(CAST(o_orderdate AS TIMESTAMP)) AS ts, o_totalprice FROM orders) " +
+        "SELECT o_custkey, o_orderkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS spend_7d, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_7d " +
+        "FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY ts " +
+        "RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)"
+    )
+  ) { t =>
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("ts"))
+      .rangeBetween(-604800L, Window.currentRow)
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("ts"), col("o_totalprice"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(Dec)).over(w).cast("double").as("spend_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+  }
+
   val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30, x32,
-    x36, x48)
+    x36, x48, x49, x50)
 }
