@@ -819,6 +819,58 @@ object TrainingData {
           .otherwise("test").as("split_name"))
   }
 
+  /** Blocked edit-distance fuzzy dedup — the character-level near-dup
+    * detector that catches what shingle Jaccard misses (small in-place
+    * edits): documents block on their first two words (an inverted-index
+    * key — candidate work is Σ block², never the corpus cross join, the
+    * same scaling story as x02), pairs inside a block score relative
+    * Levenshtein distance, and pairs within 0.3 of the longer length
+    * surface. `levenshtein` is an integer in both engines; the relative
+    * distance is one exact int division. Two lossless prunes keep the
+    * candidate work bounded (the oracle computes the naive form — same
+    * survivors): a length filter (|len_a − len_b| alone already exceeds
+    * the distance bound → the pair can never pass, since lev ≥ the
+    * length gap), and Spark's banded `levenshtein(a, b, k)` with k one
+    * above the bound, which computes only the O(n·k) diagonal band and
+    * returns −1 for pairs that can't pass. */
+  val x51 = Q(
+    "x51_fuzzy_dedup_levenshtein",
+    Some {
+      "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
+        "b AS (SELECT doc_id, text, array_to_string(w[1:2], ' ') AS blk, " +
+        "len(text) AS nc FROM d) " +
+        "SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, " +
+        "CAST(levenshtein(a.text, b2.text) AS BIGINT) AS lev, " +
+        "CAST(levenshtein(a.text, b2.text) AS DOUBLE) / greatest(a.nc, b2.nc) AS rel_dist " +
+        "FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id " +
+        "WHERE CAST(levenshtein(a.text, b2.text) AS DOUBLE) / greatest(a.nc, b2.nc) <= 0.3"
+    }
+  ) { t =>
+    val blocked = t.documents.select(
+      col("doc_id"), col("text"),
+      array_join(slice(split(col("text"), " "), 1, 2), " ").as("blk"),
+      length(col("text")).as("nc"))
+    val a = blocked.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+      col("blk"), col("nc").as("na"))
+    val b = blocked.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+      col("blk"), col("nc").as("nb"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      // lossless: lev >= |na - nb|, so this pair could never pass the
+      // rel_dist filter (same double division as the final predicate)
+      .filter(abs(col("na") - col("nb")).cast("double")
+        / greatest(col("na"), col("nb")) <= 0.3)
+      // banded edit distance: k = floor(0.3 * mx) + 1 upper-bounds every
+      // passing distance, so survivors get their exact value, never -1
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        expr("levenshtein(ta, tb, CAST(0.3 * greatest(na, nb) AS INT) + 1)")
+          .cast("long").as("lev"))
+      .filter(col("lev") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        (col("lev").cast("double") / greatest(col("na"), col("nb"))).as("rel_dist"))
+      .filter(col("rel_dist") <= 0.3)
+  }
+
   /** Chunk-level duplication coverage — the duplicated-substring signal
     * of web-corpus curation (what fraction of a document is made of
     * 16-word chunks that occur elsewhere in the corpus): documents are
@@ -1045,6 +1097,6 @@ object TrainingData {
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46, x47
+    x43, x44, x45, x46, x47, x51
   )
 }

@@ -37,6 +37,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.length.toLong === total)
   }
 
+  test("x49 grouping sets: one Expand pass; flags partition the output") {
+    val df = SparkEntry.queries("x49_grouping_sets")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.split("\n").count(_.contains("Expand")) <= 2, p) // one Expand node (+detail line)
+    val rows = df.collect()
+    // three grouping sets, disjoint flag combinations, no grand total
+    val flagSets = rows.map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(flagSets == Set((0L, 0L), (0L, 1L), (1L, 0L)))
+  }
+
+  test("x50 range window is partitioned by customer (no global window) and frames by value") {
+    val df = SparkEntry.queries("x50_range_interval_window")(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "every window must be partitioned")
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(3) >= 1L)) // frame always includes current row
+    assert(rows.exists(r => r.getLong(3) > 1L), "some 7-day frames span multiple orders")
+  }
+
+  test("x51 fuzzy dedup: relative distance bounded, symmetric under block, levenshtein sane") {
+    val df = SparkEntry.queries("x51_fuzzy_dedup_levenshtein")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 0.3))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("approx distinct is within 5% of exact") {
     SparkEntry.queries("x21_approx_distinct")(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
