@@ -81,6 +81,35 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(cc.size === 11)
   }
 
+  test("connectedComponents: equals driver union-find on 30 random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 30).foreach { trial =>
+      val n = 5 + rnd.nextInt(30)
+      val edges = (1 to n).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(v => v -> find(v)).toMap
+        val got = Dedup.connectedComponents(
+            edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // min-label CC roots every vertex at its component minimum — so
+        // does union-by-min union-find with path compression
+        assert(got === expected, s"trial $trial edges=$edges")
+      }
+    }
+  }
+
   test("bucketed embedding near-dup: precision 1.0 and pinned recall vs all-pairs") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     graft.functions.VectorExpressions.ensureRegistered(spark)
