@@ -98,6 +98,29 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(totalEvents === events.count())
   }
 
+  test("built-in session_window agrees with the gaps-and-islands formulation") {
+    // Spark's native session windows (the built-in the engine prefers
+    // when it fits) produce the exact session inventory of x13's
+    // lag/running-sum form: same (user, n_events, start, end) per
+    // session. (Boundary note: session_window closes at a gap of
+    // EXACTLY 30 min while the lag form keeps it open; the fixture has
+    // no exact-gap successor pairs, so the semantics coincide.)
+    val batch = graft.operators.TrainingData.all
+      .find(_.name == "x13_sessionize").get
+      .fn(Tables(spark, "/root/testdata/sf0.001"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val native = events
+      .select(col("user_id"), col("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(native === batch)
+  }
+
   test("streaming sessionization: timeout-closed sessions, no duplicate emission") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
