@@ -65,4 +65,37 @@ class PartitioningSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one key owns ~95% of the left side — the classic hot key
+      val left = spark.range(0, 200000)
+        .select(when($"id" % 20 =!= 0, lit(7L)).otherwise($"id" % 100).as("k"),
+          $"id".as("v"))
+      val right = spark.range(0, 100).select($"id".as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // execute THIS DataFrame's plan (count() would build a separate
+      // QueryExecution and leave this adaptive plan un-finalized)
+      assert(joined.collect().length === 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE should have split the hot partition:\n$finalPlan")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
 }
