@@ -446,6 +446,31 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "jaccard")
   }
 
+  /** Leakage-safe train/val/test split — content-hash splitting alone
+    * (TextIngest.withSplitAssignment) only keeps EXACT duplicates
+    * together; near-duplicate pairs can still straddle train and test
+    * and leak. This assigns every document the split of its near-dup
+    * CLUSTER: pairs → [[connectedComponents]] → each member takes the
+    * hash of its cluster root's id (documents with no near-dup keep
+    * their own id as root), so a whole near-dup family always lands in
+    * one split. Root-id hashing (vs root-content) keeps the final pass
+    * to one broadcast-size join against the root map — clusters are a
+    * tiny fraction of any real corpus. */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, threshold)
+    val roots = connectedComponents(pairs, "doc_a", "doc_b")
+    val withRoot = df
+      .join(broadcast(roots), df(idCol) === roots("node"), "left")
+      .select(df(idCol),
+        coalesce(col("cluster_root"), df(idCol)).as("split_key"))
+    val bucket = pmod(xxhash64(col("split_key")), lit(100L))
+    withRoot.select(col(idCol), col("split_key"),
+      when(bucket < 98, "train").when(bucket < 99, "val")
+        .otherwise("test").as("split_name"))
+  }
+
   /** Incremental-batch dedup — the ingestion-time question ("is this
     * newly crawled doc already in the corpus?") rather than the
     * self-dedup one: each NEW doc (per `isNew`) gets a verdict against

@@ -99,6 +99,26 @@ class CurationSpec extends AnyFunSuite {
     assert(dup.select("text", "bucket").distinct().count() == 2)
   }
 
+  test("leakageSafeSplit keeps near-dup clusters in one split") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven nine"),   // near-dup of 1
+      (3L, "one two three four five six seven ten"),    // near-dup of 1 and 2
+      (4L, "alpha beta gamma delta epsilon zeta eta"),  // isolated
+      (5L, "totally unrelated words appear only here")  // isolated
+    ).toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 5)
+    // the whole near-dup family shares the root key and therefore the split
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(1L)._1 == 1L, "cluster root is the min id")
+    // isolated docs key on themselves
+    assert(out(4L)._1 == 4L && out(5L)._1 == 5L)
+    assert(out.values.forall(v => Set("train", "val", "test")(v._2)))
+  }
+
   test("incrementalDedup issues exact/near/unique verdicts against the existing side only") {
     import spark.implicits._
     val corpus = Seq(
