@@ -417,7 +417,12 @@ object Dedup {
     * 1.0 via the exact re-check. */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol)
+    // ONE shingle build feeds signatures, per-doc counts AND the exact
+    // verification join — the corpus-wide explode is the expensive part,
+    // and recomputing it per consumer is strictly worse than reading the
+    // checkpointed blocks once the shuffle leaves a single node
+    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
+    val sigs = minhashSignaturesFromShingles(sh, idCol)
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), col(s"band$k").as("key"))
     }
@@ -430,7 +435,6 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sh = shingles(df, idCol, textCol)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.select(col(idCol).as("doc_a"), col("sh")), Seq("doc_a"))
@@ -454,18 +458,25 @@ object Dedup {
     * hash of its cluster root's id (documents with no near-dup keep
     * their own id as root), so a whole near-dup family always lands in
     * one split. Root-id hashing (vs root-content) keeps the final pass
-    * to one broadcast-size join against the root map — clusters are a
-    * tiny fraction of any real corpus. */
+    * to one join against the root map. The root map is proportional to
+    * the DUPLICATED subset of the corpus, not to the corpus — usually
+    * tiny, but on a heavily duplicated web crawl it can be large, so the
+    * join carries no broadcast hint: AQE broadcasts it at runtime when
+    * it is small and falls back to a shuffled join when it is not,
+    * instead of failing on the driver's broadcast limit. */
   def leakageSafeSplit(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
     val pairs = ngramJaccardPairs(df, idCol, textCol, threshold)
     val roots = connectedComponents(pairs, "doc_a", "doc_b")
     val withRoot = df
-      .join(broadcast(roots), df(idCol) === roots("node"), "left")
+      .join(roots, df(idCol) === roots("node"), "left")
       .select(df(idCol),
         coalesce(col("cluster_root"), df(idCol)).as("split_key"))
-    val bucket = pmod(xxhash64(col("split_key")), lit(100L))
+    // same portable 98/1/1 hash rule as the content-hash split (x43),
+    // keyed on the root id's digits — bit-identical cross-engine
+    val bucket = expr("poly_hash(CAST(split_key AS STRING)) % 100")
     withRoot.select(col(idCol), col("split_key"),
       when(bucket < 98, "train").when(bucket < 99, "val")
         .otherwise("test").as("split_name"))
@@ -496,8 +507,11 @@ object Dedup {
       .join(extTexts, Seq(textCol), "left_semi")
       .select(col(idCol).as("__exact_id"))
 
-    // near: banded candidates restricted to new × existing
-    val sigs = minhashSignatures(df, idCol, textCol)
+    // near: banded candidates restricted to new × existing; ONE shingle
+    // build feeds signatures, counts and the verification join (see
+    // minhashCandidatePairs — same shared-frame rationale)
+    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
+    val sigs = minhashSignaturesFromShingles(sh, idCol)
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), col(s"band$k").as("key"))
     }
@@ -512,7 +526,6 @@ object Dedup {
     val cand = broadcast(newK).join(extK, Seq("band", "key"))
       .select("new_id", "ext_id").distinct()
 
-    val sh = shingles(df, idCol, textCol)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val near = cand
       .join(sh.select(col(idCol).as("new_id"), col("sh")), Seq("new_id"))

@@ -732,9 +732,13 @@ object TrainingData {
     val nw = words.agg(count(lit(1)).as("nn"))
     val ab = t.documents
       .select(split(col("text"), " ").as("ws"))
+      // size(ws) < 2 would make sequence(1, 0) descend to index 0 and
+      // crash element_at — guard like x40/x47 (DuckDB's end-exclusive
+      // range(1, len(w)) is already safe, so only the Spark side needs it)
       .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> element_at(ws, i) || ' ' || element_at(ws, i + 1))")).as("bg"))
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
+          "i -> element_at(ws, i) || ' ' || element_at(ws, i + 1)) " +
+          "ELSE array() END")).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 5)
     ab
@@ -869,6 +873,42 @@ object TrainingData {
       .select(col("doc_a"), col("doc_b"), col("lev"),
         (col("lev").cast("double") / greatest(col("na"), col("nb"))).as("rel_dist"))
       .filter(col("rel_dist") <= 0.3)
+  }
+
+  /** Leakage-safe train/val/test split — the capstone the dedup pack
+    * exists for: content-hash splitting (x43) keeps only EXACT dups
+    * together, so near-dup pairs can straddle train and test and leak.
+    * Here every document takes the split of its near-dup CLUSTER: pairs
+    * at Jaccard ≥ 0.5 → connected components → each member keys the
+    * 98/1/1 hash rule on its cluster ROOT id (isolated docs on their own
+    * id). The oracle composes x33's recursive-CTE closure with x43's
+    * portable hash rule over the root ids — both engines converge to
+    * min-reachable-id roots and hash the same digit strings. */
+  val x52 = Q(
+    "x52_leakage_safe_split",
+    Some {
+      s"WITH RECURSIVE $duckShingleCtes, " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "prs AS (SELECT doc_a, doc_b FROM " +
+        "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) p " +
+        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5), " +
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM prs " +
+        "UNION SELECT doc_b, doc_a FROM prs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "roots AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS root FROM reach GROUP BY u), " +
+        "keyed AS (SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS split_key " +
+        "FROM documents d LEFT JOIN roots r ON d.doc_id = r.doc_id) " +
+        "SELECT doc_id, split_key, CASE WHEN b < 98 THEN 'train' " +
+        "WHEN b < 99 THEN 'val' ELSE 'test' END AS split_name FROM " +
+        s"(SELECT doc_id, split_key, ${duckPolyHash("CAST(split_key AS VARCHAR)")} % 100 AS b " +
+        "FROM keyed) t"
+    }
+  ) { t =>
+    Dedup.leakageSafeSplit(t.documents, "doc_id", "text", threshold = 0.5)
   }
 
   /** Chunk-level duplication coverage — the duplicated-substring signal
@@ -1097,6 +1137,6 @@ object TrainingData {
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46, x47, x51
+    x43, x44, x45, x46, x47, x51, x52
   )
 }

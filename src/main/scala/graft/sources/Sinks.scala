@@ -45,13 +45,28 @@ object Sinks {
     * dialect cannot substitute CLOB/TEXT. Overwrite mode drops and
     * recreates, mirroring the reference's full-refresh staging.
     * `numPartitions` bounds the concurrent connection count — at scale
-    * the writer must not open one connection per input partition. */
+    * the writer must not open one connection per input partition.
+    * `varcharLen` is a floor, not a cap: one aggregate pass measures the
+    * longest stringified value per column and widens any column that
+    * would otherwise overflow the batched INSERT at runtime (silently
+    * truncating staging data is never acceptable). Column names are
+    * backtick-quoted in the DDL string — `createTableColumnTypes` is
+    * parsed by Spark's schema parser, which then applies the JDBC
+    * dialect's own identifier quoting — so reserved-word or spaced
+    * names survive the CREATE TABLE. */
   def writeJdbcVarchar(
       df: DataFrame, url: String, table: String,
       properties: java.util.Properties = new java.util.Properties,
       varcharLen: Int = 4000, numPartitions: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, length, lit, max}
     val stringly = df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
-    val ddl = stringly.columns.map(c => s"$c VARCHAR($varcharLen)").mkString(", ")
+    val maxLens = stringly
+      .select(stringly.columns.map(c => coalesce(max(length(col(c))), lit(0)).as(c)): _*)
+      .head()
+    val ddl = stringly.columns.zipWithIndex.map { case (c, i) =>
+      val quoted = "`" + c.replace("`", "``") + "`"
+      s"$quoted VARCHAR(${math.max(varcharLen, maxLens.getInt(i))})"
+    }.mkString(", ")
     stringly
       .coalesce(numPartitions)
       .write.mode("overwrite")

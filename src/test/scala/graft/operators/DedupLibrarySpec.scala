@@ -158,6 +158,24 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(recall >= 0.5, f"minhash-band recall $recall%.3f below pinned floor")
   }
 
+  test("minhash band pairs and incremental dedup build the shingle frame once") {
+    // the shingle explode (wordNgrams → concat_ws over the word slices) is
+    // the expensive corpus-wide pass; after the shared-frame rewrite every
+    // consumer (signatures, per-doc counts, exact verification join) reads
+    // the single checkpointed frame, so NO shingle construction may remain
+    // in the final plan
+    val small = Tables(spark, "/root/testdata/sf0.001").documents
+    val pairsPlan = Dedup.minhashCandidatePairs(small, "doc_id", "text", threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!pairsPlan.contains("concat_ws"),
+      "minhashCandidatePairs recomputes the shingle explode instead of sharing one frame")
+    val incPlan = Dedup.incrementalDedup(
+        small, "doc_id", "text", col("doc_id") >= 450, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!incPlan.contains("concat_ws"),
+      "incrementalDedup recomputes the shingle explode instead of sharing one frame")
+  }
+
   test("lshBuckets is deterministic across repartitioning") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     graft.functions.VectorExpressions.ensureRegistered(spark)
