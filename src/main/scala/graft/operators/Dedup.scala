@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Text
 
@@ -11,6 +12,23 @@ import graft.functions.Text
   * never driver loops; see SCALE.md "Dedup & similarity at scale").
   */
 object Dedup {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Unpersist the executor-local blocks behind an eagerly materialized
+    * frame returned by this library ([[minhashCandidatePairs]],
+    * [[incrementalDedup]], [[ngramJaccardPairsPrefix]],
+    * [[connectedComponents]]): walks the analyzed plan and unpersists
+    * every scanned-RDD leaf. Safe to call on any frame — non-block-backed
+    * plans are a no-op. Call this once the result has been consumed in a
+    * long-lived session; otherwise the blocks stay pinned until the RDD
+    * object is garbage collected. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Exact dedup: one shuffle on content; canonical row = min id. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
@@ -173,15 +191,9 @@ object Dedup {
       .select("query_id", "neighbor_id", "cosine")
   }
 
-  /** IVF-style cell assignment: the first `k` vectors (by id) act as
-    * deterministic centroids; every vector lands in the cell of its
-    * nearest centroid by cosine. The centroid set is tiny → broadcast;
-    * assignment is one scan. (A production index would Lloyd-iterate the
-    * centroids; the index/probe mechanics are what matter here.) */
-  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val norms = withNorm(df, idCol, vecCol)
-    val cents = norms.filter(col(idCol) < k).select(
-      col(idCol).as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+  /** Nearest-centroid assignment of every normed vector: tiny centroid
+    * frame broadcast, one corpus scan. */
+  private def assignToCells(norms: DataFrame, cents: DataFrame, idCol: String): DataFrame =
     norms
       .crossJoin(broadcast(cents))
       .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
@@ -191,7 +203,49 @@ object Dedup {
           .partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cent_id"))))
       .filter(col("rn") === 1)
       .select(col(idCol), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+
+  /** Shared IVF index build: deterministic seed centroids (first `k`
+    * vectors by id), optionally refined by `lloydIters` rounds of
+    * assign → per-cell mean. Returns (centroids, assignment) from the
+    * SAME final centroid set, so probe routing and cell contents can
+    * never disagree. Each Lloyd round costs one corpus scan for the
+    * assignment plus one (cell, dim)-grouped aggregate — the mean is
+    * computed distributed (explode to n·d rows, two shuffles of k·d
+    * rows out), never on the driver. */
+  private def ivfIndex(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      lloydIters: Int): (DataFrame, DataFrame) = {
+    val norms = withNorm(df, idCol, vecCol)
+    var cents = norms.filter(col(idCol) < k).select(
+      col(idCol).as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    for (_ <- 0 until lloydIters) {
+      cents = assignToCells(norms, cents, idCol)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("mv"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv").cast("float")).as("ce"))
+        .select(col("cell").as("cent_id"), col("ce"),
+          sqrt(expr("float_vec_dot(ce, ce)")).as("cn"))
+    }
+    (cents, assignToCells(norms, cents, idCol))
   }
+
+  /** IVF-style cell assignment: the first `k` vectors (by id) act as
+    * deterministic seed centroids; every vector lands in the cell of its
+    * nearest centroid by cosine. The centroid set is tiny → broadcast;
+    * assignment is one scan. `lloydIters > 0` refines the seeds by that
+    * many rounds of assign → per-cell mean (one k-means / Lloyd step
+    * each) before the final assignment — on clustered (non-uniform)
+    * embedding distributions the refined cells track the density modes,
+    * which is what makes probe recall robust; the default 0 keeps the
+    * fully deterministic cross-engine-reproducible seeds (the x39 oracle
+    * contract). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      lloydIters: Int = 0): DataFrame =
+    ivfIndex(df, idCol, vecCol, k, lloydIters)._2
 
   /** IVF probe search: route each query to its `nprobe` nearest cells,
     * score exactly only within those cells — the search side of the
@@ -199,12 +253,10 @@ object Dedup {
   def ivfSearch(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column,
-      k: Int, nprobe: Int, topK: Int
+      k: Int, nprobe: Int, topK: Int, lloydIters: Int = 0
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssign(df, idCol, vecCol, k)
-    val cents = withNorm(df, idCol, vecCol).filter(col(idCol) < k).select(
-      col(idCol).as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val (cents, assigned) = ivfIndex(df, idCol, vecCol, k, lloydIters)
     val queries = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       .filter(queryPred)
@@ -250,7 +302,10 @@ object Dedup {
       n: Int = 3
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
+    // same persist-for-the-call discipline as minhashCandidatePairs: the
+    // shared shingle frame is cached only until the (small) pair result
+    // is materialized, then its blocks are dropped
+    val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val gdf = sh.groupBy(col("sh")).agg(count(lit(1)).as("gdf"))
     val wDoc = Window.partitionBy(col(idCol))
     val wPos = wDoc.orderBy(col("gdf").asc, col("sh").asc)
@@ -268,7 +323,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("sh"))).as("arr"))
     val aa = arrs.select(col(idCol).as("a_id"), col("arr").as("sa"))
     val bb = arrs.select(col(idCol).as("b_id"), col("arr").as("sb"))
-    candidates
+    val result = candidates
       .join(aa, col("doc_a") === col("a_id"))
       .join(bb, col("doc_b") === col("b_id"))
       .select(
@@ -279,6 +334,9 @@ object Dedup {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "jaccard")
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    result
   }
 
   /** Connected components over a near-dup pair list via distributed
@@ -292,9 +350,25 @@ object Dedup {
     * only scalar the loop needs.
     *
     * Returns (node, cluster_root) for every doc appearing in ≥1 pair;
-    * the canonical dedup keep-list is `node == cluster_root`. */
+    * the canonical dedup keep-list is `node == cluster_root`. The result
+    * is backed by the final round's checkpointed blocks — call
+    * [[release]] on it (or on a frame derived from it) once consumed in
+    * a long-lived session; intermediate rounds release their own blocks
+    * as the loop advances.
+    *
+    * If the label propagation has NOT converged after `maxIter` rounds
+    * (a component with diameter ≥ maxIter — plausible on a heavily
+    * duplicated crawl where near-dup chains run long), the labels are
+    * WRONG for that component: one chain gets ≥2 roots, which for a
+    * consumer like [[leakageSafeSplit]] silently splits a near-dup
+    * family across train/test — the exact leakage the operator exists to
+    * prevent. So non-convergence throws by default; pass
+    * `requireConvergence = false` to instead get the partial labels with
+    * a WARN (only correct when the caller tolerates over-segmented
+    * clusters, e.g. best-effort reporting). */
   def connectedComponents(
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20,
+      requireConvergence: Boolean = true): DataFrame = {
     // materialize the (possibly expensive) pair computation ONCE before
     // the union doubles the plan — both directions then read the
     // checkpointed rows instead of recomputing the upstream join twice
@@ -311,9 +385,11 @@ object Dedup {
     val parts = math.max(1, math.min(
       edgesWide.rdd.getNumPartitions, (nEdges / 100000L).toInt))
     val edges = edgesWide.coalesce(parts).localCheckpoint(true)
+    release(p); release(edgesWide) // edges is materialized — drop inputs
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
+    var prevRound = labels // last round's checkpoint, released once superseded
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -325,8 +401,21 @@ object Dedup {
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
         .localCheckpoint(true)
       converged = updated.filter(col("new_lbl") =!= col("lbl")).count() == 0L
+      release(prevRound)
+      prevRound = updated
       labels = updated.select(col("node"), col("new_lbl").as("lbl"))
       i += 1
+    }
+    release(edges)
+    if (!converged) {
+      val msg = s"connectedComponents did not converge within $maxIter rounds: " +
+        "some component has diameter >= maxIter and carries SPLIT labels " +
+        "(one cluster, multiple roots). Raise maxIter past the largest " +
+        "component diameter."
+      if (requireConvergence) {
+        release(prevRound)
+        throw new IllegalStateException(msg)
+      } else log.warn(msg + " Returning partial (over-segmented) labels.")
     }
     labels.select(col("node"), col("lbl").as("cluster_root"))
   }
@@ -420,8 +509,14 @@ object Dedup {
     // ONE shingle build feeds signatures, per-doc counts AND the exact
     // verification join — the corpus-wide explode is the expensive part,
     // and recomputing it per consumer is strictly worse than reading the
-    // checkpointed blocks once the shuffle leaves a single node
-    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
+    // cached blocks once the shuffle leaves a single node. The shingle
+    // frame is persisted (NOT localCheckpoint-ed: lineage survives
+    // executor loss) only for the duration of this call: the small
+    // result frame (∝ matching pairs, not corpus) is materialized
+    // eagerly, then the corpus-sized shingle blocks are dropped before
+    // returning. Call [[release]] on the returned frame once consumed to
+    // free its (small) blocks too.
+    val sh = shingles(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignaturesFromShingles(sh, idCol)
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), col(s"band$k").as("key"))
@@ -441,13 +536,16 @@ object Dedup {
       .join(sh.select(col(idCol).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
+    val result = common
       .join(counts.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(counts.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "jaccard")
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    result
   }
 
   /** Leakage-safe train/val/test split — content-hash splitting alone
@@ -463,13 +561,21 @@ object Dedup {
     * tiny, but on a heavily duplicated web crawl it can be large, so the
     * join carries no broadcast hint: AQE broadcasts it at runtime when
     * it is small and falls back to a shuffled join when it is not,
-    * instead of failing on the driver's broadcast limit. */
+    * instead of failing on the driver's broadcast limit.
+    *
+    * Correctness gate: the clustering runs with a raised round cap
+    * (`maxIter = 64` — each round is cheap once the graph is coalesced,
+    * and near-dup chains longer than that are vanishingly rare) and
+    * [[connectedComponents]]' convergence guard ON, so a component whose
+    * diameter still exceeds the cap fails the job loudly instead of
+    * silently assigning one near-dup family two roots — and therefore
+    * possibly two splits, the exact leakage this operator prevents. */
   def leakageSafeSplit(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
     val pairs = ngramJaccardPairs(df, idCol, textCol, threshold)
-    val roots = connectedComponents(pairs, "doc_a", "doc_b")
+    val roots = connectedComponents(pairs, "doc_a", "doc_b", maxIter = 64)
     val withRoot = df
       .join(roots, df(idCol) === roots("node"), "left")
       .select(df(idCol),
@@ -497,6 +603,19 @@ object Dedup {
   def incrementalDedup(
       df: DataFrame, idCol: String, textCol: String,
       isNew: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
+    val (plan, sh) = incrementalDedupPlan(df, idCol, textCol, isNew, threshold)
+    val result = plan.localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    result
+  }
+
+  /** The lazy plan behind [[incrementalDedup]] plus the shared persisted
+    * shingle frame (the caller must unpersist it after consuming the
+    * plan) — exposed so plan-shape tests can pin the broadcast join
+    * structure that the public function's eager materialization hides. */
+  private[graft] def incrementalDedupPlan(
+      df: DataFrame, idCol: String, textCol: String,
+      isNew: org.apache.spark.sql.Column, threshold: Double): (DataFrame, DataFrame) = {
     val flags = df.select(col(idCol), isNew.as("is_new"))
     val newIds = flags.filter(col("is_new")).select(col(idCol))
 
@@ -509,8 +628,11 @@ object Dedup {
 
     // near: banded candidates restricted to new × existing; ONE shingle
     // build feeds signatures, counts and the verification join (see
-    // minhashCandidatePairs — same shared-frame rationale)
-    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
+    // minhashCandidatePairs — same shared-frame rationale and the same
+    // persist-for-the-call discipline: the corpus-sized shingle blocks
+    // are dropped before returning, the small eager verdict frame is the
+    // caller's to [[release]] when consumed)
+    val sh = shingles(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignaturesFromShingles(sh, idCol)
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), col(s"band$k").as("key"))
@@ -538,7 +660,7 @@ object Dedup {
         >= threshold)
       .groupBy(col("new_id")).agg(count(lit(1)).as("n_near"))
 
-    newIds
+    val verdicts = newIds
       .join(broadcast(exactHits), col(idCol) === col("__exact_id"), "left")
       .join(broadcast(near), col(idCol) === col("new_id"), "left")
       .select(
@@ -548,5 +670,6 @@ object Dedup {
         when(col("__exact_id").isNotNull, "exact_dup")
           .when(coalesce(col("n_near"), lit(0L)) > 0, "near_dup")
           .otherwise("unique").as("verdict"))
+    (verdicts, sh)
   }
 }

@@ -59,19 +59,29 @@ object Sinks {
       properties: java.util.Properties = new java.util.Properties,
       varcharLen: Int = 4000, numPartitions: Int = 8): Unit = {
     import org.apache.spark.sql.functions.{coalesce, length, lit, max}
+    // persist before measuring: the width pass and the write must see the
+    // SAME materialization — with a non-deterministic upstream (rand,
+    // monotonically_increasing_id, shuffle-order-dependent values) two
+    // independent executions could measure narrower widths than they
+    // later write, failing the INSERT at runtime. MEMORY_AND_DISK spills
+    // rather than evicts, so the cached rows cannot be silently
+    // recomputed between the two passes.
     val stringly = df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
-    val maxLens = stringly
-      .select(stringly.columns.map(c => coalesce(max(length(col(c))), lit(0)).as(c)): _*)
-      .head()
-    val ddl = stringly.columns.zipWithIndex.map { case (c, i) =>
-      val quoted = "`" + c.replace("`", "``") + "`"
-      s"$quoted VARCHAR(${math.max(varcharLen, maxLens.getInt(i))})"
-    }.mkString(", ")
-    stringly
-      .coalesce(numPartitions)
-      .write.mode("overwrite")
-      .option("createTableColumnTypes", ddl)
-      .jdbc(url, table, properties)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxLens = stringly
+        .select(stringly.columns.map(c => coalesce(max(length(col(c))), lit(0)).as(c)): _*)
+        .head()
+      val ddl = stringly.columns.zipWithIndex.map { case (c, i) =>
+        val quoted = "`" + c.replace("`", "``") + "`"
+        s"$quoted VARCHAR(${math.max(varcharLen, maxLens.getInt(i))})"
+      }.mkString(", ")
+      stringly
+        .coalesce(numPartitions)
+        .write.mode("overwrite")
+        .option("createTableColumnTypes", ddl)
+        .jdbc(url, table, properties)
+    } finally stringly.unpersist(blocking = false)
   }
 
   /** JDBC read-back of a staged table (partition options belong to the

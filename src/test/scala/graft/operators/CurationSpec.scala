@@ -171,7 +171,13 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("x44 new-batch frames broadcast; corpus side is never sort-merge self-joined") {
-    val p = plan("x44_incremental_dedup")
+    // the public incrementalDedup eagerly materializes (its plan is a
+    // Scan ExistingRDD), so the join shape is pinned on the lazy variant
+    val docs = graft.sources.Tables(spark, sf).documents
+    val (lazyPlan, sh) = Dedup.incrementalDedupPlan(
+      docs, "doc_id", "text", col("doc_id") >= 450, threshold = 0.5)
+    val p = lazyPlan.queryExecution.executedPlan.toString
+    sh.unpersist(blocking = false)
     assert(p.contains("BroadcastHashJoin"), p)
     val rows = run("x44_incremental_dedup").collect()
     assert(rows.length == 50)

@@ -176,6 +176,47 @@ class DedupLibrarySpec extends AnyFunSuite {
       "incrementalDedup recomputes the shingle explode instead of sharing one frame")
   }
 
+  test("connectedComponents refuses to return silently unconverged labels") {
+    import spark.implicits._
+    // a 31-node chain (diameter 30): min-label propagation moves the root
+    // one hop per round, so 5 rounds CANNOT converge — the at-scale shape
+    // of a long near-dup chain on a heavily duplicated crawl
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 5)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // explicit opt-out returns partial labels: over-segmented (several
+    // roots on one chain), never wrongly merged
+    val partial = Dedup.connectedComponents(
+        chain, "doc_a", "doc_b", maxIter = 5, requireConvergence = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial.size === 31)
+    assert(partial.values.toSet.size > 1)
+    // a cap past the diameter converges to the single true root
+    val full = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet === Set(0L))
+  }
+
+  test("shared shingle frames release their blocks; release() frees eager results") {
+    val sc = spark.sparkContext
+    val small = Tables(spark, "/root/testdata/sf0.001").documents
+    val before = sc.getPersistentRDDs.keySet
+    val pairs = Dedup.minhashCandidatePairs(small, "doc_id", "text", threshold = 0.5)
+    assert(pairs.count() > 0)
+    val inc = Dedup.incrementalDedup(
+      small, "doc_id", "text", col("doc_id") >= 450, threshold = 0.5)
+    assert(inc.count() > 0)
+    // the corpus-sized shingle frames were already dropped inside the
+    // calls; release() frees the small eager result blocks — after a full
+    // materialize-and-release cycle nothing stays pinned
+    Dedup.release(pairs)
+    Dedup.release(inc)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"lingering persistent RDD blocks: $leaked")
+  }
+
   test("lshBuckets is deterministic across repartitioning") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     graft.functions.VectorExpressions.ensureRegistered(spark)

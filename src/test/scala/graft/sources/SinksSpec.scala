@@ -101,6 +101,24 @@ class SinksSpec extends AnyFunSuite {
     assert(types.nonEmpty && types.forall(_ === "VARCHAR"), types.toString)
   }
 
+  test("JDBC sink measures and writes the SAME materialization (no double execution)") {
+    val url = "jdbc:derby:memory:graft_sinks_nd;create=true"
+    val acc = spark.sparkContext.longAccumulator("payload-computations")
+    val counted = udf { (s: String) => acc.add(1L); s }
+    // rand()-derived width: a second independent execution would draw NEW
+    // widths, and any draw longer than the measured maximum fails the
+    // INSERT — the at-scale race the persist-before-measure fix removes
+    val src = spark.range(200)
+      .select(col("id"), counted(
+        expr("substring(repeat('x', 64), 1, cast(rand() * 64 as int) + 1)")).as("payload"))
+    Sinks.writeJdbcVarchar(src, url, "nd_payload", varcharLen = 1, numPartitions = 2)
+    // every row's non-deterministic payload was computed exactly once:
+    // the width pass and the write read one shared materialization
+    assert(acc.value === 200L)
+    val back = Sinks.readJdbc(spark, url, "nd_payload")
+    assert(back.count() === 200L)
+  }
+
   test("s3a-scheme URIs round-trip through Hadoop FileSystem resolution") {
     // no object store in this environment: map the s3a scheme onto the
     // local filesystem (S3AStubFileSystem) so the path-resolution half
