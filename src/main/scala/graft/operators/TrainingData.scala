@@ -488,6 +488,24 @@ object TrainingData {
       col("query_id") < 10, k = 16, nprobe = 2, topK = 5)
   }
 
+  /** x39's IVF probe search after ONE Lloyd refinement round (centroids
+    * recomputed as per-cell means before the final assignment): on
+    * clustered (non-uniform) embedding distributions the refined
+    * centroids track the density modes, which is what makes probe recall
+    * robust where first-k seeds would under-cover. Registered rows-only:
+    * the cell mean accumulates floats ACROSS rows, and no two engines
+    * share that accumulation order, so a bit-exact DuckDB twin does not
+    * exist by design — the Exact-decimal trick covers ≤4-decimal data,
+    * not arbitrary float mantissas. Cross-engine exactness of the shared
+    * index/probe mechanics is x39's job; IvfSpec pins the refinement
+    * contract (assignment still total, exhaustive probe still exact,
+    * refined recall vs seeds). */
+  val x53 = Q("x53_ivf_lloyd_probe", None) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
+      col("query_id") < 10, k = 16, nprobe = 2, topK = 5, lloydIters = 1)
+  }
+
   /** Benchmark decontamination — the eval-overlap gate every training
     * corpus runs before release (filter documents sharing long n-grams
     * with a held-out benchmark): a deterministic ~1% of docs stands in
@@ -1137,6 +1155,6 @@ object TrainingData {
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46, x47, x51, x52
+    x43, x44, x45, x46, x47, x51, x52, x53
   )
 }

@@ -37,6 +37,83 @@ class IvfSpec extends AnyFunSuite {
     assert(cells.size > 1)
   }
 
+  test("one Lloyd round keeps assignment total and exhaustive probing exact") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // assignment after refinement is still a partition of the corpus over
+    // the original seed cell ids
+    val assigned = Dedup.ivfAssign(emb, "vec_id", "embedding", k = 8, lloydIters = 1).cache()
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("cell").distinct().collect().map(_.getLong(0)).toSet
+      .subsetOf((0L until 8L).toSet))
+    // probing every refined cell is exhaustive == brute force, whatever
+    // the centroids became
+    val pred = col("query_id") < 10
+    val exact = topkSets(Dedup.annTopK(emb, "vec_id", "embedding", pred, k = 5))
+    val full = topkSets(Dedup.ivfSearch(
+      emb, "vec_id", "embedding", pred, k = 8, nprobe = 8, topK = 5, lloydIters = 1))
+    assert(full === exact)
+  }
+
+  test("one Lloyd round recomputes centroids as exact per-cell means") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // driver-side replica of assign(seeds) → per-cell mean → reassign,
+    // with FloatVecDot's exact arithmetic (sequential double
+    // accumulation, ties to the lowest cent_id) — the distributed Lloyd
+    // step must land every vector in the same refined cell
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val byId = vecs.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def assign(cents: Seq[(Long, Array[Float])]): Map[Long, Long] =
+      vecs.map { case (id, v) =>
+        id -> cents.map { case (cid, c) =>
+          (dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c))), cid)
+        }.maxBy { case (cos, cid) => (cos, -cid) }._2
+      }.toMap
+    val seeds = vecs.take(8).toSeq
+    val a0 = assign(seeds)
+    val means = a0.groupBy(_._2).toSeq.sortBy(_._1).map { case (cell, members) =>
+      val vs = members.keys.toSeq.sorted.map(byId)
+      val dims = vs.head.length
+      cell -> Array.tabulate(dims) { d =>
+        (vs.map(_(d).toDouble).sum / vs.size).toFloat
+      }
+    }
+    val expected = assign(means)
+    val got = Dedup.ivfAssign(emb, "vec_id", "embedding", k = 8, lloydIters = 1)
+      .select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("one Lloyd round: refined probe recall within noise of the seeds'") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // the fixture is UNIFORM random — no density modes, so refinement is
+    // a statistical no-op here (its win is on clustered distributions);
+    // the pin is that it cannot materially degrade either
+    val pred = col("query_id") < 20
+    val exact = topkSets(Dedup.annTopK(emb, "vec_id", "embedding", pred, k = 5))
+    def recall(lloyd: Int): Double = {
+      val got = topkSets(Dedup.ivfSearch(
+        emb, "vec_id", "embedding", pred, k = 8, nprobe = 2, topK = 5,
+        lloydIters = lloyd))
+      exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }.sum / exact.size
+    }
+    val seed = recall(0)
+    val refined = recall(1)
+    info(f"ivf nprobe=2 recall: seed centroids $seed%.3f, one Lloyd round $refined%.3f")
+    assert(refined >= seed - 0.05,
+      f"Lloyd refinement materially dropped recall: $refined%.3f vs $seed%.3f")
+  }
+
   test("ivfSearch recall grows with nprobe; full probe == brute force") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val pred = col("query_id") < 10
