@@ -112,6 +112,27 @@ object BenchLab {
       spark.stop(); return
     }
 
+    if (sys.env.get("LAB_MODE").contains("g06")) {
+      import graft.operators.GoldAnalogs
+      val fn = SparkEntry.queries("g06_recommendations")
+      time("g06 full") { fn(spark, sfDir) }
+      time("g06 weak side") {
+        GoldAnalogs.weaknesses(t)
+          .filter(col("resultado") === "Debilidad")
+          .select("season2", "weakness_type")
+      }
+      time("g06 targets side") { GoldAnalogs.recTargets(t) }
+      time("g06 bcast targets") {
+        GoldAnalogs.weaknesses(t)
+          .filter(col("resultado") === "Debilidad")
+          .select("season2", "weakness_type")
+          .join(broadcast(GoldAnalogs.recTargets(t)), "weakness_type")
+      }
+      time("g03 reference") { SparkEntry.queries("g03_team_weakness_unpivot")(spark, sfDir) }
+      time("g06 full (late)") { fn(spark, sfDir) }
+      spark.stop(); return
+    }
+
     if (sys.env.get("LAB_MODE").contains("x33")) {
       time("x33 cc clusters") {
         val pairs = graft.operators.Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", 0.5)

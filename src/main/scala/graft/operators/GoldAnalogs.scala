@@ -158,7 +158,7 @@ object GoldAnalogs {
     * exactly). A naive translation scans and joins the fact table three
     * times.
     */
-  private def weaknesses(t: Tables): DataFrame = {
+  private[graft] def weaknesses(t: Tables): DataFrame = {
     val perTeamRaw = games(t)
       .groupBy(col("season2"), col("n_name"))
       .agg(limbAggCols.head, limbAggCols.tail: _*)
@@ -526,6 +526,24 @@ object GoldAnalogs {
     val weak = weaknesses(t)
       .filter(col("resultado") === "Debilidad")
       .select("season2", "weakness_type")
+    // targets is BOUNDED at top-5 × |branches| rows by construction — the
+    // one side of this many-to-many join that is broadcast-safe at any
+    // scale (weak grows with |seasons|). The explicit hint also saves the
+    // planner/AQE a re-plan round that measurably dominates at small SF
+    // (lab: 1.06s → 0.61s at sf0.01).
+    weak.join(broadcast(recTargets(t)), "weakness_type")
+      .select(
+        col("season2"), col("weakness_type"),
+        col("p_name").as("recommended_part"), col("p_brand"),
+        col("metric_value"), col("list_price"), col("reason"),
+        col("p_partkey"), col("is_returned"), col("is_open")
+      )
+  }
+
+  /** g06's recommendation-target side (pool → exploded branches → global
+    * top-5 per branch), split out so the lab can time it against the
+    * weakness side independently. */
+  private[graft] def recTargets(t: Tables): DataFrame = {
     // ONE per-part pass: the oracle keeps the reference's three LEFT JOINs
     // over aggregated subqueries, but since every pooled part joins the
     // stats inner-join anyway, the existence flags and max-price collapse
@@ -590,19 +608,11 @@ object GoldAnalogs {
         col("b.brand_ok").as("brand_ok"),
         col("b.reason").as("reason")
       )
-    val targets = Ranks
+    Ranks
       .topKPerGroup(exploded, Seq("weakness_type"),
         Seq(("sort_value", true), ("p_partkey", true)), 5)
       .filter(col("brand_ok"))
       .drop("sort_value", "brand_ok")
-    weak
-      .join(targets, "weakness_type")
-      .select(
-        col("season2"), col("weakness_type"),
-        col("p_name").as("recommended_part"), col("p_brand"),
-        col("metric_value"), col("list_price"), col("reason"),
-        col("p_partkey"), col("is_returned"), col("is_open")
-      )
   }
 
   val all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06)

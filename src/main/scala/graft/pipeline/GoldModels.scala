@@ -352,9 +352,10 @@ object GoldModels {
         Seq("weakness_type"), Seq(("sort_value", true), ("player_id", true)), 5)
       .filter(col("pos_ok"))
       .drop("sort_value", "pos_ok")
-    // final many-to-many join on weakness_type (sql:149-161)
+    // final many-to-many join on weakness_type (sql:149-161); targets is
+    // bounded at top-5 × 7 branches by construction — always broadcast
     weak
-      .join(targets, "weakness_type")
+      .join(broadcast(targets), "weakness_type")
       .select(
         col("season2"), col("weakness_type"),
         col("player_name").as("recommended_player"),
