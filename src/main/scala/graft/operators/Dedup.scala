@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Text
 
@@ -302,10 +301,10 @@ object Dedup {
       n: Int = 3
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // same persist-for-the-call discipline as minhashCandidatePairs: the
-    // shared shingle frame is cached only until the (small) pair result
-    // is materialized, then its blocks are dropped
-    val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    // same checkpoint-for-the-call discipline as minhashCandidatePairs:
+    // the shared shingle frame lives only until the (small) pair result
+    // is materialized, then its blocks are released
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
     val gdf = sh.groupBy(col("sh")).agg(count(lit(1)).as("gdf"))
     val wDoc = Window.partitionBy(col(idCol))
     val wPos = wDoc.orderBy(col("gdf").asc, col("sh").asc)
@@ -335,7 +334,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "jaccard")
       .localCheckpoint(true)
-    sh.unpersist(blocking = false)
+    release(sh)
     result
   }
 
@@ -509,14 +508,17 @@ object Dedup {
     // ONE shingle build feeds signatures, per-doc counts AND the exact
     // verification join — the corpus-wide explode is the expensive part,
     // and recomputing it per consumer is strictly worse than reading the
-    // cached blocks once the shuffle leaves a single node. The shingle
-    // frame is persisted (NOT localCheckpoint-ed: lineage survives
-    // executor loss) only for the duration of this call: the small
-    // result frame (∝ matching pairs, not corpus) is materialized
-    // eagerly, then the corpus-sized shingle blocks are dropped before
-    // returning. Call [[release]] on the returned frame once consumed to
-    // free its (small) blocks too.
-    val sh = shingles(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // checkpointed blocks once the shuffle leaves a single node. The
+    // eager localCheckpoint is the fast sharing vehicle (a row copy; the
+    // columnar persist() cache measured ~40% slower end to end), with
+    // connectedComponents' caveat: blocks are non-replicated, so an
+    // executor loss DURING this call fails the job instead of
+    // recomputing. The frame lives only for the call — the small result
+    // (∝ matching pairs, not corpus) is materialized eagerly, then the
+    // corpus-sized shingle blocks are released before returning. Call
+    // [[release]] on the returned frame once consumed to free its
+    // (small) blocks too.
+    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
     val sigs = minhashSignaturesFromShingles(sh, idCol)
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), col(s"band$k").as("key"))
@@ -544,7 +546,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "jaccard")
       .localCheckpoint(true)
-    sh.unpersist(blocking = false)
+    release(sh)
     result
   }
 
@@ -605,14 +607,15 @@ object Dedup {
       isNew: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
     val (plan, sh) = incrementalDedupPlan(df, idCol, textCol, isNew, threshold)
     val result = plan.localCheckpoint(true)
-    sh.unpersist(blocking = false)
+    release(sh)
     result
   }
 
-  /** The lazy plan behind [[incrementalDedup]] plus the shared persisted
-    * shingle frame (the caller must unpersist it after consuming the
-    * plan) — exposed so plan-shape tests can pin the broadcast join
-    * structure that the public function's eager materialization hides. */
+  /** The lazy plan behind [[incrementalDedup]] plus the shared
+    * checkpointed shingle frame (the caller must [[release]] it after
+    * consuming the plan) — exposed so plan-shape tests can pin the
+    * broadcast join structure that the public function's eager
+    * materialization hides. */
   private[graft] def incrementalDedupPlan(
       df: DataFrame, idCol: String, textCol: String,
       isNew: org.apache.spark.sql.Column, threshold: Double): (DataFrame, DataFrame) = {
@@ -628,11 +631,11 @@ object Dedup {
 
     // near: banded candidates restricted to new × existing; ONE shingle
     // build feeds signatures, counts and the verification join (see
-    // minhashCandidatePairs — same shared-frame rationale and the same
-    // persist-for-the-call discipline: the corpus-sized shingle blocks
-    // are dropped before returning, the small eager verdict frame is the
-    // caller's to [[release]] when consumed)
-    val sh = shingles(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // minhashCandidatePairs — same shared-frame rationale, same
+    // checkpoint-for-the-call discipline and executor-loss caveat: the
+    // corpus-sized shingle blocks are released before returning, the
+    // small eager verdict frame is the caller's to [[release]])
+    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
     val sigs = minhashSignaturesFromShingles(sh, idCol)
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), col(s"band$k").as("key"))

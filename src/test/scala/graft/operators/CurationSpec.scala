@@ -177,7 +177,7 @@ class CurationSpec extends AnyFunSuite {
     val (lazyPlan, sh) = Dedup.incrementalDedupPlan(
       docs, "doc_id", "text", col("doc_id") >= 450, threshold = 0.5)
     val p = lazyPlan.queryExecution.executedPlan.toString
-    sh.unpersist(blocking = false)
+    Dedup.release(sh)
     assert(p.contains("BroadcastHashJoin"), p)
     val rows = run("x44_incremental_dedup").collect()
     assert(rows.length == 50)
