@@ -95,6 +95,77 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "jaccard")
   }
 
+  /** Directional containment pairs: for each ordered pair (inner, outer),
+    * containment = |S(inner) ∩ S(outer)| / |S(inner)| over distinct word
+    * n-gram shingles. Unlike the symmetric Jaccard of
+    * [[ngramJaccardPairs]], containment flags near-SUPERSET relations —
+    * a short document quoted or embedded inside a longer aggregate page
+    * scores high even when their symmetric Jaccard is low, which is why
+    * corpus curation runs both. Same inverted-index self-join shape
+    * (never all-pairs); both directions of a pair are emitted because
+    * containment is asymmetric. Docs with fewer than `n` words carry no
+    * shingles and drop out. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("doc_a"), col("sh"))
+    val b = sh.select(col(idCol).as("doc_b"), col("sh"))
+    // |A ∩ B| is symmetric, so the expensive inverted-index self-join and
+    // its pair aggregation run ONCE on ordered pairs (a < b, halving the
+    // shuffled pair rows); the two containment directions differ only in
+    // the denominator and are fanned out from the small aggregated frame
+    val pairs = a
+      .join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val ca = counts.select(col(idCol).as("ca_id"), col("n").as("na"))
+    val cb = counts.select(col(idCol).as("cb_id"), col("n").as("nb"))
+    pairs
+      .join(ca, col("doc_a") === col("ca_id"))
+      .join(cb, col("doc_b") === col("cb_id"))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"))
+      .withColumn("dir", explode(array(
+        struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+          (col("common").cast("double") / col("na")).as("containment")),
+        struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+          (col("common").cast("double") / col("nb")).as("containment")))))
+      .select(col("dir.doc_inner").as("doc_inner"),
+        col("dir.doc_outer").as("doc_outer"),
+        col("common"), col("dir.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Pick one canonical document per cluster by an explicit priority
+    * order (e.g. trusted source first), instead of [[connectedComponents]]'
+    * arbitrary min-id root: `labels` is the (`idCol`, `cluster_root`)
+    * frame a clustering produced, `meta` carries the ordering columns,
+    * `orderBy` ranks candidates within a cluster (first = keeper). The
+    * window partitions by cluster root — cluster-sized partitions, never
+    * an unpartitioned global sort. */
+  def canonicalByPriority(
+      labels: DataFrame,
+      meta: DataFrame,
+      idCol: String,
+      orderBy: Seq[org.apache.spark.sql.Column]
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = labels.join(meta, Seq(idCol))
+    val w = Window.partitionBy(col("cluster_root")).orderBy(orderBy: _*)
+    val canon = joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_root"), col(idCol).as("canonical_id"))
+    joined
+      .join(canon, Seq("cluster_root"))
+      .withColumn("is_kept", col(idCol) === col("canonical_id"))
+  }
+
   /** MinHash signatures (constants shared with MinHashAggregator) plus
     * banded LSH keys; candidates at scale = equi-join on a band. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -506,6 +506,159 @@ object TrainingData {
       col("query_id") < 10, k = 16, nprobe = 2, topK = 5, lloydIters = 1)
   }
 
+  /** Directional containment near-dup pairs — |S(inner) ∩ S(outer)| /
+    * |S(inner)| over distinct 3-word shingles: flags documents that are
+    * near-SUBSETS of another (quoted snippets, truncated copies,
+    * aggregate pages), which symmetric Jaccard (x02) misses whenever the
+    * outer doc is much longer. Same inverted-index self-join shape as
+    * x02 — never all-pairs — and both directions are emitted because the
+    * measure is asymmetric. */
+  val x54 = Q(
+    "x54_containment_pairs",
+    Some(
+      s"WITH $duckShingleCtes, " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "prs AS (SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, " +
+        s"$sqlCount AS common FROM shingles a JOIN shingles b " +
+        "ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_inner, doc_outer, common, " +
+        "CAST(common AS DOUBLE) / ca.n AS containment " +
+        "FROM prs JOIN counts ca ON doc_inner = ca.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / ca.n >= 0.6"
+    )
+  ) { t =>
+    Dedup.containmentPairs(t.documents, "doc_id", "text", threshold = 0.6)
+  }
+
+  /** Per-document n-gram novelty vs the earlier corpus (doc_id order
+    * standing in for ingest order): the fraction of a doc's distinct
+    * 8-word-gram hashes whose FIRST corpus occurrence is this doc — the
+    * "how much new text does this crawl snapshot actually add" signal
+    * that decides whether a source is worth re-ingesting. One groupBy on
+    * the 8-byte gram hash (min doc_id per gram), one keyed join back,
+    * one per-doc aggregate — no self-join, shuffle keys never carry gram
+    * text. Docs shorter than 8 words carry no grams and drop out (both
+    * engines agree). */
+  val x55 = Q(
+    "x55_ngram_novelty",
+    Some(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        s"g AS (SELECT DISTINCT doc_id, ${duckPolyHash("gm")} AS h FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), " +
+        "i -> array_to_string(w[i:i+7], ' '))) AS gm FROM w) t), " +
+        "f AS (SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h) " +
+        s"SELECT g.doc_id, $sqlCount AS n_grams, " +
+        "CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) " +
+        "AS novelty FROM g JOIN f USING (h) GROUP BY g.doc_id"
+    )
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val grams = t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7), " +
+          "i -> array_join(slice(ws, i, 8), ' ')) ELSE array() END"
+      )).as("gm"))
+      .select(col("doc_id"), expr("poly_hash(gm)").as("h"))
+      .distinct()
+    val firsts = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    grams
+      .join(firsts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        countIf(col("first_doc") === col("doc_id")).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
+  /** Priority-aware canonical selection inside near-dup clusters: real
+    * pipelines don't keep an arbitrary min-id copy — they keep the copy
+    * from the most trusted SOURCE (Wikipedia over CommonCrawl), id only
+    * as tiebreak. Clusters come from the same guarded
+    * connectedComponents as x33 (threshold 0.5); the keeper per cluster
+    * is row_number()=1 ordered by (source asc, doc_id asc) — a window
+    * partitioned by cluster root, so partitions are cluster-sized, never
+    * global. Domain = clustered docs only (singletons trivially keep
+    * themselves). */
+  val x56 = Q(
+    "x56_priority_canonical",
+    Some(
+      s"WITH RECURSIVE $duckShingleCtes, " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "prs AS (SELECT doc_a, doc_b FROM " +
+        "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) p " +
+        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5), " +
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM prs " +
+        "UNION SELECT doc_b, doc_a FROM prs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "cl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root FROM reach GROUP BY u), " +
+        "j AS (SELECT cl.doc_id, cl.cluster_root, d.source FROM cl " +
+        "JOIN documents d ON cl.doc_id = d.doc_id), " +
+        "r AS (SELECT doc_id, cluster_root, " +
+        "ROW_NUMBER() OVER (PARTITION BY cluster_root ORDER BY source ASC, doc_id ASC) AS rn FROM j) " +
+        "SELECT j.doc_id, j.cluster_root, j.source, c.doc_id AS canonical_id, " +
+        "(j.doc_id = c.doc_id) AS is_kept FROM j " +
+        "JOIN (SELECT cluster_root, doc_id FROM r WHERE rn = 1) c USING (cluster_root)"
+    )
+  ) { t =>
+    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("cluster_root"))
+    Dedup.canonicalByPriority(
+      labels, t.documents.select(col("doc_id"), col("source")), "doc_id",
+      Seq(col("source").asc, col("doc_id").asc))
+      .select("doc_id", "cluster_root", "source", "canonical_id", "is_kept")
+  }
+
+  /** Int8 embedding quantization report — per-vector symmetric absmax
+    * quantization (scale = max|x| / 127, q = clamp(floor(x/scale + .5)))
+    * with saturation count and max reconstruction error: the storage
+    * decision every 100 TB embedding corpus makes (4 bytes → 1 byte)
+    * needs exactly this error audit first. Pure per-row projection —
+    * ZERO shuffles at any scale. Every fold is either order-insensitive
+    * (max) or element-order sequential, and all arithmetic is IEEE
+    * double ops on identical operands, so DuckDB reproduces it bit-for-
+    * bit. */
+  val x57 = Q(
+    "x57_embedding_quantize",
+    Some(
+      "WITH m AS (SELECT vec_id, embedding, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), " +
+        "(a, b) -> greatest(a, b)) AS max_abs FROM embeddings), " +
+        "s AS (SELECT vec_id, embedding, max_abs, " +
+        "CASE WHEN max_abs = 0 THEN CAST(1 AS DOUBLE) ELSE max_abs / 127.0 END AS scale FROM m) " +
+        "SELECT vec_id, max_abs, scale, " +
+        "CAST(len(list_filter(embedding, x -> " +
+        "abs(least(CAST(127 AS DOUBLE), greatest(CAST(-127 AS DOUBLE), " +
+        "floor(CAST(x AS DOUBLE) / scale + 0.5)))) = 127.0)) AS BIGINT) AS n_sat, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> " +
+        "abs(CAST(x AS DOUBLE) - least(CAST(127 AS DOUBLE), greatest(CAST(-127 AS DOUBLE), " +
+        "floor(CAST(x AS DOUBLE) / scale + 0.5))) * scale))), " +
+        "(a, b) -> greatest(a, b)) AS max_err FROM s"
+    )
+  ) { t =>
+    t.embeddings
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))").as("max_abs"))
+      .withColumn("scale",
+        when(col("max_abs") === 0d, lit(1d)).otherwise(col("max_abs") / 127d))
+      .select(col("vec_id"), col("max_abs"), col("scale"),
+        expr("CAST(size(filter(embedding, x -> " +
+          "abs(least(CAST(127 AS DOUBLE), greatest(CAST(-127 AS DOUBLE), " +
+          "floor(CAST(x AS DOUBLE) / scale + 0.5)))) = 127.0D)) AS BIGINT)").as("n_sat"),
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> " +
+          "greatest(acc, abs(CAST(x AS DOUBLE) - least(CAST(127 AS DOUBLE), " +
+          "greatest(CAST(-127 AS DOUBLE), floor(CAST(x AS DOUBLE) / scale + 0.5))) * scale)))")
+          .as("max_err"))
+  }
+
   /** Benchmark decontamination — the eval-overlap gate every training
     * corpus runs before release (filter documents sharing long n-grams
     * with a held-out benchmark): a deterministic ~1% of docs stands in
@@ -1155,6 +1308,6 @@ object TrainingData {
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46, x47, x51, x52, x53
+    x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57
   )
 }

@@ -191,4 +191,42 @@ class CurationSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("x55 novelty: every gram is novel exactly once, first doc fully novel") {
+    val rows = run("x55_ngram_novelty")
+      .select("doc_id", "n_grams", "n_novel", "novelty").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (g, n, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      n >= 0 && n <= g && f >= 0.0 && f <= 1.0
+    })
+    // the earliest doc sees an empty prior corpus → all its grams novel
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getDouble(3) == 1.0)
+    // Σ n_novel = |distinct gram hashes|: each gram has exactly one first
+    val totalNovel = rows.map(_.getLong(2)).sum
+    graft.functions.PolyHashFunctions.ensureRegistered(spark)
+    val distinctGrams = graft.sources.Tables(spark, sf).documents
+      .select(explode(expr(
+        "CASE WHEN size(split(text, ' ')) >= 8 THEN " +
+          "transform(sequence(1, size(split(text, ' ')) - 7), " +
+          "i -> array_join(slice(split(text, ' '), i, 8), ' ')) " +
+          "ELSE array() END")).as("gm"))
+      .select(expr("poly_hash(gm)").as("h")).distinct().count()
+    assert(totalNovel === distinctGrams)
+  }
+
+  test("x57 quantization error never exceeds half a quantization step") {
+    val rows = run("x57_embedding_quantize")
+      .select("vec_id", "max_abs", "scale", "n_sat", "max_err").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (scale, nSat, maxErr) = (r.getDouble(2), r.getLong(3), r.getDouble(4))
+      // absmax scaling means no value exceeds the clamp, so rounding
+      // bounds the error at scale/2; the absmax element itself saturates
+      maxErr <= scale * 0.5 + 1e-12 && nSat >= 1 && nSat <= 64
+    })
+    // zero shuffles: pure per-row projection at any corpus size
+    assert(!plan("x57_embedding_quantize").contains("Exchange"))
+  }
 }

@@ -229,4 +229,36 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(b1 === b2)
     assert(b1.values.toSet.size > 1) // vectors actually spread over buckets
   }
+
+  test("containment flags a quoted subset that symmetric Jaccard misses") {
+    import spark.implicits._
+    val snippet = "alpha beta gamma delta epsilon"
+    val page = snippet + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val df = Seq((1L, snippet), (2L, page), (3L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    // the snippet is fully contained in the page — containment 1.0 in
+    // that direction ONLY (the page is not contained in the snippet)
+    assert(cont === Set((1L, 2L, 1.0)))
+    // …while symmetric Jaccard scores the same pair far below threshold
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.5)
+    assert(jac.count() === 0L)
+  }
+
+  test("canonicalByPriority keeps the trusted-source copy, not the min id") {
+    import spark.implicits._
+    // cluster 10: doc 10 (src_z) vs doc 11 (src_a) — priority beats min id
+    val labels = Seq((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster_root")
+    val meta = Seq((10L, "src_z"), (11L, "src_a"), (20L, "src_a"), (21L, "src_a"))
+      .toDF("doc_id", "source")
+    val out = Dedup.canonicalByPriority(labels, meta, "doc_id",
+      Seq(col("source").asc, col("doc_id").asc))
+      .select("doc_id", "canonical_id", "is_kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set(
+      (10L, 11L, false), (11L, 11L, true),   // src_a wins over min id 10
+      (20L, 20L, true), (21L, 20L, false)))  // tie on source → min id
+  }
 }
