@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exact.countIf
 import graft.functions.Text
 
 /** Corpus-statistics library for training-data curation, beyond the
@@ -94,6 +95,49 @@ object Corpus {
 
   /** Remove stopwords via a broadcast left-anti join (NOT-IN semantics
     * for a non-null list), then re-count per document. */
+  /** Distinct n-word-gram poly hashes per document: (`idCol`, `h`).
+    * The shared currency of decontamination (x40), novelty (x55) and
+    * their streaming twins — shuffles carry the 8-byte hash, never gram
+    * text. Docs shorter than `n` words produce no grams. */
+  def gramHashes(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol), split(col(textCol), " ").as("ws"))
+      .select(col(idCol), explode(expr(
+        s"CASE WHEN size(ws) >= $n THEN transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> array_join(slice(ws, i, $n), ' ')) ELSE array() END"
+      )).as("gm"))
+      .select(col(idCol), expr("poly_hash(gm)").as("h"))
+      .distinct()
+  }
+
+  /** Per-document n-gram novelty vs the earlier corpus (`idCol` order
+    * standing in for ingest order): the fraction of a doc's distinct
+    * n-word-gram hashes whose FIRST corpus occurrence is this doc.
+    *
+    * Shape: a gram is novel for exactly its min-id carrier, so novelty
+    * needs NO corpus-sized join-back — one per-doc count and one
+    * min-per-gram → count-per-first-doc aggregate, joined at document
+    * granularity (tiny next to the gram frame). The shared gram frame is
+    * built once via the library's checkpoint-for-the-call discipline
+    * (see [[Dedup.minhashCandidatePairs]] for the executor-loss caveat);
+    * the returned per-doc frame is eager — [[Dedup.release]] it once
+    * consumed in a long-lived session. See
+    * [[graft.streaming.NoveltyStream]] for the incremental form. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val grams = gramHashes(df, idCol, textCol, n).localCheckpoint(true)
+    val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy(col("h")).agg(min(col(idCol)).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    val result = perDoc
+      .join(novel, col(idCol) === col("first_doc"), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams")).as("novelty"))
+      .localCheckpoint(true)
+    Dedup.release(grams)
+    result
+  }
+
   def stopwordFilter(
       df: DataFrame, idCol: String, textCol: String, stopwords: Seq[String]): DataFrame = {
     val spark = df.sparkSession

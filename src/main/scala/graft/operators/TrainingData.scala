@@ -552,25 +552,7 @@ object TrainingData {
         "CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) " +
         "AS novelty FROM g JOIN f USING (h) GROUP BY g.doc_id"
     )
-  ) { t =>
-    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
-    val grams = t.documents
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7), " +
-          "i -> array_join(slice(ws, i, 8), ' ')) ELSE array() END"
-      )).as("gm"))
-      .select(col("doc_id"), expr("poly_hash(gm)").as("h"))
-      .distinct()
-    val firsts = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    grams
-      .join(firsts, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        countIf(col("first_doc") === col("doc_id")).as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
-  }
+  ) { t => Corpus.ngramNovelty(t.documents, "doc_id", "text") }
 
   /** Priority-aware canonical selection inside near-dup clusters: real
     * pipelines don't keep an arbitrary min-id copy — they keep the copy
@@ -686,15 +668,7 @@ object TrainingData {
         "FROM train t LEFT JOIN bench b ON t.h = b.h GROUP BY t.doc_id"
     }
   ) { t =>
-    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
-    val grams = t.documents
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7), " +
-          "i -> array_join(slice(ws, i, 8), ' ')) ELSE array() END"
-      )).as("gm"))
-      .select(col("doc_id"), expr("poly_hash(gm)").as("h"))
-      .distinct()
+    val grams = Corpus.gramHashes(t.documents, "doc_id", "text")
     val bench = grams.filter(col("doc_id") % 97 === 0)
       .select(col("h")).distinct().withColumn("hit", lit(1))
     grams.filter(col("doc_id") % 97 =!= 0)
