@@ -149,6 +149,36 @@ object Corpus {
       .agg(count(lit(1)).as("n_kept"), countDistinct(col("word")).as("n_distinct_kept"))
   }
 
+  /** Temperature-scaled source mixture weights (α = 0.5, i.e. √count) —
+    * the up/down-sampling schedule multi-domain pretraining uses so big
+    * crawls don't drown small high-quality sources: weight_s =
+    * √n_s / Σ_t √n_t, and `boost` = weight_s / (n_s / N) is the per-doc
+    * sampling factor (>1 up-sample rare source, <1 down-sample dominant).
+    * √ is the one temperature exponent that is a correctly-rounded IEEE
+    * primitive in every engine — pow(x, α) is not, so other temperatures
+    * trade the bit-exact oracle for flexibility.
+    *
+    * Scale shape: one count shuffle by source; the per-source frame is
+    * domain-cardinality-sized (thousands at web scale), so the Σ √n fold
+    * runs on ONE collected array in source order — a deterministic
+    * sequential fold, not a partition-order-dependent double sum — and
+    * the totals row broadcasts back. */
+  def temperatureMixture(df: DataFrame, srcCol: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", sqrt(col("n_docs").cast("double")))
+    val totals = counts.agg(
+      expr("aggregate(transform(array_sort(collect_list(struct(source, w_raw))), " +
+        "x -> x.w_raw), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("total_w"),
+      sum(col("n_docs")).as("total_docs"))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        (col("w_raw") / col("total_w")).as("weight"),
+        (col("w_raw") / col("total_w") * col("total_docs").cast("double") /
+          col("n_docs").cast("double")).as("boost"))
+  }
+
   /** Deterministic stratified sample: `k` rows per stratum, chosen by an
     * arithmetic LCG of the unique key — reproducible on any cluster
     * size, no RNG state. One shuffle (the window by stratum). */

@@ -261,6 +261,83 @@ object Dedup {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Per-label robust centroid + cosine-diversity profile — the "is this
+    * semantic cluster coherent" audit a labeled/clustered embedding
+    * corpus runs before using labels for mixture decisions. The centroid
+    * is the per-dimension LOWER MEDIAN (rank ⌊(n+1)/2⌋ ordered by value,
+    * id tiebreak) — a rank statistic, so every component is an actual
+    * data value and the result is bit-reproducible on any cluster size
+    * (a float mean would be partition-order dependent). Per label the
+    * profile reports member count, the minimum cosine-to-centroid (the
+    * worst outlier) and the lower-median cosine (typical coherence).
+    *
+    * Scale shape: one posexplode to n·d rows shuffled by (label, dim) —
+    * each rank window sorts only a label's values for one dimension, so
+    * parallelism is labels×dims; the centroid frame is labels-sized →
+    * broadcast back; the final profile windows are label-partitioned.
+    * For a label with billions of members the per-cell sort still fits a
+    * partition (one double per member); if not, swap the rank median for
+    * a two-pass counting median — same contract. */
+  def labelCentroidProfile(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
+    val ex = df.select(col(labelCol).as("label"), col(idCol).as("vid"),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val byCell = Window.partitionBy(col("label"), col("dim"))
+    val med = ex
+      .withColumn("rn", row_number().over(byCell.orderBy(col("v").asc, col("vid").asc)))
+      .withColumn("n", count(lit(1)).over(byCell))
+      .filter(col("rn") === floor((col("n") + lit(1)) / lit(2)))
+      .select(col("label"), col("dim"), col("v"))
+    val cents = med
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+        x => x.getField("v")).as("centroid"))
+    val scored = df
+      .select(col(labelCol).as("label"), col(idCol).as("vid"), col(vecCol).as("e"))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vid"),
+        (expr("float_vec_dot(e, centroid)") /
+          (sqrt(expr("float_vec_dot(e, e)")) *
+            sqrt(expr("float_vec_dot(centroid, centroid)")))).as("cos_centroid"))
+    val byLabel = Window.partitionBy(col("label"))
+    scored
+      .withColumn("rn",
+        row_number().over(byLabel.orderBy(col("cos_centroid").asc, col("vid").asc)))
+      .withColumn("n_vecs", count(lit(1)).over(byLabel))
+      .withColumn("min_cos", min(col("cos_centroid")).over(byLabel))
+      .filter(col("rn") === floor((col("n_vecs") + lit(1)) / lit(2)))
+      .select(col("label"), col("n_vecs"), col("min_cos"),
+        col("cos_centroid").as("median_cos"))
+  }
+
+  /** Mutual-kNN edges: (u, v) with u < v where each vector is in the
+    * other's cosine top-`k` — the standard edge set for semantic
+    * (embedding-space) clustering, much more precise than one-directional
+    * kNN because hub vectors stop absorbing everything. Built here on the
+    * exact [[annTopK]] baseline (the oracle contract); at scale generate
+    * the top-k lists with [[ivfSearch]] or [[lshBandKeys]] blocking
+    * instead — the mutuality self-join is on n·k rows either way. The
+    * top-k frame is materialized once (checkpoint-for-the-call) so the
+    * mutuality join does not recompute the similarity scan twice. */
+  def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val topk = annTopK(df, idCol, vecCol, lit(true), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    // a rev row (rq, rv) = (q2's neighbor, q2): the edge (q, n) survives
+    // iff some topk row has q2 = n, n2 = q — i.e. q matches the REVERSED
+    // neighbor (rq) and n the reversed query (rv)
+    val rev = topk.select(col("neighbor_id").as("rq"), col("query_id").as("rv"))
+    val result = topk
+      .join(rev, col("query_id") === col("rq") && col("neighbor_id") === col("rv"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+      .localCheckpoint(true)
+    release(topk)
+    result
+  }
+
   /** Nearest-centroid assignment of every normed vector: tiny centroid
     * frame broadcast, one corpus scan. */
   private def assignToCells(norms: DataFrame, cents: DataFrame, idCol: String): DataFrame =
@@ -409,26 +486,41 @@ object Dedup {
     result
   }
 
-  /** Connected components over a near-dup pair list via distributed
-    * min-label propagation: every node's label converges to the smallest
-    * doc id reachable from it (= a canonical cluster root), in at most
-    * `diameter` rounds of one join + one aggregate each. Near-dup
-    * clusters are short-diameter by construction, so this terminates in
-    * a handful of rounds even at corpus scale; each round's lineage is
-    * truncated with an eager localCheckpoint so the plan stays flat. The
-    * per-round convergence check is a single driver-side count — the
-    * only scalar the loop needs.
+  /** Connected components over a near-dup pair list: every node's label
+    * converges to the smallest doc id reachable from it (= a canonical
+    * cluster root).
+    *
+    * Two execution paths, picked by the materialized pair count — the
+    * same adaptive small-vs-big decision AQE makes for joins:
+    *
+    *  - **pairs ≤ `localSolveMaxEdges`** (default 4M ≈ 64 MB of edge
+    *    longs): union-find with path compression on the driver. Dedup
+    *    pair lists are candidate-verified near-dup relations — a tiny
+    *    fraction of any corpus — so this is the common case even at
+    *    100 TB, and it replaces a dozen iterative Spark jobs with one
+    *    collect. The threshold bounds driver memory explicitly; results
+    *    are identical to the distributed path (pinned in
+    *    DedupLibrarySpec).
+    *  - **bigger graphs**: distributed min-label propagation with
+    *    pointer jumping — each round takes the min label over one edge
+    *    hop, then compresses paths by looking up the label OF the label
+    *    (labels are node ids, so that lookup is a self-join on the
+    *    label frame). The hop alone needs `diameter` rounds; the jump
+    *    doubles effective reach per round → O(log diameter) rounds.
+    *    Each round is two joins + one aggregate, lineage truncated with
+    *    an eager localCheckpoint; the per-round convergence check is a
+    *    single driver-side count.
     *
     * Returns (node, cluster_root) for every doc appearing in ≥1 pair;
-    * the canonical dedup keep-list is `node == cluster_root`. The result
+    * the canonical dedup keep-list is `node == cluster_root`. Ids are
+    * returned as LONG in both paths. On the distributed path the result
     * is backed by the final round's checkpointed blocks — call
     * [[release]] on it (or on a frame derived from it) once consumed in
     * a long-lived session; intermediate rounds release their own blocks
     * as the loop advances.
     *
-    * If the label propagation has NOT converged after `maxIter` rounds
-    * (a component with diameter ≥ maxIter — plausible on a heavily
-    * duplicated crawl where near-dup chains run long), the labels are
+    * If the distributed propagation has NOT converged after `maxIter`
+    * rounds (a component with diameter ≥ ~2^maxIter), the labels are
     * WRONG for that component: one chain gets ≥2 roots, which for a
     * consumer like [[leakageSafeSplit]] silently splits a near-dup
     * family across train/test — the exact leakage the operator exists to
@@ -438,11 +530,40 @@ object Dedup {
     * clusters, e.g. best-effort reporting). */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20,
-      requireConvergence: Boolean = true): DataFrame = {
+      requireConvergence: Boolean = true,
+      localSolveMaxEdges: Long = 4000000L): DataFrame = {
     // materialize the (possibly expensive) pair computation ONCE before
     // the union doubles the plan — both directions then read the
     // checkpointed rows instead of recomputing the upstream join twice
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(true)
+    val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint(true)
+    if (p.count() <= localSolveMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        // unioning under the smaller id keeps every root = min member,
+        // the exact fixpoint the distributed propagation converges to
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      // materialize the key set before resolving: find() compresses
+      // paths (in-place value writes) and must not race the iterator
+      val nodes = parent.keys.toArray
+      val labels = nodes.map(n => (n, find(n))).toSeq.sorted
+      release(p)
+      return labels.toDF("node", "cluster_root")
+    }
     val edgesWide = p.select(col("a").as("u"), col("b").as("v"))
       .unionAll(p.select(col("b").as("u"), col("a").as("v")))
       .distinct()
@@ -465,11 +586,23 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbr = edges.join(labels, edges("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
-      val updated = labels
+      val stepped = labels
         .join(nbr, labels("node") === nbr("u"), "left")
         .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("hop_lbl"))
+        // materialized once: the jump below self-joins this frame, and
+        // without the checkpoint both sides would recompute the hop join
         .localCheckpoint(true)
+      // pointer jump: a label is itself a node id, so following it one
+      // more step through this round's labels doubles every path length
+      // covered per round (path compression)
+      val jump = stepped.select(col("node").as("jn"), col("hop_lbl").as("jl"))
+      val updated = stepped
+        .join(jump, stepped("hop_lbl") === jump("jn"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("hop_lbl"), coalesce(col("jl"), col("hop_lbl"))).as("new_lbl"))
+        .localCheckpoint(true)
+      release(stepped)
       converged = updated.filter(col("new_lbl") =!= col("lbl")).count() == 0L
       release(prevRound)
       prevRound = updated
@@ -618,6 +751,64 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "jaccard")
       .localCheckpoint(true)
     release(sh)
+    result
+  }
+
+  /** MinHash estimator-error audit: every banded candidate pair with its
+    * signature-agreement Jaccard ESTIMATE (matching components / 8) next
+    * to the exact shingle Jaccard — the calibration readout that decides
+    * whether a signature budget (here 8 permutations, 4 bands) is
+    * trustworthy enough to skip exact verification at scale, and the
+    * first thing to check when tuning the band/row trade. Band-collision
+    * pairs that share NO shingle (pure hash collisions) are kept with
+    * exact Jaccard 0 — they are the estimator's worst case, exactly what
+    * the audit exists to surface. Same shuffle shape as
+    * [[minhashCandidatePairs]]: banded equi-join candidates, exact
+    * scoring only on candidates, never all-pairs. */
+  def minhashEstimateAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.MinHashAggregator.NumHashes
+    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
+    val sigs = minhashSignaturesFromShingles(sh, idCol).localCheckpoint(true)
+    val bandStructs = (0 until 4).map { k =>
+      struct(lit(k).as("band"), col(s"band$k").as("key"))
+    }
+    val keys = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val a = keys.select(col(idCol).as("doc_a"), col("band"), col("key"))
+    val b = keys.select(col(idCol).as("doc_b"), col("band"), col("key"))
+    val cand = a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col(idCol).as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val sa = sigs.select(
+      col(idCol).as("doc_a") +: (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val sb = sigs.select(
+      col(idCol).as("doc_b") +: (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val result = cand
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .join(counts.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .withColumn("n_agree", agree)
+      .withColumn("est_jaccard", col("n_agree").cast("double") / NumHashes)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select("doc_a", "doc_b", "n_agree", "est_jaccard", "common", "jaccard", "abs_err")
+      .localCheckpoint(true)
+    release(sh); release(sigs)
     result
   }
 

@@ -641,6 +641,156 @@ object TrainingData {
           .as("max_err"))
   }
 
+  /** Per-label centroid coherence profile (x58) — "are these semantic
+    * labels actually coherent clusters": per-dimension LOWER-MEDIAN
+    * centroid (a rank statistic — every component is a real data value,
+    * so the result is bit-reproducible at any parallelism, unlike a
+    * float mean), then per label the member count, worst (min) and
+    * lower-median cosine-to-centroid. Shuffles: one (label, dim)
+    * explode for the medians, a labels-sized broadcast back, one
+    * label-partitioned window — no all-pairs anywhere. */
+  val x58 = Q(
+    "x58_label_centroid_cosine",
+    Some(
+      "WITH ex AS (SELECT label, vec_id AS vid, i - 1 AS dim, embedding[i] AS v " +
+        "FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t), " +
+        "rk AS (SELECT label, dim, v, vid, " +
+        "ROW_NUMBER() OVER (PARTITION BY label, dim ORDER BY v, vid) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY label, dim) AS n FROM ex), " +
+        "med AS (SELECT label, dim, v FROM rk WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)), " +
+        "cent AS (SELECT label, list(v ORDER BY dim) AS centroid FROM med GROUP BY label), " +
+        "sc AS (SELECT e.label, e.vec_id AS vid, " +
+        s"${duckDot("e.embedding", "c.centroid")} / " +
+        s"(sqrt(${duckDot("e.embedding", "e.embedding")}) * " +
+        s"sqrt(${duckDot("c.centroid", "c.centroid")})) AS cos_centroid " +
+        "FROM embeddings e JOIN cent c ON e.label = c.label), " +
+        "r2 AS (SELECT label, vid, cos_centroid, " +
+        "ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_centroid, vid) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY label) AS n_vecs, " +
+        "MIN(cos_centroid) OVER (PARTITION BY label) AS min_cos FROM sc) " +
+        "SELECT label, n_vecs, min_cos, cos_centroid AS median_cos FROM r2 " +
+        "WHERE rn = CAST(floor((n_vecs + 1) / 2) AS BIGINT)"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.labelCentroidProfile(t.embeddings, "vec_id", "embedding", "label")
+  }
+
+  /** Semantic (embedding-space) clusters via mutual-kNN + connected
+    * components (x59) — near-dup clustering where similarity is cosine
+    * instead of n-gram overlap: an edge exists only when BOTH endpoints
+    * rank each other in their cosine top-3 (mutuality kills hub
+    * absorption), then the guarded min-label propagation of x33 labels
+    * each clustered vector with its min reachable id. Exact top-k here
+    * is the oracle baseline; the 100 TB path swaps in IVF/LSH candidate
+    * generation for the same mutuality + clustering tail. Domain =
+    * clustered vectors (singletons keep themselves trivially). */
+  val x59 = Q(
+    "x59_semantic_clusters",
+    Some(
+      s"WITH RECURSIVE $duckNorms, " +
+        "sims AS (SELECT a.vec_id AS qa, b.vec_id AS qb, " +
+        s"${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine " +
+        "FROM norms a JOIN norms b ON a.vec_id <> b.vec_id), " +
+        "tk AS (SELECT qa, qb FROM (SELECT qa, qb, " +
+        "ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cosine DESC, qb) AS rn " +
+        "FROM sims) s WHERE rn <= 3), " +
+        "mut AS (SELECT t.qa AS u, t.qb AS v FROM tk t " +
+        "JOIN tk r ON t.qa = r.qb AND t.qb = r.qa WHERE t.qa < t.qb), " +
+        "edges AS (SELECT u, v FROM mut UNION SELECT v, u FROM mut), " +
+        "reach(u, v) AS (SELECT u, v FROM edges " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "cl AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_root FROM reach GROUP BY u) " +
+        "SELECT vec_id, cluster_root, " +
+        "CAST(COUNT(*) OVER (PARTITION BY cluster_root) AS BIGINT) AS cluster_size FROM cl"
+    )
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val edges = Dedup.mutualKnnEdges(t.embeddings, "vec_id", "embedding", k = 3)
+    // mutual-NN chains run long (each hop is someone's nearest neighbor),
+    // so the diameter routinely exceeds the near-dup default of 20; rounds
+    // past convergence cost nothing (the loop exits as soon as labels are
+    // stable, on a coalesced graph each round is a handful of tasks)
+    val cc = Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
+    val out = cc
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_root"))))
+      .select(col("node").as("vec_id"), col("cluster_root"), col("cluster_size"))
+    Dedup.release(edges)
+    out
+  }
+
+  /** Temperature-0.5 source mixture schedule (x60) — √count weights and
+    * per-doc sampling boosts per source: the multi-domain rebalancing
+    * step between curation and batch assembly. The Σ√n total is a
+    * sequential fold over the domain-sized source list (deterministic at
+    * any parallelism), never a partition-order double sum. */
+  val x60 = Q(
+    "x60_mixture_temperature",
+    Some(
+      "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "sqrt(CAST(COUNT(*) AS DOUBLE)) AS w_raw FROM documents GROUP BY source), " +
+        "t AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list(w_raw ORDER BY source)), (a, b) -> a + b) AS total_w, " +
+        "CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM c) " +
+        "SELECT source, n_docs, w_raw / total_w AS weight, " +
+        "w_raw / total_w * CAST(total_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS boost " +
+        "FROM c CROSS JOIN t"
+    )
+  ) { t => Corpus.temperatureMixture(t.documents, "source") }
+
+  /** MinHash estimator calibration audit (x61) — every banded candidate
+    * pair with its signature-estimated Jaccard (agreeing components / 8)
+    * beside the exact shingle Jaccard and the absolute error: the
+    * readout that says whether this signature budget can skip exact
+    * verification at scale. Pure-collision candidates (no shared
+    * shingle) surface with exact Jaccard 0 — the estimator's worst case
+    * is the point of the audit. */
+  val x61 = Q(
+    "x61_minhash_estimate_audit",
+    Some {
+      val mins = mhA.indices.map { j =>
+        s"CAST(MIN((sh_h * ${mhA(j)} + ${mhB(j)}) % $P) AS BIGINT) AS mh$j"
+      }.mkString(", ")
+      val bandKeys = (0 until 4).map { k =>
+        s"SELECT doc_id, $k AS band, " +
+          s"CAST((mh${2 * k} * 1000003 + mh${2 * k + 1}) % $P AS BIGINT) AS key FROM sigs"
+      }.mkString(" UNION ALL ")
+      val agree = mhA.indices
+        .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"WITH $duckShingleCtes, " +
+        s"hashed AS (SELECT doc_id, ${duckPolyHash("sh")} AS sh_h FROM shingles), " +
+        s"sigs AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id), " +
+        s"keys AS ($bandKeys), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key " +
+        "AND a.doc_id < b.doc_id), " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "com AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM cand c JOIN shingles sa ON sa.doc_id = c.doc_a " +
+        "JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh " +
+        "GROUP BY c.doc_a, c.doc_b) " +
+        s"SELECT c.doc_a, c.doc_b, CAST($agree AS BIGINT) AS n_agree, " +
+        s"CAST($agree AS DOUBLE) / 8 AS est_jaccard, " +
+        "COALESCE(com.common, 0) AS common, " +
+        "CAST(COALESCE(com.common, 0) AS DOUBLE) / " +
+        "(ca.n + cb.n - COALESCE(com.common, 0)) AS jaccard, " +
+        s"abs(CAST($agree AS DOUBLE) / 8 - CAST(COALESCE(com.common, 0) AS DOUBLE) / " +
+        "(ca.n + cb.n - COALESCE(com.common, 0))) AS abs_err " +
+        "FROM cand c " +
+        "JOIN counts ca ON c.doc_a = ca.doc_id " +
+        "JOIN counts cb ON c.doc_b = cb.doc_id " +
+        "JOIN sigs sa ON c.doc_a = sa.doc_id " +
+        "JOIN sigs sb ON c.doc_b = sb.doc_id " +
+        "LEFT JOIN com ON c.doc_a = com.doc_a AND c.doc_b = com.doc_b"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    Dedup.minhashEstimateAudit(t.documents, "doc_id", "text")
+  }
+
   /** Benchmark decontamination — the eval-overlap gate every training
     * corpus runs before release (filter documents sharing long n-grams
     * with a held-out benchmark): a deterministic ~1% of docs stands in
@@ -1282,6 +1432,6 @@ object TrainingData {
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57
+    x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61
   )
 }

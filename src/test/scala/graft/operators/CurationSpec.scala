@@ -216,6 +216,24 @@ class CurationSpec extends AnyFunSuite {
     assert(totalNovel === distinctGrams)
   }
 
+  test("x60 temperature mixture: weights sum to 1, √ flattens toward uniform") {
+    import spark.implicits._
+    val rows = run("x60_mixture_temperature")
+      .select("source", "n_docs", "weight", "boost").collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    // the fixture corpus is balanced → every source weighs 1/n, boost ≈ 1
+    assert(rows.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-12))
+    // skewed corpus: rare sources up-sample (boost > 1), dominant ones
+    // down-sample (boost < 1) — the point of temperature flattening
+    val skew = (1 to 100).map(i => (i.toLong, "big")) :+ (101L, "rare")
+    val mix = Corpus.temperatureMixture(skew.toDF("doc_id", "source"), "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(mix("rare") > 1.0 && mix("big") < 1.0)
+    // w_raw(rare)=√1=1, Σ√n = √100+√1 = 11 → boost = (1/11)·(101/1)
+    assert(math.abs(mix("rare") - 101.0 / 11.0) < 1e-9)
+  }
+
   test("x57 quantization error never exceeds half a quantization step") {
     val rows = run("x57_embedding_quantize")
       .select("vec_id", "max_abs", "scale", "n_sat", "max_err").collect()

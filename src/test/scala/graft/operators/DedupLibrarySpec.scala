@@ -178,25 +178,43 @@ class DedupLibrarySpec extends AnyFunSuite {
 
   test("connectedComponents refuses to return silently unconverged labels") {
     import spark.implicits._
-    // a 31-node chain (diameter 30): min-label propagation moves the root
-    // one hop per round, so 5 rounds CANNOT converge — the at-scale shape
-    // of a long near-dup chain on a heavily duplicated crawl
-    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // a 200-node chain (diameter 199): hop+jump reach roughly doubles per
+    // round (~2^r), so 5 rounds CANNOT converge — the at-scale shape of a
+    // long near-dup chain on a heavily duplicated crawl
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // localSolveMaxEdges = 0 forces the distributed loop (the local
+    // union-find path is exact and never unconverged)
     val ex = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 5)
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 5,
+        localSolveMaxEdges = 0L)
     }
     assert(ex.getMessage.contains("did not converge"))
     // explicit opt-out returns partial labels: over-segmented (several
     // roots on one chain), never wrongly merged
     val partial = Dedup.connectedComponents(
-        chain, "doc_a", "doc_b", maxIter = 5, requireConvergence = false)
+        chain, "doc_a", "doc_b", maxIter = 5, requireConvergence = false,
+        localSolveMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(partial.size === 31)
+    assert(partial.size === 200)
     assert(partial.values.toSet.size > 1)
     // a cap past the diameter converges to the single true root
-    val full = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 64)
+    val full = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 64,
+        localSolveMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full.values.toSet === Set(0L))
+  }
+
+  test("local union-find path ≡ distributed propagation on real near-dup pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .localCheckpoint(true)
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 64,
+        localSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.release(pairs)
+    assert(local.nonEmpty)
+    assert(local === dist)
   }
 
   test("shared shingle frames release their blocks; release() frees eager results") {
@@ -244,6 +262,92 @@ class DedupLibrarySpec extends AnyFunSuite {
     // …while symmetric Jaccard scores the same pair far below threshold
     val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.5)
     assert(jac.count() === 0L)
+  }
+
+  test("labelCentroidProfile: hand fixture medians and cosine ranks") {
+    import spark.implicits._
+    // label 0: [1,0], [0,1], [1,1] → per-dim lower medians (of sorted
+    // (0,1,1)) = [1,1]; cosines to [1,1]: 1/√2, 1/√2, 1 → min = 1/√2,
+    // lower median (rank 2, id tiebreak) = 1/√2
+    val df = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0), (3L, Array(1f, 1f), 0),
+      (4L, Array(2f, 0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.labelCentroidProfile(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val inv = 1.0 / math.sqrt(2.0)
+    val (n0, min0, med0) = out(0)
+    assert(n0 === 3L)
+    assert(math.abs(min0 - inv) < 1e-15)
+    assert(math.abs(med0 - inv) < 1e-15)
+    // a singleton label is its own centroid: cosine exactly 1
+    assert(out(7) === ((1L, 1.0, 1.0)))
+  }
+
+  test("labelCentroidProfile covers every label once on the fixture table") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val rows = Dedup.labelCentroidProfile(e, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.map(_._2).sum === e.count())
+    assert(rows.forall { case (_, _, mn, md) => mn <= md && md <= 1.0 + 1e-12 })
+  }
+
+  test("mutualKnnEdges keeps exactly the mutually-ranked pairs") {
+    import spark.implicits._
+    // two tight mutual pairs + far-apart singles: k=1 edges are exactly
+    // the mutual nearest-neighbor pairs
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0.1f, 0.99f, 0f)),
+      (5L, Array(0.6f, 0.6f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val edges = Dedup.mutualKnnEdges(df, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("mutualKnnEdges ⊆ topk in both directions on the fixture table") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val topk = Dedup.annTopK(e, "vec_id", "embedding", lit(true), 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = Dedup.mutualKnnEdges(e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (u, v) => topk((u, v)) && topk((v, u)) })
+    // and every mutually-ranked topk pair IS an edge (no losses)
+    val expected = topk.filter { case (u, v) => u < v && topk((v, u)) }
+    assert(edges === expected)
+  }
+
+  test("minhashEstimateAudit: exact duplicates estimate 1.0, errors are |est − exact|") {
+    val audit = Dedup.minhashEstimateAudit(docs, "doc_id", "text")
+    val rows = audit.collect().map { r =>
+      (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5), r.getDouble(6))
+    }
+    Dedup.release(audit)
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (agree, est, common, jac, err) =>
+      agree >= 0L && agree <= 8L &&
+        est >= 0.0 && est <= 1.0 && jac >= 0.0 && jac <= 1.0 &&
+        err == math.abs(est - jac) && common >= 0L
+    })
+    // the corpus' near-identical pairs fully agree on all 8 signature
+    // components, and the exact check confirms the estimate is honest
+    assert(rows.exists { case (agree, est, _, jac, _) =>
+      agree == 8L && est == 1.0 && jac >= 0.9 })
+    // and a synthetic exact duplicate estimates AND verifies at 1.0
+    import spark.implicits._
+    val dup = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa lambda")).toDF("doc_id", "text")
+    val dupAudit = Dedup.minhashEstimateAudit(dup, "doc_id", "text")
+    val dupRows = dupAudit.select("doc_a", "doc_b", "est_jaccard", "jaccard", "abs_err")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    Dedup.release(dupAudit)
+    assert(dupRows.contains((1L, 2L, 1.0, 1.0, 0.0)))
   }
 
   test("canonicalByPriority keeps the trusted-source copy, not the min id") {
