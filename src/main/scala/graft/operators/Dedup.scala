@@ -240,11 +240,16 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Brute-force cosine top-k for a query subset (exact ANN baseline). */
+  /** Brute-force cosine top-k for a query subset (exact ANN baseline).
+    * The per-query rank runs through [[Ranks.topKPerGroup]]: the
+    * query×corpus similarity frame never reaches the exchange whole —
+    * bounded per-partition heaps forward at most k rows per (partition,
+    * query), then the exact window ranks survivors. Output is identical
+    * to the plain row_number window (total order via the neighbor-id
+    * tiebreak). */
   def annTopK(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norms = withNorm(df, idCol, vecCol)
     val a = norms.select(col(idCol).as("query_id"),
       col("embedding").as("ea"), col("nrm").as("na")).filter(queryPred)
@@ -254,10 +259,8 @@ object Dedup {
       .join(b, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    Ranks.topKPerGroup(sims, Seq("query_id"),
+      Seq(("cosine", false), ("neighbor_id", true)), k)
       .select("query_id", "neighbor_id", "cosine")
   }
 
