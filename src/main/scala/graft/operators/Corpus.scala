@@ -149,6 +149,43 @@ object Corpus {
       .agg(count(lit(1)).as("n_kept"), countDistinct(col("word")).as("n_distinct_kept"))
   }
 
+  /** Chunk-level dedup REWRITE — the apply step after x38-style
+    * chunk-dup measurement: split each document into fixed `chunkWords`
+    * word windows, keep only each chunk's FIRST corpus occurrence
+    * (ordered by (doc_id, position) — later repeats inside the SAME
+    * document drop too), and rebuild the document from its kept chunks.
+    * This is exact-substring training-data dedup at chunk granularity:
+    * boilerplate headers/footers repeated across a crawl survive exactly
+    * once, corpus-wide.
+    *
+    * Scale shape: chunk identity travels as an 8-byte poly_hash (the
+    * shuffle never carries chunk text), first-occurrence is two keyed
+    * aggregates on that hash (min doc, then min position within the min
+    * doc — no window over the corpus), and the rebuild is a per-document
+    * sort of its own chunk list. */
+  def chunkDedupRewrite(
+      df: DataFrame, idCol: String, textCol: String, chunkWords: Int = 16): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    val chunks = df.select(col(idCol), expr(
+      s"posexplode(transform(sequence(0, CAST(ceil(size(split($textCol, ' ')) / $chunkWords.0) AS INT) - 1), " +
+        s"i -> array_join(slice(split($textCol, ' '), i * $chunkWords + 1, $chunkWords), ' ')))"
+    ).as(Seq("pos", "chunk")))
+      .withColumn("h", expr("poly_hash(chunk)"))
+    val firstDoc = chunks.groupBy(col("h")).agg(min(col(idCol)).as("fd"))
+    val firstPos = chunks.join(firstDoc, Seq("h"))
+      .filter(col(idCol) === col("fd"))
+      .groupBy(col("h"), col("fd")).agg(min(col("pos")).as("fi"))
+    chunks.join(firstPos, Seq("h"))
+      .withColumn("kept", col(idCol) === col("fd") && col("pos") === col("fi"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countIf(col("kept")).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(filter(array_sort(collect_list(struct(pos, chunk, kept))), " +
+            "x -> x.kept), x -> x.chunk)")).as("text_kept"))
+  }
+
   /** Temperature-scaled source mixture weights (α = 0.5, i.e. √count) —
     * the up/down-sampling schedule multi-domain pretraining uses so big
     * crawls don't drown small high-quality sources: weight_s =

@@ -1249,6 +1249,38 @@ object TrainingData {
         (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
   }
 
+  /** Chunk-dedup rewrite (x62) — the APPLY step x38 only measures: every
+    * 16-word chunk survives exactly once corpus-wide (first occurrence by
+    * (doc_id, position); later repeats inside the same document drop
+    * too), and each document is rebuilt from its kept chunks. Chunk
+    * identity shuffles as an 8-byte hash; first-occurrence is two keyed
+    * aggregates (min doc, then min position within that doc), never a
+    * corpus-wide window; the rebuild sorts only each document's own
+    * chunk list. */
+  val x62 = Q(
+    "x62_chunk_dedup_rewrite",
+    Some(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "ch AS (SELECT doc_id, unnest(list_transform(" +
+        "range(0, CAST(ceil(len(w) / 16.0) AS INT)), " +
+        "i -> {'pos': i, 'chunk': array_to_string(w[i * 16 + 1 : i * 16 + 16], ' ')})) AS s FROM w), " +
+        "c AS (SELECT doc_id, CAST(s.pos AS INT) AS pos, s.chunk AS chunk FROM ch), " +
+        s"hh AS (SELECT doc_id, pos, chunk, ${duckPolyHash("chunk")} AS h FROM c), " +
+        "f1 AS (SELECT h, MIN(doc_id) AS fd FROM hh GROUP BY h), " +
+        "f2 AS (SELECT hh.h, f1.fd, MIN(hh.pos) AS fi FROM hh " +
+        "JOIN f1 ON hh.h = f1.h AND hh.doc_id = f1.fd GROUP BY hh.h, f1.fd), " +
+        "m AS (SELECT hh.doc_id, hh.pos, hh.chunk, " +
+        "(hh.doc_id = f2.fd AND hh.pos = f2.fi) AS kept FROM hh JOIN f2 ON hh.h = f2.h) " +
+        s"SELECT doc_id, $sqlCount AS n_chunks, " +
+        "CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "COALESCE(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept), '') AS text_kept " +
+        "FROM m GROUP BY doc_id"
+    )
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    Corpus.chunkDedupRewrite(t.documents, "doc_id", "text")
+  }
+
   // ---- multimodal plumbing --------------------------------------------
 
   /** Multimodal byte-column plumbing: content → binary column → deterministic
@@ -1432,6 +1464,7 @@ object TrainingData {
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61
+    x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
+    x61, x62
   )
 }

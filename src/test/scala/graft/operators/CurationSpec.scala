@@ -234,6 +234,31 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(mix("rare") - 101.0 / 11.0) < 1e-9)
   }
 
+  test("x62 chunk rewrite keeps first occurrences only and rebuilds in order") {
+    import spark.implicits._
+    val c1 = (1 to 16).map(i => s"a$i").mkString(" ")   // chunk A
+    val c2 = (1 to 16).map(i => s"b$i").mkString(" ")   // chunk B
+    val df = Seq(
+      (1L, s"$c1 $c2"),        // doc 1: A B — both first occurrences
+      (2L, s"$c2 $c1"),        // doc 2: repeats both → nothing kept
+      (3L, s"$c1 $c1"),        // doc 3: repeats A twice → nothing kept
+      (4L, (1 to 16).map(i => s"c$i").mkString(" ") + s" $c1")) // C new, A dup
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkDedupRewrite(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 2L, s"$c1 $c2")))
+    assert(out(2L) === ((2L, 0L, "")))
+    assert(out(3L) === ((2L, 0L, "")))
+    assert(out(4L)._2 === 1L)
+    assert(out(4L)._3 === (1 to 16).map(i => s"c$i").mkString(" "))
+    // intra-doc repeat when the doc IS the first carrier: doc 3 loses its
+    // copies to doc 1; a self-repeat with no earlier carrier keeps pos 0
+    val solo = Corpus.chunkDedupRewrite(
+      Seq((9L, s"$c2 $c2")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(solo === ((2L, 1L, c2)))
+  }
+
   test("x57 quantization error never exceeds half a quantization step") {
     val rows = run("x57_embedding_quantize")
       .select("vec_id", "max_abs", "scale", "n_sat", "max_err").collect()
