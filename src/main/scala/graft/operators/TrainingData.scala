@@ -1249,6 +1249,56 @@ object TrainingData {
         (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
   }
 
+  /** kNN label vote (x63) — semi-supervised auto-labeling over the
+    * similarity stack: every 10th vector plays "unlabeled query", its 5
+    * cosine-nearest neighbors vote with their labels, majority wins
+    * (count desc, label asc tiebreak — deterministic), and the vote is
+    * scored against the held-out true label. The per-query top-k runs
+    * through the bounded heap prune (annTopK), the vote is one
+    * query-keyed aggregate + one rank over ≤ k rows per query; at scale
+    * the exact top-k swaps for IVF/LSH candidates exactly as in x59. */
+  val x63 = Q(
+    "x63_knn_label_vote",
+    Some(
+      s"WITH $duckNorms, " +
+        "sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        s"${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine " +
+        "FROM norms a JOIN norms b ON a.vec_id <> b.vec_id WHERE a.vec_id % 10 = 0), " +
+        "tk AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn " +
+        "FROM sims) s WHERE rn <= 5), " +
+        "votes AS (SELECT t.query_id, e.label AS cand, CAST(COUNT(*) AS BIGINT) AS n_votes " +
+        "FROM tk t JOIN embeddings e ON t.neighbor_id = e.vec_id " +
+        "GROUP BY t.query_id, e.label), " +
+        "win AS (SELECT query_id, cand, n_votes, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_votes DESC, cand ASC) AS rn " +
+        "FROM votes) " +
+        "SELECT w.query_id, q.label AS true_label, w.cand AS pred_label, " +
+        "w.n_votes, (w.cand = q.label) AS correct " +
+        "FROM win w JOIN embeddings q ON w.query_id = q.vec_id WHERE w.rn = 1"
+    )
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val topk = Dedup.annTopK(t.embeddings, "vec_id", "embedding",
+      col("query_id") % 10 === 0, k = 5)
+    val labels = t.embeddings.select(col("vec_id"), col("label"))
+    val votes = topk
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("cand")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("cand"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("cand").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("cand").as("pred_label"),
+        col("n_votes"), (col("cand") === col("true_label")).as("correct"))
+  }
+
   /** Chunk-dedup rewrite (x62) — the APPLY step x38 only measures: every
     * 16-word chunk survives exactly once corpus-wide (first occurrence by
     * (doc_id, position); later repeats inside the same document drop
@@ -1465,6 +1515,6 @@ object TrainingData {
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62
+    x61, x62, x63
   )
 }

@@ -259,6 +259,19 @@ class CurationSpec extends AnyFunSuite {
     assert(solo === ((2L, 1L, c2)))
   }
 
+  test("x63 kNN vote: one verdict per query, bounded votes, honest scoring") {
+    val rows = run("x63_knn_label_vote")
+      .select("query_id", "true_label", "pred_label", "n_votes", "correct")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 10 == 0))
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.forall { r =>
+      val v = r.getLong(3)
+      v >= 1L && v <= 5L && r.getBoolean(4) == (r.getInt(1) == r.getInt(2))
+    })
+  }
+
   test("x57 quantization error never exceeds half a quantization step") {
     val rows = run("x57_embedding_quantize")
       .select("vec_id", "max_abs", "scale", "n_sat", "max_err").collect()
