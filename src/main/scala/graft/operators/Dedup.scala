@@ -855,6 +855,31 @@ object Dedup {
         .otherwise("test").as("split_name"))
   }
 
+  /** Embedding-level leakage-safe split — [[leakageSafeSplit]]'s
+    * semantic sibling: n-gram clustering only catches near-dups that
+    * share SURFACE text, but a translated, paraphrased or re-templated
+    * copy can carry near-identical embeddings with little n-gram
+    * overlap, and a split that separates such a pair leaks meaning
+    * rather than text. Pairs come from the bucketed (banded-LSH) cosine
+    * path — never all-pairs — then the same guarded cluster → root-hash
+    * assignment keeps every semantic family in one split. */
+  def semanticSafeSplit(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    val pairs = embeddingNearDupsBucketed(df, idCol, vecCol, threshold)
+    val roots = connectedComponents(pairs, "vec_a", "vec_b")
+    val withRoot = df
+      .join(roots, df(idCol) === roots("node"), "left")
+      .select(df(idCol),
+        coalesce(col("cluster_root"), df(idCol).cast("long")).as("split_key"))
+    // same portable 98/1/1 hash rule as the content-hash split (x43)
+    val bucket = expr("poly_hash(CAST(split_key AS STRING)) % 100")
+    withRoot.select(col(idCol), col("split_key"),
+      when(bucket < 98, "train").when(bucket < 99, "val")
+        .otherwise("test").as("split_name"))
+  }
+
   /** Incremental-batch dedup — the ingestion-time question ("is this
     * newly crawled doc already in the corpus?") rather than the
     * self-dedup one: each NEW doc (per `isNew`) gets a verdict against

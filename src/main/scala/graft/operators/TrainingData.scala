@@ -1249,6 +1249,47 @@ object TrainingData {
         (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
   }
 
+  /** Semantic leakage-safe split (x64) — x52's embedding sibling:
+    * paraphrased or re-templated copies share embeddings, not n-grams,
+    * so the split key is the COSINE near-dup cluster root (banded-LSH
+    * candidates → exact cosine ≥ 0.4 → guarded connected components);
+    * singletons key on their own id, and the same portable 98/1/1 hash
+    * rule assigns splits — a semantic family can never straddle
+    * train/test. */
+  val x64 = Q(
+    "x64_semantic_safe_split",
+    Some {
+      val bandKeys = (0 until 4).map { k =>
+        val bits = (0 until 4).map { p =>
+          s"(CASE WHEN ${duckLshDot(k * 4 + p)} >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $k AS band, CAST($bits AS BIGINT) AS band_key FROM embeddings"
+      }.mkString(" UNION ALL ")
+      s"WITH RECURSIVE $duckNorms, " +
+        s"keys AS ($bandKeys), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key " +
+        "AND a.vec_id < b.vec_id), " +
+        "prs AS (SELECT vec_a, vec_b FROM cand " +
+        "JOIN norms a ON vec_a = a.vec_id JOIN norms b ON vec_b = b.vec_id " +
+        s"WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4), " +
+        "edges AS (SELECT vec_a AS u, vec_b AS v FROM prs " +
+        "UNION SELECT vec_b, vec_a FROM prs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "roots AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS root FROM reach GROUP BY u), " +
+        "keyed AS (SELECT e.vec_id, COALESCE(r.root, e.vec_id) AS split_key " +
+        "FROM embeddings e LEFT JOIN roots r ON e.vec_id = r.vec_id) " +
+        "SELECT vec_id, split_key, CASE WHEN b < 98 THEN 'train' " +
+        "WHEN b < 99 THEN 'val' ELSE 'test' END AS split_name FROM " +
+        s"(SELECT vec_id, split_key, ${duckPolyHash("CAST(split_key AS VARCHAR)")} % 100 AS b " +
+        "FROM keyed) t"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.semanticSafeSplit(t.embeddings, "vec_id", "embedding", threshold = 0.4)
+  }
+
   /** kNN label vote (x63) — semi-supervised auto-labeling over the
     * similarity stack: every 10th vector plays "unlabeled query", its 5
     * cosine-nearest neighbors vote with their labels, majority wins
@@ -1515,6 +1556,6 @@ object TrainingData {
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63
+    x61, x62, x63, x64
   )
 }

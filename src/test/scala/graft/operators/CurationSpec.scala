@@ -259,6 +259,42 @@ class CurationSpec extends AnyFunSuite {
     assert(solo === ((2L, 1L, c2)))
   }
 
+  test("x64 semantic split: every cosine-near family shares one split") {
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val split = run("x64_semantic_safe_split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(split.size === emb.count())
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", threshold = 0.4)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // exact all-pairs near-dups ⊆ LSH-clustered families only up to LSH
+    // recall — but every pair the BUCKETED path finds must agree; check
+    // the stronger transitive guarantee on shared keys instead: same
+    // split_key ⇒ same split_name, and bucketed pairs share split_key
+    val bucketed = Dedup.embeddingNearDupsBucketed(emb, "vec_id", "embedding", 0.4)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bucketed.nonEmpty)
+    bucketed.foreach { case (a, b) =>
+      assert(split(a)._1 === split(b)._1, s"pair ($a,$b) split across keys")
+      assert(split(a)._2 === split(b)._2, s"pair ($a,$b) split across sets")
+    }
+  }
+
+  test("x62 invariant: every distinct chunk survives exactly once corpus-wide") {
+    graft.functions.PolyHashFunctions.ensureRegistered(spark)
+    val docs = graft.sources.Tables(spark, sf).documents
+    val out = Corpus.chunkDedupRewrite(docs, "doc_id", "text")
+    val totalKept = out.agg(sum(col("n_kept"))).collect().head.getLong(0)
+    val distinctChunks = docs.select(expr(
+      "explode(transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 16.0) AS INT) - 1), " +
+        "i -> array_join(slice(split(text, ' '), i * 16 + 1, 16), ' ')))").as("c"))
+      .select(expr("poly_hash(c)")).distinct().count()
+    assert(totalKept === distinctChunks)
+  }
+
   test("x63 kNN vote: one verdict per query, bounded votes, honest scoring") {
     val rows = run("x63_knn_label_vote")
       .select("query_id", "true_label", "pred_label", "n_votes", "correct")
