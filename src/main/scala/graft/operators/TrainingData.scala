@@ -1249,6 +1249,76 @@ object TrainingData {
         (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
   }
 
+  /** Quality gate with drop-reason codes (x65) — the decision layer real
+    * curation pipelines put on top of raw signals: each document gets
+    * explicit boolean reasons (too_short / too_long / repetitive /
+    * non-target-language), a reasons BITMASK for compact storage, and
+    * the final keep verdict. Reason codes are what make corpus filters
+    * auditable — "how many docs died, and why" is one groupBy on
+    * `reasons`. Composes the existing signal operators (x24 repetition,
+    * x07 language heuristic); one word-explode aggregate + per-row
+    * marker arithmetic, no self-joins. */
+  val x65 = Q(
+    "x65_quality_gate",
+    Some {
+      val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
+      val counts = markers
+        .map { case (l, w) => s"CAST(${duckWordCount(w)} AS DOUBLE) AS c_$l" }
+        .mkString(", ")
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "ws AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words FROM words GROUP BY doc_id), " +
+        "lng AS (SELECT doc_id, CASE " +
+        "WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
+        "WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
+        "WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
+        "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS lang_pred " +
+        s"FROM (SELECT doc_id, $counts FROM documents) c), " +
+        "f AS (SELECT ws.doc_id, n_words, " +
+        "(n_words < 40) AS too_short, (n_words > 400) AS too_long, " +
+        "(CAST(n_words - n_distinct_words AS DOUBLE) / n_words > 0.8) AS repetitive, " +
+        "(lang_pred <> 'en') AS non_en FROM ws JOIN lng ON ws.doc_id = lng.doc_id) " +
+        "SELECT doc_id, n_words, too_short, too_long, repetitive, non_en, " +
+        "CAST((CASE WHEN too_short THEN 1 ELSE 0 END) + (CASE WHEN too_long THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN repetitive THEN 4 ELSE 0 END) + (CASE WHEN non_en THEN 8 ELSE 0 END) AS BIGINT) AS reasons, " +
+        "(NOT (too_short OR too_long OR repetitive OR non_en)) AS kept FROM f"
+    }
+  ) { t =>
+    val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
+    val withCounts = markers.foldLeft(t.documents.select(col("doc_id"), col("text"))) {
+      case (df, (l, w)) =>
+        df.withColumn(s"c_$l", graft.functions.Text.wordCount("text", w).cast("double"))
+    }
+    val lng = withCounts.select(
+      col("doc_id"),
+      when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") &&
+        col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
+        .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr") &&
+          col("c_es") >= col("c_zh"), "es")
+        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_zh"), "de")
+        .when(col("c_fr") >= col("c_zh"), "fr")
+        .otherwise("zh").as("lang_pred"))
+    val ws = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("word")).as("n_distinct_words"))
+    val f = ws.join(lng, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") < 40).as("too_short"),
+        (col("n_words") > 400).as("too_long"),
+        ((col("n_words") - col("n_distinct_words")).cast("double") / col("n_words") > 0.8)
+          .as("repetitive"),
+        (col("lang_pred") =!= "en").as("non_en"))
+    f.select(col("doc_id"), col("n_words"),
+      col("too_short"), col("too_long"), col("repetitive"), col("non_en"),
+      (when(col("too_short"), 1L).otherwise(0L) +
+        when(col("too_long"), 2L).otherwise(0L) +
+        when(col("repetitive"), 4L).otherwise(0L) +
+        when(col("non_en"), 8L).otherwise(0L)).as("reasons"),
+      (!(col("too_short") || col("too_long") || col("repetitive") || col("non_en")))
+        .as("kept"))
+  }
+
   /** Semantic leakage-safe split (x64) — x52's embedding sibling:
     * paraphrased or re-templated copies share embeddings, not n-grams,
     * so the split key is the COSINE near-dup cluster root (banded-LSH
@@ -1556,6 +1626,6 @@ object TrainingData {
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64
+    x61, x62, x63, x64, x65
   )
 }

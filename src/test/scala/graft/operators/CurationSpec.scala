@@ -295,6 +295,22 @@ class CurationSpec extends AnyFunSuite {
     assert(totalKept === distinctChunks)
   }
 
+  test("x65 quality gate: bitmask encodes exactly the boolean reasons") {
+    val rows = run("x65_quality_gate")
+      .select("doc_id", "n_words", "too_short", "too_long", "repetitive", "non_en",
+        "reasons", "kept")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (s, l, rep, ne) = (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))
+      val mask = (if (s) 1L else 0L) + (if (l) 2L else 0L) +
+        (if (rep) 4L else 0L) + (if (ne) 8L else 0L)
+      r.getLong(6) == mask && r.getBoolean(7) == (mask == 0L)
+    })
+    // the gate actually gates: both kept and dropped docs exist
+    assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)))
+  }
+
   test("x63 kNN vote: one verdict per query, bounded votes, honest scoring") {
     val rows = run("x63_knn_label_vote")
       .select("query_id", "true_label", "pred_label", "n_votes", "correct")
