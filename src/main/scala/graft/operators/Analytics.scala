@@ -408,6 +408,42 @@ object Analytics {
         count(lit(1)).over(w).as("n_7d"))
   }
 
+  /** Bloom-pruned fact⋈dim join under the oracle gate — the runtime-
+    * filter shape a 100 TB run wants when the dimension side is
+    * selective: a 3-probe Bloom filter built over the qualifying
+    * supplier keys (one distributed aggregate, 16 KB of words collected)
+    * prunes lineitem INSIDE its scan's codegen stage, so the join/
+    * shuffle pays only for probable matches; the exact join then removes
+    * the false positives, making the result identical to the unpruned
+    * join (the oracle runs the plain join). See [[Bloom]] for the
+    * mechanics and BloomSpec for the no-false-negative pin. */
+  val x66 = Q(
+    "x66_bloom_pruned_join",
+    Some(
+      "SELECT s_suppkey, " +
+        s"$sqlCount AS n_items, " +
+        s"${sqlSum("l_quantity")} AS sum_qty, " +
+        s"${sqlSumDec(s"${sqlDec("l_extendedprice")} * ($sqlDecOne - ${sqlDec("l_discount")})")} AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE s_nationkey < 5 GROUP BY s_suppkey"
+    )
+  ) { t =>
+    val supp = t.supplier.filter(col("s_nationkey") < 5).select(col("s_suppkey"))
+    val bloom = Bloom.build(supp, col("s_suppkey"), numBits = 1 << 16, numHashes = 3)
+    val p2 = unscaledLong(col("l_extendedprice"), 2)
+    val d2 = unscaledLong(col("l_discount"), 2)
+    val aggs = limbAggs("qty", unscaledLong(col("l_quantity"), 4)) ++
+      limbAggs("rev", p2 * (lit(100L) - d2)) :+ count(lit(1)).as("n_items")
+    t.lineitem
+      .filter(bloom.mightContain(col("l_suppkey")))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("s_suppkey"), col("n_items"),
+        limbSumDouble("qty").as("sum_qty"),
+        limbSumDouble("rev").as("revenue"))
+  }
+
   val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30, x32,
-    x36, x48, x49, x50)
+    x36, x48, x49, x50, x66)
 }
