@@ -216,6 +216,33 @@ object Corpus {
           col("n_docs").cast("double")).as("boost"))
   }
 
+  /** Snapshot diff — the change-data-capture audit between two corpus
+    * versions (crawl N vs crawl N+1): per document id, `added` (only in
+    * the new snapshot), `removed` (only in the old), `changed` (present
+    * in both with different content), or `unchanged`. This is what makes
+    * incremental recrawls auditable — downstream dedup/curation can
+    * re-process exactly the added ∪ changed slice instead of the whole
+    * corpus.
+    *
+    * Scale shape: content identity travels as an 8-byte poly_hash, so
+    * the full-outer join shuffles (id, hash) pairs only — never document
+    * text — and partitions by id with no skew (ids are unique per side).
+    * One shuffle each side + the join; at 100 TB this is the cheapest
+    * possible whole-corpus comparison. */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(oldDf.sparkSession)
+    val a = oldDf.select(col(idCol).as("old_id"), expr(s"poly_hash($textCol)").as("h_old"))
+    val b = newDf.select(col(idCol).as("new_id"), expr(s"poly_hash($textCol)").as("h_new"))
+    a.join(b, col("old_id") === col("new_id"), "full_outer")
+      .select(
+        coalesce(col("old_id"), col("new_id")).as(idCol),
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Deterministic stratified sample: `k` rows per stratum, chosen by an
     * arithmetic LCG of the unique key — reproducible on any cluster
     * size, no RNG state. One shuffle (the window by stratum). */

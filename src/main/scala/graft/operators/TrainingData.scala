@@ -1621,11 +1621,46 @@ object TrainingData {
       Seq("the", "a", "data", "row", "join"))
   }
 
+  /** Snapshot diff / CDC audit (x67) — what an incremental recrawl
+    * changed: the next snapshot is derived deterministically from the
+    * corpus (docs with `doc_id % 13 = 0` dropped, `% 7 = 0` rewritten
+    * with a marker, `% 17 = 0` re-added under shifted ids), and
+    * [[Corpus.snapshotDiff]] classifies every id as added / removed /
+    * changed / unchanged by comparing 8-byte content hashes in one
+    * full-outer join — text never shuffles. Downstream curation
+    * re-processes exactly the added ∪ changed slice. */
+  val x67 = Q(
+    "x67_snapshot_diff",
+    Some {
+      "WITH b0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 13 <> 0), " +
+        "bn AS (SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0), " +
+        s"a AS (SELECT doc_id, ${duckPolyHash("text")} AS h_old FROM documents), " +
+        s"b AS (SELECT doc_id, ${duckPolyHash("text")} AS h_new FROM " +
+        "(SELECT * FROM b0 UNION ALL SELECT * FROM bn) u) " +
+        "SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, " +
+        "CASE WHEN a.doc_id IS NULL THEN 'added' " +
+        "WHEN b.doc_id IS NULL THEN 'removed' " +
+        "WHEN h_old <> h_new THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id"
+    }
+  ) { t =>
+    val next = t.documents
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(
+        t.documents.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+    Corpus.snapshotDiff(t.documents, next, "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65
+    x61, x62, x63, x64, x65, x67
   )
 }

@@ -86,4 +86,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(top(1L) === "rare")
     assert(top(3L) === "other")
   }
+
+  test("snapshot diff classifies added / removed / changed / unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a a a"), (2L, "b b b"), (3L, "c c c")).toDF("doc_id", "text")
+    val next = Seq((2L, "b b b"), (3L, "c c c CHANGED"), (4L, "d d d")).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(old, next, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // the diff of a snapshot against itself is all-unchanged — no id is
+    // dropped or duplicated by the full-outer join
+    val self = Corpus.snapshotDiff(docs, docs, "doc_id", "text")
+    assert(self.filter(col("status") =!= "unchanged").count() === 0L)
+    assert(self.count() === docs.count())
+  }
 }
