@@ -243,6 +243,49 @@ object Corpus {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Token-budget corpus selection — keep the best documents (by
+    * `scoreCol`, descending, `idCol` tiebreak) until the running token
+    * total exceeds `budget`: the "fill the training run with the
+    * highest-quality N tokens" step after scoring/filtering.
+    *
+    * Semantically this is a global ORDER BY score DESC prefix — but a
+    * global sort of 100 TB to take a prefix is exactly the plan to
+    * avoid. Instead: scores are bucketed into monotone bands
+    * (floor(score·1000)), a band-level token histogram (≤ ~1001 rows)
+    * computes each band's exact preceding total with one tiny-frame
+    * window, and each document's global running total is band_prefix +
+    * its within-band running total from a window PARTITIONED by band —
+    * so every corpus-sized shuffle is band-partitioned and parallel.
+    * Identical to the naive global-window form because banding is
+    * monotone in score and ties cannot cross a band boundary (equal
+    * scores share a band). Caveat: a corpus where most docs share one
+    * score degenerates that band's partition to the corpus — pick a
+    * finer band function if scores cluster. */
+  def tokenBudgetSelect(
+      df: DataFrame, idCol: String, scoreCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    val scored = df.select(
+      col(idCol), col(scoreCol).as("score"), col(tokensCol).as("n_tokens"),
+      floor(col(scoreCol) * lit(1000)).as("band"))
+    val bandTotals = scored.groupBy(col("band"))
+      .agg(sum(col("n_tokens")).as("band_tokens"))
+    // ≤ ~1001 rows: the unpartitioned window is over the band histogram,
+    // never the corpus
+    val wBands = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bandTotals
+      .withColumn("band_prefix", coalesce(sum(col("band_tokens")).over(wBands), lit(0L)))
+      .select(col("band"), col("band_prefix"))
+    val wInBand = Window.partitionBy(col("band"))
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .join(broadcast(prefixes), Seq("band"))
+      .withColumn("cum_tokens", col("band_prefix") + sum(col("n_tokens")).over(wInBand))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic stratified sample: `k` rows per stratum, chosen by an
     * arithmetic LCG of the unique key — reproducible on any cluster
     * size, no RNG state. One shuffle (the window by stratum). */

@@ -1656,11 +1656,40 @@ object TrainingData {
     Corpus.snapshotDiff(t.documents, next, "doc_id", "text")
   }
 
+  /** Token-budget corpus selection (x68) — "fill the run with the best
+    * 20 k tokens": documents ranked by distinct-word ratio (the x06
+    * quality signal), kept while the global running token total stays
+    * within budget. The oracle is the naive global-window form; the
+    * engine runs [[Corpus.tokenBudgetSelect]]'s band-histogram
+    * decomposition, whose corpus-sized shuffles are all band-partitioned
+    * (no global sort) — CorpusSpec pins the two forms equal. */
+  val x68 = Q(
+    "x68_token_budget_select",
+    Some {
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "ws AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "COUNT(DISTINCT word) AS nd FROM words GROUP BY doc_id), " +
+        "scored AS (SELECT doc_id, CAST(nd AS DOUBLE) / n_tokens AS score, n_tokens FROM ws), " +
+        "c AS (SELECT doc_id, score, n_tokens, CAST(SUM(n_tokens) OVER " +
+        "(ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS cum_tokens FROM scored) " +
+        "SELECT doc_id, score, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 20000"
+    }
+  ) { t =>
+    val scored = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("nd"))
+      .select(col("doc_id"),
+        (col("nd").cast("double") / col("n_tokens")).as("score"), col("n_tokens"))
+    Corpus.tokenBudgetSelect(scored, "doc_id", "score", "n_tokens", 20000L)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65, x67
+    x61, x62, x63, x64, x65, x67, x68
   )
 }

@@ -100,4 +100,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(self.filter(col("status") =!= "unchanged").count() === 0L)
     assert(self.count() === docs.count())
   }
+
+  test("token-budget select: band decomposition == naive global window; budget respected") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("nd"))
+      .select(col("doc_id"),
+        (col("nd").cast("double") / col("n_tokens")).as("score"), col("n_tokens"))
+    val budget = 5000L
+    val banded = Corpus.tokenBudgetSelect(scored, "doc_id", "score", "n_tokens", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val wGlobal = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wGlobal))
+      .filter(col("cum_tokens") <= budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(banded === naive)
+    assert(banded.nonEmpty)
+    assert(banded.values.max <= budget)
+  }
 }
