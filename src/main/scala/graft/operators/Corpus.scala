@@ -286,6 +286,60 @@ object Corpus {
       .select(col(idCol), col("score"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** BM25 top-k retrieval for a fixed term query — the lexical-search
+    * ranking step (candidate mining, eval-set retrieval, dedup-by-query
+    * probes) over a document corpus.
+    *
+    * Uses the RATIONAL idf form (N − df + 0.5)/(df + 0.5) instead of its
+    * usual log: log's last-ulp rounding differs across math libraries
+    * (the same reason x26's TF-IDF is rational), while this form is pure
+    * IEEE add/divide — bit-identical on any engine — and induces the
+    * same document ordering for a fixed query. k1 = 1.2, b = 0.75.
+    *
+    * Per-term scores land in fixed columns (one per query term, the
+    * query is small and fixed) and the document score is their FIXED-
+    * ORDER sum — never a float aggregation whose partition order could
+    * vary. Scale shape: one word-explode aggregate for (doc, term) tf
+    * filtered to query terms only (the explode drops non-query words
+    * before any shuffle), doc lengths ride the same aggregate, df and
+    * avglen are broadcast 1-row/`terms.size`-row frames, and the top-k
+    * is a TakeOrdered — no global sort. */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val w = words(df, idCol, textCol)
+    val lens = w.groupBy(col(idCol)).agg(count(lit(1)).as("len"))
+    val qw = w.filter(col("word").isin(terms: _*))
+    val tf = qw.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val totals = lens.agg(
+      sum(col("len")).as("total_len"), count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), "word")
+      .join(lens, idCol)
+      .crossJoin(broadcast(totals))
+      .withColumn("avglen", col("total_len").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("score_t",
+        col("idf") * ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / col("avglen"))))))
+    // one fixed column per query term, summed in term order — no
+    // partition-order-dependent float aggregation
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("word") === t, col("score_t"))), lit(0.0)).as(s"s_$i")
+    }
+    val perTerm = scored.groupBy(col(idCol)).agg(termCols.head, termCols.tail: _*)
+    perTerm
+      .withColumn("score",
+        terms.indices.map(i => col(s"s_$i")).reduceLeft(_ + _))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic stratified sample: `k` rows per stratum, chosen by an
     * arithmetic LCG of the unique key — reproducible on any cluster
     * size, no RNG state. One shuffle (the window by stratum). */

@@ -1685,11 +1685,43 @@ object TrainingData {
     Corpus.tokenBudgetSelect(scored, "doc_id", "score", "n_tokens", 20000L)
   }
 
+  /** BM25 top-k retrieval (x69) — lexical search over the corpus for the
+    * fixed query {spark, join, data}, k = 50: candidate mining and
+    * eval-retrieval for training pipelines. Rational idf (no log — see
+    * [[Corpus.bm25TopK]]), fixed-order per-term sum, TakeOrdered top-k.
+    * The oracle replicates the exact IEEE expression order. */
+  val x69 = Q(
+    "x69_bm25_topk",
+    Some {
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM words GROUP BY doc_id), " +
+        "tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM words " +
+        "WHERE word IN ('spark', 'join', 'data') GROUP BY doc_id, word), " +
+        "dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word), " +
+        "totals AS (SELECT CAST(SUM(len) AS BIGINT) AS total_len, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM lens), " +
+        "scored AS (SELECT tf.doc_id, tf.word, " +
+        "((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+        "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * " +
+        "(CAST(len AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS score_t " +
+        "FROM tf JOIN dfreq USING (word) JOIN lens USING (doc_id) CROSS JOIN totals), " +
+        "perterm AS (SELECT doc_id, " +
+        "COALESCE(MAX(CASE WHEN word = 'spark' THEN score_t END), 0.0) AS s_0, " +
+        "COALESCE(MAX(CASE WHEN word = 'join' THEN score_t END), 0.0) AS s_1, " +
+        "COALESCE(MAX(CASE WHEN word = 'data' THEN score_t END), 0.0) AS s_2 " +
+        "FROM scored GROUP BY doc_id) " +
+        "SELECT doc_id, ((s_0 + s_1) + s_2) AS score FROM perterm " +
+        "ORDER BY score DESC, doc_id LIMIT 50"
+    }
+  ) { t =>
+    Corpus.bm25TopK(t.documents, "doc_id", "text", Seq("spark", "join", "data"), 50)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65, x67, x68
+    x61, x62, x63, x64, x65, x67, x68, x69
   )
 }

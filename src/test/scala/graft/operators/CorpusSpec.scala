@@ -122,4 +122,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(banded.nonEmpty)
     assert(banded.values.max <= budget)
   }
+
+  test("bm25: doc with the rare term outranks the common-term doc; plan is TakeOrdered") {
+    import spark.implicits._
+    // 'needle' appears only in doc 1; 'hay' in every doc — idf must make
+    // the needle doc win for the query {needle, hay}
+    val synth = Seq(
+      (1L, "needle hay hay hay"),
+      (2L, "hay hay hay hay"),
+      (3L, "hay hay hay hay"),
+      (4L, "hay hay hay hay")
+    ).toDF("doc_id", "text")
+    val ranked = Corpus.bm25TopK(synth, "doc_id", "text", Seq("needle", "hay"), 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ranked.head._1 === 1L)
+    assert(ranked.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+    // ties among the hay-only docs break by doc_id and scores are equal
+    val hayScores = ranked.filter(_._1 != 1L).map(_._2).distinct
+    assert(hayScores.size === 1)
+    val p = Corpus.bm25TopK(docs, "doc_id", "text", Seq("spark", "join", "data"), 50)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
