@@ -106,4 +106,60 @@ object Sinks {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
   }
+
+  /** Corpus shard materialization with an integrity manifest — the
+    * landing step after curation: documents are hash-assigned to
+    * `nShards` shards (deterministic in the id, balanced in expectation,
+    * no coordination), written as shard-partitioned parquet, and a
+    * manifest of per-shard (n_docs, n_tokens, content_fp) lands beside
+    * the data. `content_fp` is the BIT_XOR of per-document content
+    * hashes — order-independent, so any parallelism (or a rewritten
+    * shard with the same docs) reproduces it, while a lost, duplicated,
+    * or altered document changes it. Training loaders read one shard per
+    * worker; [[validateCorpusShards]] is the cheap end-to-end check that
+    * what landed is exactly what was curated. Returns the manifest. */
+  def writeCorpusShards(
+      df: DataFrame, path: String, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    val sharded = df.withColumn(
+      "shard_id", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+    sharded.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    val manifest = sharded
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"),
+        expr(s"bit_xor(poly_hash($textCol))").as("content_fp"))
+    manifest.write.mode("overwrite").parquet(s"$path.manifest")
+    df.sparkSession.read.parquet(s"$path.manifest")
+  }
+
+  /** Recompute every shard's manifest row from the landed data and
+    * compare against the stored manifest: one row per shard with `ok`
+    * false on any count/token/fingerprint drift, plus unmatched rows
+    * (missing or phantom shards) with `ok` false. */
+  def validateCorpusShards(
+      spark: SparkSession, path: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.PolyHashFunctions.ensureRegistered(spark)
+    // partition discovery types shard_id as int; the manifest stored long
+    val stored = spark.read.parquet(s"$path.manifest")
+      .select(col("shard_id").cast("long").as("shard_id"), col("n_docs").as("m_docs"),
+        col("n_tokens").as("m_tokens"), col("content_fp").as("m_fp"))
+    val actual = spark.read.parquet(path)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(
+        count(lit(1)).as("a_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("a_tokens"),
+        expr(s"bit_xor(poly_hash($textCol))").as("a_fp"))
+    stored.join(actual, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        // missing/phantom shards compare as NULL — that is a failure
+        coalesce(col("m_docs") === col("a_docs") &&
+          col("m_tokens") === col("a_tokens") &&
+          col("m_fp") === col("a_fp"), lit(false)).as("ok"),
+        col("m_docs"), col("a_docs"), col("m_tokens"), col("a_tokens"))
+  }
 }

@@ -143,4 +143,31 @@ class SinksSpec extends AnyFunSuite {
       hc.unset("mapreduce.outputcommitter.factory.scheme.s3a")
     }
   }
+
+  test("corpus shards: round-trip, manifest validates, tampering is caught") {
+    val dir = Files.createTempDirectory("shards").toString
+    val path = s"$dir/corpus"
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val manifest = Sinks.writeCorpusShards(docs, path, "doc_id", "text", nShards = 8)
+    // every doc landed exactly once, shards cover [0, 8)
+    val back = spark.read.parquet(path)
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    assert(manifest.count() === 8)
+    assert(manifest.agg(sum("n_docs")).head.getLong(0) === docs.count())
+    // clean validate: every shard ok
+    val ok = Sinks.validateCorpusShards(spark, path, "text")
+    assert(ok.filter(!col("ok")).count() === 0L)
+    // tamper with one shard (drop a doc from shard 3's partition) — the
+    // manifest must flag exactly that shard
+    val s3 = spark.read.parquet(s"$path/shard_id=3")
+    val victim = s3.limit(1).collect()(0)
+    s3.filter(col("doc_id") =!= victim.getLong(0))
+      .write.mode("overwrite").parquet(s"$dir/tmp3")
+    spark.read.parquet(s"$dir/tmp3").write.mode("overwrite")
+      .parquet(s"$path/shard_id=3")
+    val bad = Sinks.validateCorpusShards(spark, path, "text")
+    assert(bad.filter(!col("ok")).select("shard_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
 }
