@@ -1717,11 +1717,39 @@ object TrainingData {
     Corpus.bm25TopK(t.documents, "doc_id", "text", Seq("spark", "join", "data"), 50)
   }
 
+  /** Per-source grouped length bands (x70) — x45's per-domain form:
+    * every source has its own length norms (code vs chat vs crawl), so
+    * the [p5, p95] outlier band is computed PER SOURCE and each document
+    * is kept relative to its own domain's distribution — a global band
+    * over-drops whole domains whose lengths sit in another domain's
+    * tail. Exactness rides x22/x45's integer interpolation; the band
+    * frame is source-cardinality-sized and broadcasts back. */
+  val x70 = Q(
+    "x70_grouped_length_bands",
+    Some {
+      "WITH n AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "b AS (SELECT source, quantile_cont(n_tokens, 0.05) AS lo, " +
+        "quantile_cont(n_tokens, 0.95) AS hi FROM n GROUP BY source) " +
+        "SELECT doc_id, n.source, n_tokens, lo, hi, " +
+        "(n_tokens >= lo AND n_tokens <= hi) AS keep FROM n JOIN b ON n.source = b.source"
+    }
+  ) { t =>
+    val n = t.documents.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bands = n.groupBy(col("source")).agg(
+      percentile(col("n_tokens"), lit(0.05)).as("lo"),
+      percentile(col("n_tokens"), lit(0.95)).as("hi"))
+    n.join(broadcast(bands), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("lo"), col("hi"),
+        (col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi")).as("keep"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65, x67, x68, x69
+    x61, x62, x63, x64, x65, x67, x68, x69, x70
   )
 }
