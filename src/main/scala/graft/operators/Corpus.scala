@@ -340,6 +340,51 @@ object Corpus {
       .limit(k)
   }
 
+  /** Quality gate with drop-reason codes (the x65 decision layer,
+    * shared by the batch query and [[graft.streaming.QualityStream]]):
+    * per document — boolean reasons (too_short / too_long / repetitive /
+    * non-target-language via the marker-word heuristic), a reasons
+    * bitmask for compact storage, and the final keep verdict. All
+    * signals are WITHIN-document (one word-explode aggregate + per-row
+    * marker arithmetic), so the gate is stateless across documents:
+    * batch and micro-batch runs produce identical verdicts by
+    * construction. */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
+    val withCounts = markers.foldLeft(df.select(col(idCol), col(textCol))) {
+      case (acc, (l, w)) =>
+        acc.withColumn(s"c_$l", Text.wordCount(textCol, w).cast("double"))
+    }
+    val lng = withCounts.select(
+      col(idCol),
+      when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") &&
+        col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
+        .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr") &&
+          col("c_es") >= col("c_zh"), "es")
+        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_zh"), "de")
+        .when(col("c_fr") >= col("c_zh"), "fr")
+        .otherwise("zh").as("lang_pred"))
+    val ws = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("word")).as("n_distinct_words"))
+    val f = ws.join(lng, Seq(idCol))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") < 40).as("too_short"),
+        (col("n_words") > 400).as("too_long"),
+        ((col("n_words") - col("n_distinct_words")).cast("double") / col("n_words") > 0.8)
+          .as("repetitive"),
+        (col("lang_pred") =!= "en").as("non_en"))
+    f.select(col(idCol), col("n_words"),
+      col("too_short"), col("too_long"), col("repetitive"), col("non_en"),
+      (when(col("too_short"), 1L).otherwise(0L) +
+        when(col("too_long"), 2L).otherwise(0L) +
+        when(col("repetitive"), 4L).otherwise(0L) +
+        when(col("non_en"), 8L).otherwise(0L)).as("reasons"),
+      (!(col("too_short") || col("too_long") || col("repetitive") || col("non_en")))
+        .as("kept"))
+  }
+
   /** Deterministic stratified sample: `k` rows per stratum, chosen by an
     * arithmetic LCG of the unique key — reproducible on any cluster
     * size, no RNG state. One shuffle (the window by stratum). */

@@ -1284,39 +1284,7 @@ object TrainingData {
         "(NOT (too_short OR too_long OR repetitive OR non_en)) AS kept FROM f"
     }
   ) { t =>
-    val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
-    val withCounts = markers.foldLeft(t.documents.select(col("doc_id"), col("text"))) {
-      case (df, (l, w)) =>
-        df.withColumn(s"c_$l", graft.functions.Text.wordCount("text", w).cast("double"))
-    }
-    val lng = withCounts.select(
-      col("doc_id"),
-      when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") &&
-        col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
-        .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr") &&
-          col("c_es") >= col("c_zh"), "es")
-        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_zh"), "de")
-        .when(col("c_fr") >= col("c_zh"), "fr")
-        .otherwise("zh").as("lang_pred"))
-    val ws = t.documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), countDistinct(col("word")).as("n_distinct_words"))
-    val f = ws.join(lng, Seq("doc_id"))
-      .select(col("doc_id"), col("n_words"),
-        (col("n_words") < 40).as("too_short"),
-        (col("n_words") > 400).as("too_long"),
-        ((col("n_words") - col("n_distinct_words")).cast("double") / col("n_words") > 0.8)
-          .as("repetitive"),
-        (col("lang_pred") =!= "en").as("non_en"))
-    f.select(col("doc_id"), col("n_words"),
-      col("too_short"), col("too_long"), col("repetitive"), col("non_en"),
-      (when(col("too_short"), 1L).otherwise(0L) +
-        when(col("too_long"), 2L).otherwise(0L) +
-        when(col("repetitive"), 4L).otherwise(0L) +
-        when(col("non_en"), 8L).otherwise(0L)).as("reasons"),
-      (!(col("too_short") || col("too_long") || col("repetitive") || col("non_en")))
-        .as("kept"))
+    Corpus.qualityGate(t.documents, "doc_id", "text")
   }
 
   /** Semantic leakage-safe split (x64) — x52's embedding sibling:
