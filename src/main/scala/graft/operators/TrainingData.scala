@@ -1713,11 +1713,73 @@ object TrainingData {
         (col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi")).as("keep"))
   }
 
+  /** Embedding dimension health audit (x71) — per-dimension min / max /
+    * range over the whole corpus: the pre-flight check before
+    * quantization (x57 needs per-dim dynamic range), whitening, or index
+    * build — a dead dimension (range ≈ 0) or one outlier dimension
+    * dominating the scale breaks both. Comparison-only aggregates (no
+    * float summation), so exact on any engine; one posexplode +
+    * (dim)-keyed aggregate, shuffling 64 rows per partition. */
+  val x71 = Q(
+    "x71_embedding_dim_audit",
+    Some {
+      "SELECT CAST(i AS BIGINT) AS dim, " +
+        "CAST(MIN(CAST(embedding[i] AS DOUBLE)) AS DOUBLE) AS v_min, " +
+        "CAST(MAX(CAST(embedding[i] AS DOUBLE)) AS DOUBLE) AS v_max, " +
+        "CAST(MAX(CAST(embedding[i] AS DOUBLE)) AS DOUBLE) - " +
+        "CAST(MIN(CAST(embedding[i] AS DOUBLE)) AS DOUBLE) AS v_range, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY i"
+    }
+  ) { t =>
+    t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("d0", "v")))
+      .select((col("d0") + 1).cast("long").as("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+        (max(col("v")) - min(col("v"))).as("v_range"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Source token-coverage curve (x72) — the mixture-design view: rank
+    * sources by token volume and report each rank's cumulative token
+    * share, i.e. "the top k sources cover X% of the corpus". Drives
+    * sampling-temperature and domain-cap decisions (x42/x60 pick the
+    * weights; this shows the concentration they must correct). The
+    * window runs over the SOURCE histogram (domain-cardinality-sized,
+    * thousands at web scale), never the corpus — one token-count shuffle
+    * by source, then a tiny-frame ordered window. */
+  val x72 = Q(
+    "x72_source_token_coverage",
+    Some {
+      "WITH s AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) " +
+        "AS n_tokens FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s) " +
+        "SELECT source, n_tokens, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank, " +
+        "CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens, " +
+        "CAST(CAST(SUM(n_tokens) OVER w AS BIGINT) AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share " +
+        "FROM s CROSS JOIN t " +
+        "WINDOW w AS (ORDER BY n_tokens DESC, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    }
+  ) { t =>
+    val s = t.documents.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val total = s.agg(sum(col("n_tokens")).as("total"))
+    val w = Window.orderBy(col("n_tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"),
+        row_number().over(w).cast("long").as("rank"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        (sum(col("n_tokens")).over(w).cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65, x67, x68, x69, x70
+    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72
   )
 }
