@@ -1775,11 +1775,105 @@ object TrainingData {
           .as("cum_share"))
   }
 
+  /** Vocabulary Zipf audit (x73) — the count-of-counts view: for each
+    * occurrence count k, how many distinct words occur exactly k times,
+    * and what share of the vocabulary that is. The hapax row (k = 1) is
+    * the classic crawl-noise signal (typo-heavy corpora have a fat hapax
+    * head); the tail shape is the Zipf sanity check before vocab/BPE
+    * training. Two shuffles — corpus-sized on word, then a
+    * frequency-histogram-sized one — and the vocab total broadcasts
+    * back, so the plan holds at any corpus size. */
+  val x73 = Q(
+    "x73_vocab_zipf_audit",
+    Some {
+      "WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM words GROUP BY word), " +
+        "v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM f) " +
+        "SELECT n_occurrences, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(COUNT(*) AS DOUBLE) / CAST(vocab_size AS DOUBLE) AS vocab_share " +
+        "FROM f CROSS JOIN v GROUP BY n_occurrences, vocab_size"
+    }
+  ) { t =>
+    val freq = t.documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val vocab = freq.agg(count(lit(1)).as("vocab_size"))
+    freq.groupBy(col("n_occurrences"))
+      .agg(count(lit(1)).as("n_words"))
+      .crossJoin(broadcast(vocab))
+      .select(col("n_occurrences"), col("n_words"),
+        (col("n_words").cast("double") / col("vocab_size").cast("double"))
+          .as("vocab_share"))
+  }
+
+  /** Cross-source duplicate leakage audit (x74) — which source pairs
+    * mirror each other: exact-duplicate texts that appear under two
+    * different sources, counted per unordered source pair. This is the
+    * routing view for dedup policy (mirror domains get collapsed at
+    * ingest rather than paid for in the pairwise stage). The self-join
+    * runs on the 128-bit content hash, never the text — the shuffle
+    * carries (hash, source), and the per-source distinct caps each
+    * hash's row count at the source cardinality, so worst-case fan-out
+    * is |sources|² per duplicated text, not corpus-sized. */
+  val x74 = Q(
+    "x74_cross_source_dup_leakage",
+    Some {
+      "WITH ds AS (SELECT DISTINCT md5(text) AS h, source FROM documents) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_shared_texts " +
+        "FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source " +
+        "GROUP BY 1, 2"
+    }
+  ) { t =>
+    val ds = t.documents
+      .select(md5(col("text")).as("h"), col("source"))
+      .distinct()
+    ds.as("a")
+      .join(ds.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+  }
+
+  /** Event-type transition matrix (x75) — per-user Markov view of the
+    * event stream: count (prev → next) type transitions and each row's
+    * conditional probability. Drives bot/anomaly heuristics (improbable
+    * transition chains) and synthetic-session generators. The lag window
+    * is partitioned by user — no global ordering anywhere — and the
+    * transition frame is |types|², so stage two is driver-trivial at any
+    * event volume. Ties on ts break by event_id for a deterministic
+    * sequence in both engines. */
+  val x75 = Q(
+    "x75_event_transition_matrix",
+    Some {
+      "WITH o AS (SELECT user_id, event_type, LAG(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type FROM events), " +
+        "c AS (SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n_trans " +
+        "FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, next_type, n_trans, " +
+        "CAST(n_trans AS DOUBLE) / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_trans " +
+        "FROM c"
+    }
+  ) { t =>
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = t.events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    counts.select(col("prev_type"), col("next_type"), col("n_trans"),
+      (col("n_trans").cast("double") /
+        sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+        .as("p_trans"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72
+    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75
   )
 }
