@@ -1869,11 +1869,89 @@ object TrainingData {
         .as("p_trans"))
   }
 
+  /** Retention cohort matrix (x76) — users grouped by first-seen day,
+    * counted on each later active day offset: the standard activation /
+    * retention triangle. Both stages key on (user, day) or smaller; the
+    * cohort frame is user-cardinality-sized and joins back on user_id
+    * (AQE picks broadcast when it fits), and the output is
+    * |days|² — presentation-sized regardless of event volume. */
+  val x76 = Q(
+    "x76_retention_cohorts",
+    Some {
+      "WITH d AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
+        "f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1) " +
+        "SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users " +
+        "FROM d JOIN f USING (user_id) GROUP BY 1, 2"
+    }
+  ) { t =>
+    val active = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    active.join(cohorts, Seq("user_id"))
+      // DATE round-trips as midnight TIMESTAMP through the oracle's
+      // pandas fetch, so emit the timestamp form on both sides (x14 does
+      // the same for its hour buckets).
+      .groupBy(col("cohort_day").cast("timestamp").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Typed property extraction from semi-structured events (x77) — the
+    * ubiquitous "JSON column → typed metric" ETL step (the reference's
+    * whole bronze layer is this shape: raw API JSON → typed stats,
+    * `dags/spurs_historic_games.py:152-200`). `get_json_object` is
+    * codegen'd path extraction — no UDF, no schema inference pass — and
+    * the aggregate is one map-side-combined shuffle on event_type. */
+  val x77 = Q(
+    "x77_props_json_stats",
+    Some {
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min, " +
+        "CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max, " +
+        "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum " +
+        "FROM events GROUP BY event_type"
+    }
+  ) { t =>
+    t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"), sum(col("k")).as("k_sum"))
+  }
+
+  /** Embedding norm-band profile (x78) — the companion to x71's
+    * per-dimension audit: per-VECTOR L2 norms, banded into quarter-unit
+    * buckets. Un-normalized embeddings (norm spread ≫ 1) silently turn
+    * cosine pipelines (x11/x34/x59) into dot-product pipelines; this is
+    * the one-scan check. Norms ride the codegen sequential-fold dot
+    * ([[graft.functions.VectorExpressions]]), so both engines band
+    * bit-identical doubles; output is |bands|-sized. */
+  val x78 = Q(
+    "x78_embedding_norm_bands",
+    Some {
+      s"WITH n AS (SELECT vec_id, sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings) " +
+        "SELECT CAST(FLOOR(nrm * 4) AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "MIN(nrm) AS nrm_min, MAX(nrm) AS nrm_max " +
+        "FROM n GROUP BY 1"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    t.embeddings
+      .select(sqrt(graft.functions.VectorExpressions
+        .vecDot("embedding", "embedding")).as("nrm"))
+      .groupBy(floor(col("nrm") * 4).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("nrm_min"), max(col("nrm")).as("nrm_max"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75
+    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78
   )
 }
