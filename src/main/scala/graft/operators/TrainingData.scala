@@ -1947,11 +1947,85 @@ object TrainingData {
         min(col("nrm")).as("nrm_min"), max(col("nrm")).as("nrm_max"))
   }
 
+  /** Deterministic per-source document cap (x79) — the crawl-curation
+    * "domain cap": each source keeps only its k = 10 best documents by
+    * quality score (distinct-word ratio, doc_id tiebreak). Runs through
+    * [[Ranks.topKPerGroup]], so the shuffle carries at most
+    * k × |sources-per-partition| rows instead of the whole corpus — the
+    * same bounded-top-k plan the NBA leaderboards use, applied to
+    * corpus policy. Oracle is the plain row_number window form, which
+    * topKPerGroup's contract guarantees it equals. */
+  val x79 = Q(
+    "x79_source_cap",
+    Some {
+      "WITH words AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "ws AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "COUNT(DISTINCT word) AS nd FROM words GROUP BY 1, 2), " +
+        "scored AS (SELECT doc_id, source, CAST(nd AS DOUBLE) / n_tokens AS score FROM ws), " +
+        "r AS (SELECT doc_id, source, score, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY score DESC, doc_id) AS rn FROM scored) " +
+        "SELECT doc_id, source, score FROM r WHERE rn <= 10"
+    }
+  ) { t =>
+    val scored = t.documents
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("nd"))
+      .select(col("doc_id"), col("source"),
+        (col("nd").cast("double") / col("n_tokens")).as("score"))
+    Ranks.topKPerGroup(scored, Seq("source"), Seq(("score", false), ("doc_id", true)), 10)
+  }
+
+  /** Eval-side contamination report (x80) — x40 inverted: x40 flags
+    * TRAIN documents to drop; this reports, per BENCHMARK document, how
+    * much of it leaked (distinct 8-grams found in train, distinct train
+    * docs carrying them, leaked fraction) — the table an eval curator
+    * reads to decide which benchmark items are burned. The bench gram
+    * frame is eval-sized and broadcasts into the single train-side join;
+    * zero-leak bench docs survive via the left join from bench totals. */
+  val x80 = Q(
+    "x80_contamination_report",
+    Some {
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        s"g AS (SELECT DISTINCT doc_id, ${duckPolyHash("gm")} AS h FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), " +
+        "i -> array_to_string(w[i:i+7], ' '))) AS gm FROM w) t), " +
+        "bench AS (SELECT doc_id AS bench_id, h FROM g WHERE doc_id % 97 = 0), " +
+        "train AS (SELECT doc_id AS train_id, h FROM g WHERE doc_id % 97 <> 0), " +
+        "tot AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench_grams FROM bench GROUP BY 1), " +
+        "hits AS (SELECT b.bench_id, CAST(COUNT(DISTINCT b.h) AS BIGINT) AS n_leaked_grams, " +
+        "CAST(COUNT(DISTINCT t.train_id) AS BIGINT) AS n_train_docs " +
+        "FROM bench b JOIN train t ON b.h = t.h GROUP BY 1) " +
+        "SELECT bench_id, n_bench_grams, " +
+        "COALESCE(n_leaked_grams, 0) AS n_leaked_grams, " +
+        "COALESCE(n_train_docs, 0) AS n_train_docs, " +
+        "CAST(COALESCE(n_leaked_grams, 0) AS DOUBLE) / CAST(n_bench_grams AS DOUBLE) AS leak_frac " +
+        "FROM tot LEFT JOIN hits USING (bench_id)"
+    }
+  ) { t =>
+    val grams = Corpus.gramHashes(t.documents, "doc_id", "text")
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .withColumnRenamed("doc_id", "bench_id")
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
+      .withColumnRenamed("doc_id", "train_id")
+    val totals = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench_grams"))
+    val hits = train.join(broadcast(bench), Seq("h"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("h")).as("n_leaked_grams"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    totals.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_bench_grams"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        (coalesce(col("n_leaked_grams"), lit(0L)).cast("double") /
+          col("n_bench_grams").cast("double")).as("leak_frac"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78
+    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80
   )
 }
