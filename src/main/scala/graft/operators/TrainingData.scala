@@ -2021,11 +2021,85 @@ object TrainingData {
           col("n_bench_grams").cast("double")).as("leak_frac"))
   }
 
+  /** CDC merge / upsert (x81) — the APPLY step for x67's diff: fold a
+    * change batch (updates keyed by id, inserts under new ids, tombstone
+    * deletes) into the standing corpus in ONE full-outer join on doc_id.
+    * Text never moves except for touched rows' new versions; the change
+    * batch is recrawl-sized, so at 100 TB AQE broadcasts it and the
+    * corpus is never shuffled. `origin` labels each surviving row
+    * (carried / updated / inserted) for downstream incremental curation
+    * (x44 / x62 re-process only the non-carried slice). Synthetic batch:
+    * `% 7` updated, `% 17` inserted under shifted ids, `% 19` deleted. */
+  val x81 = Q(
+    "x81_merge_upsert",
+    Some {
+      "WITH upd AS (SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 7 = 0), " +
+        "ins AS (SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0), " +
+        "del AS (SELECT doc_id FROM documents WHERE doc_id % 19 = 0), " +
+        "chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins) " +
+        "SELECT COALESCE(c.doc_id, d.doc_id) AS doc_id, " +
+        "COALESCE(c.text, d.text) AS text, " +
+        "CASE WHEN d.doc_id IS NULL THEN 'inserted' " +
+        "WHEN c.doc_id IS NULL THEN 'carried' ELSE 'updated' END AS origin " +
+        "FROM documents d FULL OUTER JOIN chg c ON d.doc_id = c.doc_id " +
+        "WHERE COALESCE(c.doc_id, d.doc_id) NOT IN (SELECT doc_id FROM del)"
+    }
+  ) { t =>
+    val changes = t.documents.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      .unionAll(t.documents.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+    val tombstones = t.documents.filter(col("doc_id") % 19 === 0).select(col("doc_id"))
+    t.documents.select(col("doc_id"), col("text")).as("d")
+      .join(changes.as("c"), col("d.doc_id") === col("c.doc_id"), "full_outer")
+      .select(
+        coalesce(col("c.doc_id"), col("d.doc_id")).as("doc_id"),
+        coalesce(col("c.text"), col("d.text")).as("text"),
+        when(col("d.doc_id").isNull, lit("inserted"))
+          .when(col("c.doc_id").isNull, lit("carried"))
+          .otherwise(lit("updated")).as("origin"))
+      .join(tombstones, Seq("doc_id"), "left_anti")
+  }
+
+  /** Sliding-window RAG chunker (x82) — overlapping 32-word windows at
+    * stride 16 (docs shorter than one window emit themselves whole): the
+    * standard retrieval-index / context-prep segmentation, where overlap
+    * preserves cross-boundary answers that disjoint chunks (x38/x62)
+    * lose. Pure per-row generate — zero shuffles; chunk identity ships
+    * as the portable 8-byte poly hash so downstream chunk-level dedup
+    * and indexing never move chunk text. */
+  val x82 = Q(
+    "x82_rag_chunking",
+    Some {
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "s AS (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 32 " +
+        "THEN range(1, len(ws) - 30, 16) ELSE [1] END) AS st FROM w), " +
+        "c AS (SELECT doc_id, CAST((st - 1) // 16 AS BIGINT) AS chunk_idx, " +
+        "array_to_string(ws[st:st+31], ' ') AS chunk FROM s) " +
+        s"SELECT doc_id, chunk_idx, CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens, " +
+        s"${duckPolyHash("chunk")} AS h FROM c"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(when(size(col("ws")) >= 32,
+          sequence(lit(1), size(col("ws")) - 31, lit(16)))
+          .otherwise(array(lit(1)))).as("st"))
+      .select(col("doc_id"),
+        expr("CAST((st - 1) div 16 AS BIGINT)").as("chunk_idx"),
+        array_join(slice(col("ws"), col("st"), lit(32)), " ").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+        expr("poly_hash(chunk)").as("h"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80
+    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82
   )
 }
