@@ -2095,11 +2095,106 @@ object TrainingData {
         expr("poly_hash(chunk)").as("h"))
   }
 
+  /** Full release pipeline (x83) — the widest composition in the
+    * library, extending x47's gate with the round-7 policy operators: a
+    * document ships iff it (1) is its content's canonical copy (x01),
+    * (2) passes the quality gate (x65, reasons = 0), (3) sits inside its
+    * OWN SOURCE's [p5, p95] token band (x70), (4) is neither benchmark
+    * nor contaminated by one (x40), and (5) survives its source's top-10
+    * quality cap (x79, via the bounded top-k prune); survivors get the
+    * content-hash split (x43). One declarative plan: Catalyst shares the
+    * word-explode aggregate between gate and score, every small frame
+    * (bands, benchmark grams) broadcasts, and the only corpus-sized
+    * shuffles are the signal aggregates each stage already paid alone. */
+  val x83 = Q(
+    "x83_release_pipeline",
+    Some {
+      val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
+      val counts = markers
+        .map { case (l, w) => s"CAST(${duckWordCount(w)} AS DOUBLE) AS c_$l" }
+        .mkString(", ")
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "ws AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(COUNT(DISTINCT word) AS BIGINT) AS nd FROM words GROUP BY doc_id), " +
+        "lng AS (SELECT doc_id, CASE " +
+        "WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
+        "WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
+        "WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
+        "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS lang_pred " +
+        s"FROM (SELECT doc_id, $counts FROM documents) c), " +
+        "kept AS (SELECT ws.doc_id FROM ws JOIN lng ON ws.doc_id = lng.doc_id " +
+        "WHERE NOT ((n_words < 40) OR (n_words > 400) OR " +
+        "(CAST(n_words - nd AS DOUBLE) / n_words > 0.8) OR (lang_pred <> 'en'))), " +
+        "keeper AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "bands AS (SELECT source, quantile_cont(n_words, 0.05) AS lo, " +
+        "quantile_cont(n_words, 0.95) AS hi FROM documents d " +
+        "JOIN ws ON d.doc_id = ws.doc_id GROUP BY source), " +
+        "w8 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        s"g AS (SELECT DISTINCT doc_id, ${duckPolyHash("gm")} AS h FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), " +
+        "i -> array_to_string(w[i:i+7], ' '))) AS gm FROM w8) t), " +
+        "bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0), " +
+        "contaminated AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (h) " +
+        "WHERE doc_id % 97 <> 0), " +
+        "pool AS (SELECT d.doc_id, d.source, ws.n_words, " +
+        "CAST(ws.nd AS DOUBLE) / ws.n_words AS score, " +
+        s"${duckPolyHash("d.text")} % 100 AS bu FROM documents d " +
+        "JOIN ws ON d.doc_id = ws.doc_id " +
+        "JOIN kept kp ON d.doc_id = kp.doc_id " +
+        "JOIN keeper k ON d.doc_id = k.doc_id " +
+        "JOIN bands b ON d.source = b.source " +
+        "LEFT JOIN contaminated c ON d.doc_id = c.doc_id " +
+        "WHERE ws.n_words >= b.lo AND ws.n_words <= b.hi " +
+        "AND d.doc_id % 97 <> 0 AND c.doc_id IS NULL), " +
+        "capped AS (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY score DESC, doc_id) AS rn FROM pool) " +
+        "SELECT doc_id, source, n_words, score, " +
+        "CASE WHEN bu < 98 THEN 'train' WHEN bu < 99 THEN 'val' ELSE 'test' END AS split_name " +
+        "FROM capped WHERE rn <= 10"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val docs = t.documents
+    val ws = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("word")).as("nd"))
+    val gateKept = Corpus.qualityGate(docs, "doc_id", "text")
+      .filter(col("kept")).select("doc_id")
+    val keeper = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val bands = docs.select(col("doc_id"), col("source"))
+      .join(ws.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(percentile(col("n_words"), lit(0.05)).as("lo"),
+        percentile(col("n_words"), lit(0.95)).as("hi"))
+    val grams = Corpus.gramHashes(docs, "doc_id", "text")
+    val bench = grams.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val pool = docs
+      .select(col("doc_id"), col("source"), (expr("poly_hash(text)") % 100).as("bu"))
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(ws, Seq("doc_id"))
+      .join(gateKept, Seq("doc_id"), "left_semi")
+      .join(keeper, Seq("doc_id"), "left_semi")
+      .join(broadcast(bands), Seq("source"))
+      .filter(col("n_words") >= col("lo") && col("n_words") <= col("hi"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_words"),
+        (col("nd").cast("double") / col("n_words")).as("score"), col("bu"))
+    Ranks.topKPerGroup(pool, Seq("source"), Seq(("score", false), ("doc_id", true)), 10)
+      .select(col("doc_id"), col("source"), col("n_words"), col("score"),
+        when(col("bu") < 98, "train").when(col("bu") < 99, "val")
+          .otherwise("test").as("split_name"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82
+    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83
   )
 }
