@@ -444,6 +444,47 @@ object Analytics {
         limbSumDouble("rev").as("revenue"))
   }
 
+  /** Per-event anomaly z-scores (x84) — x32's exact moments applied as a
+    * scoring pass: per-type mean/stddev from exact limb sums of v and v²
+    * (bit-identical at any parallelism), broadcast back onto the event
+    * stream, each event scored (value − mean) / stddev and flagged at
+    * |z| > 3. The monitoring primitive behind data-drift alerts: one
+    * map-side-combined aggregate plus a |types|-row broadcast join — the
+    * event table is scanned twice and never shuffled. */
+  val x84 = Q(
+    "x84_event_anomaly_zscore",
+    Some(
+      "WITH s AS (SELECT event_type, " +
+        s"${sqlSum("value")} AS sum_v, " +
+        "CAST(round(SUM(CAST(value AS DECIMAL(12,4)) * " +
+        "CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_v2, " +
+        s"$sqlCount AS n FROM events GROUP BY event_type), " +
+        "st AS (SELECT event_type, sum_v / n AS mean_v, " +
+        "sqrt((sum_v2 - sum_v * sum_v / n) / n) AS std_v FROM s) " +
+        "SELECT event_id, e.event_type, value, " +
+        "(value - mean_v) / std_v AS z_score, " +
+        "abs((value - mean_v) / std_v) > 3.0 AS is_anomaly " +
+        "FROM events e JOIN st ON e.event_type = st.event_type"
+    )
+  ) { t =>
+    // v² as a scale-4 limb sum: (2dp)² carries ≤4 decimals (see x32)
+    val v2 = unscaledLong(col("value"), 2) * unscaledLong(col("value"), 2)
+    val aggs = limbAggs("v", unscaledLong(col("value"), 4)) ++
+      limbAggs("v2", v2) :+ count(lit(1)).as("n")
+    val stats = t.events
+      .groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"),
+        (limbSumDouble("v") / col("n")).as("mean_v"),
+        sqrt((limbSumDouble("v2") - limbSumDouble("v") * limbSumDouble("v") / col("n"))
+          / col("n")).as("std_v"))
+    val z = (col("value") - col("mean_v")) / col("std_v")
+    t.events
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        z.as("z_score"), (abs(z) > 3.0).as("is_anomaly"))
+  }
+
   val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30, x32,
-    x36, x48, x49, x50, x66)
+    x36, x48, x49, x50, x66, x84)
 }
