@@ -35,6 +35,14 @@ object BenchLab {
       println(f"[lab] $name%-28s min=${runs.min}%.3f  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
     }
 
+    // generic single-query timing: LAB_MODE=q LAB_QUERY=<registered name>
+    if (sys.env.get("LAB_MODE").contains("q")) {
+      val name = sys.env("LAB_QUERY")
+      val fn = SparkEntry.queries(name)
+      time(name) { fn(spark, sfDir) }
+      spark.stop(); return
+    }
+
     if (sys.env.get("LAB_MODE").contains("x17")) {
       val fn = SparkEntry.queries("x17_pivot_conditional")
       time("x17 pivot") { fn(spark, sfDir) }

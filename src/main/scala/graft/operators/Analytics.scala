@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -467,24 +468,74 @@ object Analytics {
         "FROM events e JOIN st ON e.event_type = st.event_type"
     )
   ) { t =>
-    // v² as a scale-4 limb sum: (2dp)² carries ≤4 decimals (see x32)
+    val z = (col("value") - col("mean_v")) / col("std_v")
+    t.events
+      .join(broadcast(eventTypeStats(t.events)), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        z.as("z_score"), (abs(z) > 3.0).as("is_anomaly"))
+  }
+
+  /** Per-event-type exact population mean/std — x84's stats block, shared
+    * with [[graft.streaming.AnomalyStream]] so offline and online scoring
+    * use bit-identical statistics. v² rides as a scale-4 limb sum: a
+    * (2dp)² product carries ≤4 decimals (see x32), so both moments are
+    * exact and the only IEEE steps are the final division and sqrt. */
+  def eventTypeStats(events: DataFrame): DataFrame = {
     val v2 = unscaledLong(col("value"), 2) * unscaledLong(col("value"), 2)
     val aggs = limbAggs("v", unscaledLong(col("value"), 4)) ++
       limbAggs("v2", v2) :+ count(lit(1)).as("n")
-    val stats = t.events
+    events
       .groupBy(col("event_type"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("event_type"),
         (limbSumDouble("v") / col("n")).as("mean_v"),
         sqrt((limbSumDouble("v2") - limbSumDouble("v") * limbSumDouble("v") / col("n"))
           / col("n")).as("std_v"))
-    val z = (col("value") - col("mean_v")) / col("std_v")
+  }
+
+  /** Winsorized robust stats per event type: values clipped to the exact
+    * [p05, p95] percentile band before the mean — the outlier-robust
+    * center a metrics pipeline reports next to x84's z-scores. Exactness:
+    * the interpolated percentiles are identical doubles in both engines
+    * (x22's proven machinery); clip bounds are their FLOOR in cent space
+    * (floor of the same double is engine-independent, unlike the
+    * round-vs-truncate double→int casts), so every clipped value is an
+    * exact integer and the sum is order-independent. Two scans (stats,
+    * then clip+sum) with the tiny stats frame broadcast back. */
+  val x88 = Q(
+    "x88_winsorized_stats",
+    Some(
+      "WITH s AS (SELECT event_type, " +
+        "quantile_cont(CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT), 0.05) AS p05c, " +
+        "quantile_cont(CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT), 0.95) AS p95c, " +
+        s"$sqlCount AS n FROM events GROUP BY event_type), " +
+        "w AS (SELECT e.event_type, n, p05c, p95c, " +
+        "LEAST(GREATEST(CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT), " +
+        "CAST(FLOOR(p05c) AS BIGINT)), CAST(FLOOR(p95c) AS BIGINT)) AS vc " +
+        "FROM events e JOIN s ON e.event_type = s.event_type) " +
+        "SELECT event_type, n, p05c / 100 AS p05, p95c / 100 AS p95, " +
+        "CAST(SUM(vc) AS DOUBLE) / (100 * n) AS winsorized_mean " +
+        "FROM w GROUP BY event_type, n, p05c, p95c"
+    )
+  ) { t =>
+    val cents = (col("value").cast(Dec) * 100).cast("long")
+    val stats = t.events
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(cents, lit(0.05)).as("p05c"),
+        percentile(cents, lit(0.95)).as("p95c"),
+        count(lit(1)).as("n"))
     t.events
-      .join(broadcast(stats), Seq("event_type"))
-      .select(col("event_id"), col("event_type"), col("value"),
-        z.as("z_score"), (abs(z) > 3.0).as("is_anomaly"))
+      .join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("n"), col("p05c"), col("p95c"),
+        least(greatest(cents, floor(col("p05c"))), floor(col("p95c"))).as("vc"))
+      .groupBy(col("event_type"), col("n"), col("p05c"), col("p95c"))
+      .agg(sum(col("vc")).as("sw"))
+      .select(col("event_type"), col("n"),
+        (col("p05c") / 100).as("p05"), (col("p95c") / 100).as("p95"),
+        (col("sw").cast("double") / (lit(100) * col("n"))).as("winsorized_mean"))
   }
 
   val all: Seq[Q] = Seq(x15, x16, x17, x18, x19, x20, x21, x22, x23, x29, x30, x32,
-    x36, x48, x49, x50, x66, x84)
+    x36, x48, x49, x50, x66, x84, x88)
 }

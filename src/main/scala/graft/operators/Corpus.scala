@@ -19,8 +19,9 @@ import graft.functions.Text
   * frequency by term); the document count rides in as a broadcast 1-row
   * aggregate. Scoring uses only per-row IEEE chains (two divisions, one
   * multiply) so results are deterministic at any parallelism and
-  * bit-identical cross-engine — no `ln()` whose rounding differs across
-  * math libraries.
+  * bit-identical cross-engine — `ln()` appears only in
+  * [[unigramSurprisal]], behind the rounding discipline its scaladoc
+  * describes; everything else is rational arithmetic.
   */
 object Corpus {
 
@@ -383,6 +384,63 @@ object Corpus {
         when(col("non_en"), 8L).otherwise(0L)).as("reasons"),
       (!(col("too_short") || col("too_long") || col("repetitive") || col("non_en")))
         .as("kept"))
+  }
+
+  /** Unigram-surprisal quality score per document — the perplexity-proxy
+    * filter of LM data curation: mean self-information
+    * `avg(ln(N / n_w))` of a document's tokens under the corpus unigram
+    * distribution. Low mean surprisal = the document is made of globally
+    * common tokens (boilerplate, templates); high = rare-token soup
+    * (garbled text, dumps). Both tails are drop candidates.
+    *
+    * Exactness: this is the one place the library evaluates `ln`, whose
+    * last-ulp rounding is not guaranteed identical across math
+    * libraries. Both engines feed it the SAME double (one IEEE division
+    * of two exact integers), and the result is rounded to 4 decimals
+    * and summed as exact decimal — a cross-library sub-ulp disagreement
+    * flips the rounded value only within ~1e-13 of a 0.00005 boundary,
+    * which the oracle gate would surface. The decimal sum also makes the
+    * per-doc mean independent of partition order (a raw double sum would
+    * not be). One corpus word scan; the unigram table is vocabulary-sized
+    * → broadcast; per-doc aggregation is one shuffle on doc id. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(df, idCol, textCol)
+    val uni = w.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val nt = w.agg(count(lit(1)).as("nn"))
+    w.join(broadcast(uni), "word")
+      .crossJoin(broadcast(nt))
+      .select(col(idCol),
+        round(log(col("nn").cast("double") / col("n")), 4)
+          .cast("decimal(9,4)").as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("s")).cast("double") / count(lit(1))).as("mean_surprisal"))
+  }
+
+  /** Boilerplate-shingle profile per document: the fraction of a doc's
+    * distinct word 3-grams that occur in more than `maxDocFreq` documents
+    * corpus-wide — the shingle-level form of boilerplate/template
+    * detection (navigation chrome, license headers, footer text repeat
+    * verbatim across pages and inflate near-dup scores without being
+    * content). `is_template` flags docs where boilerplate shingles are
+    * the majority (integer comparison, no float threshold). Docs with
+    * fewer than 3 words carry no shingles and drop out. Shape: the same
+    * inverted index [[Dedup.ngramJaccardPairs]] builds — shingle
+    * doc-frequency is one count shuffle, the profile one join + one
+    * doc-id shuffle; at 100 TB the df table is the corpus shingle
+    * vocabulary, which the join keys on (no broadcast assumption). */
+  def boilerplateProfile(
+      df: DataFrame, idCol: String, textCol: String, maxDocFreq: Long): DataFrame = {
+    val sh = Dedup.shingles(df, idCol, textCol)
+    val dfq = sh.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
+    sh.join(dfq, "sh")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        countIf(col("sdf") > maxDocFreq).as("n_boiler"))
+      .select(col(idCol), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_ratio"),
+        (col("n_boiler") * 2 > col("n_shingles")).as("is_template"))
   }
 
   /** Deterministic stratified sample: `k` rows per stratum, chosen by an

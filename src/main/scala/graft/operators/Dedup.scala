@@ -219,6 +219,42 @@ object Dedup {
     )
   }
 
+  /** SimHash near-dup pairs within `maxHamming` bits of the 16-bit
+    * [[simhash16]], via banded bit-blocking: the signature splits into 4
+    * nibbles (4-bit bands), and by pigeonhole any pair differing in at
+    * most 3 bits agrees on at least one whole band — so candidate
+    * generation is an equi-join on (band, nibble) with recall 1.0 for
+    * `maxHamming <= 3`, never an all-pairs comparison. Candidates are
+    * verified exactly with `bit_count(xor)`. The blocking degrades
+    * gracefully: at `maxHamming = 4` a pair can dodge all 4 bands, so
+    * callers needing guaranteed recall above 3 bits should widen the
+    * signature (more bands), not the verify threshold. At scale each
+    * band bucket holds the docs sharing one nibble value — 64 buckets
+    * total here; production would use 64-bit signatures with 8-bit
+    * bands (1024 buckets) — and the shuffle key is (band, nibble), so
+    * skew concentrates only when the corpus is simhash-degenerate
+    * (near-identical bit-majorities), which is itself a dedup signal. */
+  def simhashHammingPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash16(df, idCol, textCol)
+    val keyed = sigs.select(col(idCol), col("simhash16"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash16"), 4 * b).bitwiseAND(15)): _*)).as(Seq("band", "nib")))
+    val a = keyed.select(col(idCol).as("doc_a"), col("simhash16").as("ha"),
+      col("band"), col("nib"))
+    val b = keyed.select(col(idCol).as("doc_b"), col("simhash16").as("hb"),
+      col("band"), col("nib"))
+    // hamming is functional on the pair, so the exact verify runs BEFORE
+    // the distinct: bit_count is a per-row codegen op, and most candidate
+    // collisions fail it — the dedup shuffle then carries only survivors
+    a.join(b, Seq("band", "nib"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Vectors with L2 norm attached; registers `float_vec_dot` in the
     * session so each public entry point works standalone. */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

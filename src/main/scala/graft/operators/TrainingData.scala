@@ -113,20 +113,24 @@ object TrainingData {
 
   /** SimHash (16-bit): per-word hash bit-majority — near-dup fingerprint
     * whose Hamming distance tracks content similarity. */
+  // shared simhash fragments: 16-bit bit-majority signature per document
+  // (ends in a `sims(doc_id, simhash16)` CTE for x04 and x85 to build on)
+  private val duckSimhashCtes: String = {
+    val sums = (0 until 16).map { b =>
+      s"CAST(SUM(CASE WHEN ((wh >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b"
+    }.mkString(", ")
+    val assemble = (0 until 16).map { b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    "simwords AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+      s"hashed AS (SELECT doc_id, ${duckPolyHash("word")} AS wh FROM simwords), " +
+      s"bits AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id), " +
+      s"sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash16 FROM bits)"
+  }
+
   val x04 = Q(
     "x04_dedup_simhash",
-    Some {
-      val sums = (0 until 16).map { b =>
-        s"CAST(SUM(CASE WHEN ((wh >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b"
-      }.mkString(", ")
-      val assemble = (0 until 16).map { b =>
-        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
-      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
-        s"hashed AS (SELECT doc_id, ${duckPolyHash("word")} AS wh FROM words), " +
-        s"bits AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id) " +
-        s"SELECT doc_id, CAST($assemble AS BIGINT) AS simhash16 FROM bits"
-    }
+    Some(s"WITH $duckSimhashCtes SELECT doc_id, simhash16 FROM sims")
   ) { t =>
     graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
     Dedup.simhash16(t.documents, "doc_id", "text")
@@ -156,23 +160,29 @@ object TrainingData {
     * Spark side is iterative min-label propagation (Dedup
     * .connectedComponents); the oracle computes the same closure with a
     * recursive CTE — both converge to min-reachable-id per node. */
+  // shared near-dup cluster fragments (jaccard >= 0.5 pairs → transitive
+  // closure → per-node min-reachable root); requires a WITH RECURSIVE
+  // prefix and ends in a `lab(doc_id, cluster_root)` CTE
+  private val duckClusterCtes: String =
+    s"$duckShingleCtes, " +
+      "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+      "prs AS (SELECT doc_a, doc_b FROM " +
+      "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+      "FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+      "GROUP BY a.doc_id, b.doc_id) p " +
+      "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
+      "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5), " +
+      "edges AS (SELECT doc_a AS u, doc_b AS v FROM prs " +
+      "UNION SELECT doc_b, doc_a FROM prs), " +
+      "reach(u, v) AS (SELECT u, v FROM edges " +
+      "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+      "lab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root FROM reach GROUP BY u)"
+
   val x33 = Q(
     "x33_dedup_clusters",
     Some(
-      s"WITH RECURSIVE $duckShingleCtes, " +
-        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
-        "prs AS (SELECT doc_a, doc_b FROM " +
-        "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
-        "FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
-        "GROUP BY a.doc_id, b.doc_id) p " +
-        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
-        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5), " +
-        "edges AS (SELECT doc_a AS u, doc_b AS v FROM prs " +
-        "UNION SELECT doc_b, doc_a FROM prs), " +
-        "reach(u, v) AS (SELECT u, v FROM edges " +
-        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
-        "SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root, " +
-        "(u = LEAST(u, MIN(v))) AS is_keeper FROM reach GROUP BY u"
+      s"WITH RECURSIVE $duckClusterCtes " +
+        "SELECT doc_id, cluster_root, (doc_id = cluster_root) AS is_keeper FROM lab"
     )
   ) { t =>
     val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
@@ -2190,11 +2200,123 @@ object TrainingData {
           .otherwise("test").as("split_name"))
   }
 
+  // ---- round-7 additions: simhash blocking, surprisal, boilerplate,
+  // ---- hubness, cluster histogram --------------------------------------
+
+  /** SimHash hamming-band near-dup pairs: 4-bit band blocking over the
+    * 16-bit signature (pigeonhole recall 1.0 at hamming ≤ 3), exact
+    * bit_count verify — [[Dedup.simhashHammingPairs]]' oracle gate. The
+    * candidate join is an equi-join on (band, nibble); no all-pairs. */
+  val x85 = Q(
+    "x85_simhash_hamming_pairs",
+    Some(
+      s"WITH $duckSimhashCtes, " +
+        "bnd AS (SELECT doc_id, simhash16, b, (simhash16 >> (4*b)) & 15 AS nib " +
+        "FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, " +
+        "a.simhash16 AS ha, c.simhash16 AS hb " +
+        "FROM bnd a JOIN bnd c ON a.b = c.b AND a.nib = c.nib AND a.doc_id < c.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming " +
+        "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
+    )
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    Dedup.simhashHammingPairs(t.documents, "doc_id", "text", maxHamming = 3)
+  }
+
+  /** Unigram-surprisal quality scoring ([[Corpus.unigramSurprisal]]) —
+    * the perplexity-proxy filter: mean self-information of a doc's
+    * tokens under the corpus unigram distribution. `ln` inputs are
+    * identical doubles in both engines and per-token values are rounded
+    * to 4 decimals before the exact decimal sum (see the scaladoc). */
+  val x86 = Q(
+    "x86_unigram_surprisal",
+    Some(
+      "WITH uwords AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM uwords GROUP BY word), " +
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM uwords), " +
+        "tok AS (SELECT doc_id, CAST(round(ln(CAST(nn AS DOUBLE) / n), 4) AS DECIMAL(9,4)) AS s " +
+        "FROM uwords JOIN uni USING (word) CROSS JOIN nt) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_surprisal FROM tok GROUP BY doc_id"
+    )
+  ) { t => Corpus.unigramSurprisal(t.documents, "doc_id", "text") }
+
+  /** Boilerplate-shingle profile ([[Corpus.boilerplateProfile]]): the
+    * fraction of each doc's distinct 3-gram shingles occurring in > 2
+    * documents corpus-wide; `is_template` = boilerplate majority. */
+  val x87 = Q(
+    "x87_boilerplate_profile",
+    Some(
+      s"WITH $duckShingleCtes, " +
+        "dfq AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS sdf FROM shingles GROUP BY sh) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, " +
+        s"${sqlCountIf("sdf > 2")} AS n_boiler, " +
+        "CAST(SUM(CASE WHEN sdf > 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boiler_ratio, " +
+        "(SUM(CASE WHEN sdf > 2 THEN 1 ELSE 0 END) * 2 > COUNT(*)) AS is_template " +
+        "FROM shingles JOIN dfq USING (sh) GROUP BY doc_id"
+    )
+  ) { t => Corpus.boilerplateProfile(t.documents, "doc_id", "text", maxDocFreq = 2) }
+
+  /** ANN hubness audit: in-degree distribution of the exact cosine
+    * top-5 neighbor graph — hub vectors (huge in-degree) distort
+    * kNN-based clustering and label voting, and the 0-in-degree count
+    * sizes the anti-hub tail. Composition: [[Dedup.annTopK]] over every
+    * vector, one count shuffle on neighbor id, left join back so
+    * never-cited vectors keep degree 0, then the tiny histogram agg. */
+  val x89 = Q(
+    "x89_ann_hubness",
+    Some(
+      s"WITH $duckNorms, " +
+        "asims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        s"${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine " +
+        "FROM norms a JOIN norms b ON a.vec_id <> b.vec_id), " +
+        "topk AS (SELECT query_id, neighbor_id FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn " +
+        "FROM asims) WHERE rn <= 5), " +
+        "deg AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM topk GROUP BY neighbor_id), " +
+        "ind AS (SELECT e.vec_id, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS in_degree " +
+        "FROM embeddings e LEFT JOIN deg d ON e.vec_id = d.neighbor_id) " +
+        "SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM ind GROUP BY in_degree"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val topk = Dedup.annTopK(t.embeddings, "vec_id", "embedding", lit(true), k = 5)
+    val deg = topk.groupBy(col("neighbor_id")).agg(count(lit(1)).as("cnt"))
+    t.embeddings.select(col("vec_id"))
+      .join(deg, col("vec_id") === col("neighbor_id"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
+  /** Near-dup cluster size histogram — the corpus-health readout over
+    * x33's clusters (how much of the corpus sits in how-big duplicate
+    * families; a fat tail here is what makes dedup worth its cost).
+    * Composition: pairs → [[Dedup.connectedComponents]] → two tiny
+    * aggregations; the histogram frame is cluster-count sized. */
+  val x90 = Q(
+    "x90_cluster_size_histogram",
+    Some(
+      s"WITH RECURSIVE $duckClusterCtes, " +
+        "cl AS (SELECT cluster_root, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY cluster_root) " +
+        "SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters, " +
+        "CAST(SUM(cluster_size) AS BIGINT) AS n_docs FROM cl GROUP BY cluster_size"
+    )
+  ) { t =>
+    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("cluster_root")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("cluster_size")).as("n_docs"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
-    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83
+    x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
+    x85, x86, x87, x89, x90
   )
 }

@@ -75,4 +75,17 @@ class AnalyticsSpec extends AnyFunSuite {
         s"approx $approx vs exact $exact")
     }
   }
+
+  test("x88 winsorized mean sits inside [p05, p95] and below the outlier-pulled max") {
+    val rows = SparkEntry.queries("x88_winsorized_stats")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (p05, p95, wm) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"),
+        r.getAs[Double]("winsorized_mean"))
+      assert(p05 < p95)
+      // floor-of-cents clip bounds: the mean of clipped values must sit
+      // within one cent of the band
+      assert(wm >= p05 - 0.01 && wm <= p95, s"wm=$wm outside [$p05, $p95]")
+    }
+  }
 }

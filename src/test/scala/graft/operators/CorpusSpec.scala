@@ -144,4 +144,42 @@ class CorpusSpec extends AnyFunSuite {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("unigram surprisal: rare-token doc scores above common-token doc; bounds hold") {
+    import spark.implicits._
+    // 'zyx' occurs once in the corpus; 'the' dominates it
+    val synth = Seq(
+      (1L, "the the the the"),
+      (2L, "the the the zyx"),
+      (3L, "the the the the")
+    ).toDF("doc_id", "text")
+    val out = Corpus.unigramSurprisal(synth, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val byId = out.map(t => t._1 -> t._3).toMap
+    assert(out.forall(_._2 == 4L))
+    assert(byId(2L) > byId(1L)) // the rare token raises mean surprisal
+    assert(byId(1L) === byId(3L))
+    // bounds: 0 <= mean surprisal <= ln(N) (token seen once)
+    val n = 12.0
+    assert(out.forall(t => t._3 >= 0.0 && t._3 <= math.log(n) + 1e-9))
+  }
+
+  test("boilerplate profile: repeated shingle flagged, unique doc stays clean") {
+    import spark.implicits._
+    val common = "click here to subscribe now" // shared 3-gram run
+    val synth = (1L to 4L).map(i => (i, s"$common unique$i tail$i words$i")).toSeq :+
+      ((9L, "completely different text with no repeats at all"))
+    val out = Corpus.boilerplateProfile(synth.toDF("doc_id", "text"), "doc_id", "text",
+        maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // the three shingles inside `common` appear in 4 docs > cap 2
+    assert((1L to 4L).forall(i => byId(i)._3 == 3L))
+    assert(byId(9L)._3 == 0L && !byId(9L)._5)
+    out.foreach { t =>
+      assert(t._4 >= 0.0 && t._4 <= 1.0)
+      assert(t._5 === (t._3 * 2 > t._2))
+    }
+  }
 }

@@ -365,4 +365,23 @@ class DedupLibrarySpec extends AnyFunSuite {
       (10L, 11L, false), (11L, 11L, true),   // src_a wins over min id 10
       (20L, 20L, true), (21L, 20L, false)))  // tie on source → min id
   }
+
+  test("simhash band blocking finds EVERY pair within hamming 3 (pigeonhole recall)") {
+    graft.functions.PolyHashFunctions.ensureRegistered(spark)
+    val small = docs.filter(col("doc_id") < 200)
+    val banded = Dedup.simhashHammingPairs(small, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: all-pairs hamming over the signatures
+    val sigs = Dedup.simhash16(small, "doc_id", "text")
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash16").as("ha"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash16").as("hb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    assert(banded === brute) // recall 1.0 at maxHamming <= 3, precision via exact verify
+  }
 }
