@@ -443,6 +443,39 @@ object Corpus {
         (col("n_boiler") * 2 > col("n_shingles")).as("is_template"))
   }
 
+  /** Per-source curation scorecard — the one-table health readout a
+    * corpus owner reads before mixing sources: document count, exact-dup
+    * document count and ratio, mean tokens per document, and the
+    * token-weighted mean unigram surprisal (same `ln` discipline as
+    * [[unigramSurprisal]], aggregated by source instead of document).
+    * Everything is exact (integer counts, decimal surprisal sums, one
+    * final IEEE division per ratio). Shape: one word scan (vocabulary
+    * table broadcast back), one content-hash groupBy for dup counts,
+    * then source-keyed aggregates — the output is |sources| rows. */
+  def sourceScorecard(
+      df: DataFrame, idCol: String, textCol: String, srcCol: String): DataFrame = {
+    val w = df.select(col(srcCol).as("source"), explode(split(col(textCol), " ")).as("word"))
+    val uni = w.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val nt = w.agg(count(lit(1)).as("nn"))
+    val persrc = w.join(broadcast(uni), "word")
+      .crossJoin(broadcast(nt))
+      .select(col("source"),
+        round(log(col("nn").cast("double") / col("n")), 4)
+          .cast("decimal(9,4)").as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("ssum"))
+    val dup = df.groupBy(col(textCol)).agg(count(lit(1)).as("c"))
+    val docs = df.join(dup, Seq(textCol))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"), countIf(col("c") > 1).as("n_dup_docs"))
+      .withColumnRenamed(srcCol, "source")
+    docs.join(persrc, "source")
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_doc_ratio"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("avg_tokens"),
+        (col("ssum").cast("double") / col("n_tokens")).as("mean_surprisal"))
+  }
+
   /** Deterministic stratified sample: `k` rows per stratum, chosen by an
     * arithmetic LCG of the unique key — reproducible on any cluster
     * size, no RNG state. One shuffle (the window by stratum). */

@@ -875,19 +875,31 @@ object Dedup {
     * possibly two splits, the exact leakage this operator prevents. */
   def leakageSafeSplit(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    leakageSafeSplitFromPairs(df, idCol,
+      ngramJaccardPairs(df, idCol, textCol, threshold))
+
+  /** [[leakageSafeSplit]] from a precomputed near-dup pair frame
+    * (`doc_a`, `doc_b`) — lets a caller that already paid for candidate
+    * generation (or wants different pair semantics, e.g. containment or
+    * simhash pairs) reuse it instead of re-running the shingle join.
+    * `trainCut`/`valCut` set the split fractions as percent boundaries
+    * (default 98/1/1, x43's rule): train = bucket < trainCut, val =
+    * bucket < valCut, else test. */
+  def leakageSafeSplitFromPairs(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      trainCut: Int = 98, valCut: Int = 99): DataFrame = {
     graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
-    val pairs = ngramJaccardPairs(df, idCol, textCol, threshold)
     val roots = connectedComponents(pairs, "doc_a", "doc_b", maxIter = 64)
     val withRoot = df
       .join(roots, df(idCol) === roots("node"), "left")
       .select(df(idCol),
         coalesce(col("cluster_root"), df(idCol)).as("split_key"))
-    // same portable 98/1/1 hash rule as the content-hash split (x43),
-    // keyed on the root id's digits — bit-identical cross-engine
+    // same portable percent-bucket hash rule as the content-hash split
+    // (x43), keyed on the root id's digits — bit-identical cross-engine
     val bucket = expr("poly_hash(CAST(split_key AS STRING)) % 100")
     withRoot.select(col(idCol), col("split_key"),
-      when(bucket < 98, "train").when(bucket < 99, "val")
+      when(bucket < trainCut, "train").when(bucket < valCut, "val")
         .otherwise("test").as("split_name"))
   }
 

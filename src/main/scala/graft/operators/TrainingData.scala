@@ -2311,12 +2311,93 @@ object TrainingData {
       .agg(count(lit(1)).as("n_clusters"), sum(col("cluster_size")).as("n_docs"))
   }
 
+  /** Split leakage audit — the measurable case FOR x52: count near-dup
+    * pairs whose endpoints land in different splits under (a) the naive
+    * content-hash split (x43's rule, which only keeps EXACT duplicates
+    * together) and (b) the cluster-aware split. The cluster row must
+    * read 0 by construction (a family shares its root's hash); the
+    * content-hash row is the leakage a naive splitter silently ships.
+    * The audit runs at 80/10/10 (a common eval-heavy configuration, and
+    * one where pair endpoints cross splits ~34% of the time by chance,
+    * so the naive count is visibly nonzero at every SF; at 98/1/1 a
+    * small pair list can read 0-vs-0 by luck). The expensive shingle
+    * join runs ONCE: the pair frame is materialized and shared by the
+    * cluster split ([[Dedup.leakageSafeSplitFromPairs]]) and both audit
+    * joins. */
+  val x91 = Q(
+    "x91_split_leakage_audit",
+    Some {
+      val naiveB = s"${duckPolyHash("text")} % 100"
+      val clusterB = s"${duckPolyHash("CAST(split_key AS VARCHAR)")} % 100"
+      s"WITH RECURSIVE $duckClusterCtes, " +
+        "keyed AS (SELECT d.doc_id, COALESCE(l.cluster_root, d.doc_id) AS split_key " +
+        "FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id), " +
+        "csplit AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' " +
+        "WHEN b < 90 THEN 'val' ELSE 'test' END AS split_name FROM " +
+        s"(SELECT doc_id, $clusterB AS b FROM keyed) t), " +
+        "nsplit AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' " +
+        "WHEN b < 90 THEN 'val' ELSE 'test' END AS split_name FROM " +
+        s"(SELECT doc_id, $naiveB AS b FROM documents) t) " +
+        "SELECT 'content_hash' AS split_method, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "COALESCE(CAST(SUM(CASE WHEN a.split_name <> b.split_name THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_cross_pairs " +
+        "FROM prs JOIN nsplit a ON prs.doc_a = a.doc_id JOIN nsplit b ON prs.doc_b = b.doc_id " +
+        "UNION ALL " +
+        "SELECT 'cluster' AS split_method, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "COALESCE(CAST(SUM(CASE WHEN a.split_name <> b.split_name THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_cross_pairs " +
+        "FROM prs JOIN csplit a ON prs.doc_a = a.doc_id JOIN csplit b ON prs.doc_b = b.doc_id"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val naive = t.documents.select(col("doc_id"),
+      when(expr("poly_hash(text) % 100") < 80, "train")
+        .when(expr("poly_hash(text) % 100") < 90, "val")
+        .otherwise("test").as("split_name"))
+    val clustered = Dedup.leakageSafeSplitFromPairs(t.documents, "doc_id", pairs,
+        trainCut = 80, valCut = 90)
+      .select(col("doc_id"), col("split_name"))
+    def audit(split: DataFrame, label: String): DataFrame =
+      pairs
+        .join(split.select(col("doc_id").as("doc_a"), col("split_name").as("sa")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"), col("split_name").as("sb")), Seq("doc_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(countIf(col("sa") =!= col("sb")), lit(0L)).as("n_cross_pairs"))
+        .select(lit(label).as("split_method"), col("n_pairs"), col("n_cross_pairs"))
+    audit(naive, "content_hash").unionAll(audit(clustered, "cluster"))
+  }
+
+  /** Per-source curation scorecard ([[Corpus.sourceScorecard]]): doc
+    * counts, exact-dup share, mean tokens, token-weighted mean unigram
+    * surprisal — the mixture-decision table, one row per source. */
+  val x92 = Q(
+    "x92_source_scorecard",
+    Some(
+      "WITH uwords AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM uwords GROUP BY word), " +
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM uwords), " +
+        "tok AS (SELECT source, CAST(round(ln(CAST(nn AS DOUBLE) / n), 4) AS DECIMAL(9,4)) AS s " +
+        "FROM uwords JOIN uni USING (word) CROSS JOIN nt), " +
+        "persrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(s) AS ssum " +
+        "FROM tok GROUP BY source), " +
+        "dup AS (SELECT text, COUNT(*) AS c FROM documents GROUP BY text), " +
+        "docs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        s"${sqlCountIf("c > 1")} AS n_dup_docs " +
+        "FROM documents JOIN dup USING (text) GROUP BY source) " +
+        "SELECT source, n_docs, n_dup_docs, " +
+        "CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_doc_ratio, " +
+        "CAST(n_tokens AS DOUBLE) / n_docs AS avg_tokens, " +
+        "CAST(ssum AS DOUBLE) / n_tokens AS mean_surprisal " +
+        "FROM docs JOIN persrc USING (source)"
+    )
+  ) { t => Corpus.sourceScorecard(t.documents, "doc_id", "text", "source") }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
-    x85, x86, x87, x89, x90
+    x85, x86, x87, x89, x90, x91, x92
   )
 }

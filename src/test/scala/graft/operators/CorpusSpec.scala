@@ -164,6 +164,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.forall(t => t._3 >= 0.0 && t._3 <= math.log(n) + 1e-9))
   }
 
+  test("source scorecard: one row per source, counts reconcile, dup ratio bounded") {
+    val full = Tables(spark, sf).documents
+    val out = Corpus.sourceScorecard(full, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val nSources = full.select("source").distinct().count()
+    assert(out.length == nSources)
+    assert(out.map(_._2).sum == full.count())
+    out.foreach { case (_, nDocs, nDup, ratio, avgTok, surp) =>
+      assert(nDup <= nDocs)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(avgTok > 0.0)
+      assert(surp > 0.0)
+    }
+  }
+
   test("boilerplate profile: repeated shingle flagged, unique doc stays clean") {
     import spark.implicits._
     val common = "click here to subscribe now" // shared 3-gram run

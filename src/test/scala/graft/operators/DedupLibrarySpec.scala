@@ -384,4 +384,15 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(brute.nonEmpty)
     assert(banded === brute) // recall 1.0 at maxHamming <= 3, precision via exact verify
   }
+
+  test("split leakage audit: cluster split never crosses, naive split does") {
+    val rows = graft.SparkEntry.queries("x91_split_leakage_audit")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nPairsN, crossN) = rows("content_hash")
+    val (nPairsC, crossC) = rows("cluster")
+    assert(nPairsN == nPairsC && nPairsN > 0)
+    assert(crossC == 0L)  // families share their root's hash — by construction
+    assert(crossN > 0L)   // the leakage the naive splitter ships on this corpus
+  }
 }
