@@ -476,6 +476,54 @@ object Corpus {
         (col("ssum").cast("double") / col("n_tokens")).as("mean_surprisal"))
   }
 
+  /** Reference unigram LM for [[lmPartialScorecard]]: (word, n) counts
+    * from a reference corpus. The total token count is `sum(n)` — always
+    * derivable from the frame itself, so consumers need no side channel
+    * for unseen-word smoothing. */
+  def unigramLm(reference: DataFrame, textCol: String): DataFrame =
+    reference.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Per-source PARTIAL scorecard of `docs` scored against a FIXED
+    * reference LM — (source, n_docs, n_tokens, ssum) where ssum is the
+    * exact decimal sum of 4-dp-rounded surprisals (same discipline as
+    * [[unigramSurprisal]]; words unseen in the reference score
+    * `ln(N / 1)`, count-1 smoothing). All three aggregates are
+    * ASSOCIATIVE (long sums + exact decimal sums), so partials computed
+    * over any row partitioning of `docs` — micro-batches included —
+    * merge by [[scorecardFromPartials]] into exactly the whole-corpus
+    * answer. This is the streaming-exact-aggregation contract: no keyed
+    * state, just per-batch partial rows appended to a table. */
+  def lmPartialScorecard(
+      docs: DataFrame, lm: DataFrame,
+      textCol: String, srcCol: String): DataFrame = {
+    val nt = lm.agg(sum(col("n")).as("nn"))
+    val scored = docs
+      .select(col(srcCol).as("source"), explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(lm), Seq("word"), "left")
+      .crossJoin(broadcast(nt))
+      .select(col("source"),
+        round(log(col("nn").cast("double") / coalesce(col("n"), lit(1L))), 4)
+          .cast("decimal(9,4)").as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("ssum"))
+    docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumnRenamed(srcCol, "source")
+      .join(scored, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("ssum"))
+  }
+
+  /** Merge [[lmPartialScorecard]] partials (any number of batches) into
+    * the final per-source scorecard — exact because every partial column
+    * is an associative sum. */
+  def scorecardFromPartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("ssum")).as("ssum"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("ssum").cast("double") / col("n_tokens")).as("mean_surprisal"))
+
   /** Deterministic stratified sample: `k` rows per stratum, chosen by an
     * arithmetic LCG of the unique key — reproducible on any cluster
     * size, no RNG state. One shuffle (the window by stratum). */

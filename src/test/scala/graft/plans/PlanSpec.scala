@@ -84,4 +84,27 @@ class PlanSpec extends AnyFunSuite {
     // documents scan count at 2 (tf subtree + the 1-row n_docs agg)
     assert(scans <= 3, s"documents scanned $scans times:\n$p")
   }
+
+  test("x85: simhash band candidates are a hash equi-join, never a cross product") {
+    val p = plan("x85_simhash_hamming_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x86/x92: the unigram table and token total are broadcast to the scoring join") {
+    for (name <- Seq("x86_unigram_surprisal", "x92_source_scorecard")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name:\n$p")
+    }
+  }
+
+  test("x89: every window in the hubness audit is partitioned (no global sort)") {
+    val p = plan("x89_ann_hubness")
+    // topKPerGroup pre-prunes per partition; the exact rank window is
+    // query_id-partitioned — nothing windows over an unpartitioned pool
+    val globalWindows = p.linesIterator.filter(_.contains("Window"))
+      .count(l => l.contains("PartitionBy: []"))
+    assert(globalWindows == 0, p)
+  }
 }
