@@ -228,31 +228,43 @@ object Dedup {
     * verified exactly with `bit_count(xor)`. The blocking degrades
     * gracefully: at `maxHamming = 4` a pair can dodge all 4 bands, so
     * callers needing guaranteed recall above 3 bits should widen the
-    * signature (more bands), not the verify threshold. At scale each
-    * band bucket holds the docs sharing one nibble value — 64 buckets
-    * total here; production would use 64-bit signatures with 8-bit
-    * bands (1024 buckets) — and the shuffle key is (band, nibble), so
-    * skew concentrates only when the corpus is simhash-degenerate
-    * (near-identical bit-majorities), which is itself a dedup signal. */
+    * signature (more bands), not the verify threshold. Candidate
+    * generation runs on DISTINCT signatures, not documents — docs
+    * sharing a signature collapse into one node, so the band join is
+    * |signatures|²-bounded and template-heavy corpora compress hard;
+    * production widens to 64-bit signatures with 8-bit bands (1024
+    * buckets). Band-bucket skew concentrates only when the corpus is
+    * simhash-degenerate (near-identical bit-majorities), which is
+    * itself a dedup signal. */
   def simhashHammingPairs(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val sigs = simhash16(df, idCol, textCol)
-    val keyed = sigs.select(col(idCol), col("simhash16"),
+    // pair at the SIGNATURE level, not the document level: docs sharing a
+    // signature collapse into one node for candidate generation, so the
+    // band join and hamming verify run on |distinct signatures|² terms
+    // (heavily compressed on template-ridden corpora) and no doc-level
+    // distinct is ever needed — each unordered doc pair emerges exactly
+    // once from its (ordered) signature pair
+    val distinctSigs = sigs.select(col("simhash16").as("siga")).distinct()
+    val keyed = distinctSigs.select(col("siga"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash16"), 4 * b).bitwiseAND(15)): _*)).as(Seq("band", "nib")))
-    val a = keyed.select(col(idCol).as("doc_a"), col("simhash16").as("ha"),
-      col("band"), col("nib"))
-    val b = keyed.select(col(idCol).as("doc_b"), col("simhash16").as("hb"),
-      col("band"), col("nib"))
-    // hamming is functional on the pair, so the exact verify runs BEFORE
-    // the distinct: bit_count is a per-row codegen op, and most candidate
-    // collisions fail it — the dedup shuffle then carries only survivors
-    a.join(b, Seq("band", "nib"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+        shiftright(col("siga"), 4 * b).bitwiseAND(15)): _*)).as(Seq("band", "nib")))
+    val sigPairs = keyed
+      .join(keyed.select(col("siga").as("sigb"), col("band"), col("nib")),
+        Seq("band", "nib"))
+      .filter(col("siga") <= col("sigb")) // = keeps same-signature groups
+      .select(col("siga"), col("sigb"),
+        expr("CAST(bit_count(siga ^ sigb) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .distinct() // signature-pair-sized, not doc-pair-sized
+    val da = sigs.select(col(idCol).as("doc_a"), col("simhash16").as("siga"))
+    val db = sigs.select(col(idCol).as("doc_b"), col("simhash16").as("sigb"))
+    sigPairs.join(da, "siga").join(db, "sigb")
+      // same-signature groups produce both orientations and self-pairs —
+      // order-filter them; cross-signature pairs appear once, any order
+      .filter(col("siga") =!= col("sigb") || col("doc_a") < col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("hamming"))
   }
 
   /** Vectors with L2 norm attached; registers `float_vec_dot` in the
@@ -298,6 +310,37 @@ object Dedup {
     Ranks.topKPerGroup(sims, Seq("query_id"),
       Seq(("cosine", false), ("neighbor_id", true)), k)
       .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector (per `anchorPred`), the `k` highest-cosine vectors carrying
+    * a DIFFERENT label — the semantically-closest wrong answers, which
+    * are exactly the negatives a contrastive loss learns most from
+    * (random negatives are trivially far at scale). Same plan shape as
+    * [[annTopK]]: the anchor side is small and broadcasts, the corpus
+    * side scans once, the per-anchor rank is bounded through
+    * [[Ranks.topKPerGroup]]; the label inequality rides the join
+    * condition so same-label vectors never reach scoring. */
+  def hardNegatives(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      anchorPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
+    val n = df.select(col(idCol), col(labelCol).as("lbl"),
+      col(vecCol).as("embedding"),
+      sqrt(expr(s"float_vec_dot($vecCol, $vecCol)")).as("nrm"))
+    val a = n.filter(anchorPred).select(col(idCol).as("query_id"),
+      col("lbl").as("anchor_label"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col(idCol).as("neighbor_id"),
+      col("lbl").as("neighbor_label"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val sims = a
+      .join(b, col("query_id") =!= col("neighbor_id") &&
+        col("anchor_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("anchor_label"),
+        col("neighbor_id"), col("neighbor_label"),
+        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+    Ranks.topKPerGroup(sims, Seq("query_id"),
+      Seq(("cosine", false), ("neighbor_id", true)), k)
+      .select("query_id", "anchor_label", "neighbor_id", "neighbor_label", "cosine")
   }
 
   /** Per-label robust centroid + cosine-diversity profile — the "is this

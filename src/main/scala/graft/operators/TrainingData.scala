@@ -2392,12 +2392,93 @@ object TrainingData {
     )
   ) { t => Corpus.sourceScorecard(t.documents, "doc_id", "text", "source") }
 
+  /** Hard-negative mining ([[Dedup.hardNegatives]]): per anchor, the
+    * top-3 highest-cosine vectors with a DIFFERENT label — contrastive
+    * training's informative negatives. Anchors broadcast; one corpus
+    * scan; rank bounded via the top-k prune. */
+  val x93 = Q(
+    "x93_hard_negatives",
+    Some(
+      "WITH lnorms AS (SELECT vec_id, label, embedding, " +
+        s"sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings), " +
+        "lsims AS (SELECT a.vec_id AS query_id, a.label AS anchor_label, " +
+        "b.vec_id AS neighbor_id, b.label AS neighbor_label, " +
+        s"${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine " +
+        "FROM lnorms a JOIN lnorms b ON a.vec_id < 10 AND a.vec_id <> b.vec_id " +
+        "AND a.label <> b.label) " +
+        "SELECT query_id, anchor_label, neighbor_id, neighbor_label, cosine FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rn FROM lsims) WHERE rn <= 3"
+    )
+  ) { t =>
+    Dedup.hardNegatives(t.embeddings, "vec_id", "embedding", "label",
+      col("vec_id") < 10, k = 3)
+  }
+
+  /** Dataset card: the one-row release summary a corpus ships with —
+    * document / source / token counts, vocabulary size and hapax share,
+    * exact-duplicate share, language mix, and the content-hash split
+    * proportions. Every number is an exact count (ratios are one IEEE
+    * division); the whole card is two corpus scans (words + documents)
+    * reduced to one row. */
+  val x94 = Q(
+    "x94_dataset_card",
+    Some(
+      "WITH cwords AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM cwords GROUP BY word), " +
+        "vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size, " +
+        s"${sqlCountIf("n = 1")} AS n_hapax, " +
+        "CAST(SUM(n) AS BIGINT) AS n_tokens FROM uni), " +
+        "dupd AS (SELECT text, COUNT(*) AS c FROM documents GROUP BY text), " +
+        "docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        s"${sqlCountIf("c > 1")} AS n_dup_docs, " +
+        s"${sqlCountIf(s"${duckPolyHash("text")} % 100 < 98")} AS n_train, " +
+        s"${sqlCountIf(s"${duckPolyHash("text")} % 100 = 98")} AS n_val " +
+        "FROM documents JOIN dupd USING (text)) " +
+        "SELECT n_docs, n_sources, n_langs, n_tokens, vocab_size, n_hapax, " +
+        "CAST(n_hapax AS DOUBLE) / vocab_size AS hapax_share, " +
+        "n_dup_docs, CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_share, " +
+        "CAST(n_tokens AS DOUBLE) / n_docs AS avg_doc_tokens, " +
+        "n_train, n_val, n_docs - n_train - n_val AS n_test " +
+        "FROM docs CROSS JOIN vocab"
+    )
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val uni = t.documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val vocab = uni.agg(
+      count(lit(1)).as("vocab_size"),
+      countIf(col("n") === 1).as("n_hapax"),
+      sum(col("n")).as("n_tokens"))
+    val dupd = t.documents.groupBy(col("text")).agg(count(lit(1)).as("c"))
+    val bucket = expr("poly_hash(text) % 100")
+    val docs = t.documents.join(dupd, "text").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countIf(col("c") > 1).as("n_dup_docs"),
+      countIf(bucket < 98).as("n_train"),
+      countIf(bucket === 98).as("n_val"))
+    docs.crossJoin(vocab).select(
+      col("n_docs"), col("n_sources"), col("n_langs"), col("n_tokens"),
+      col("vocab_size"), col("n_hapax"),
+      (col("n_hapax").cast("double") / col("vocab_size")).as("hapax_share"),
+      col("n_dup_docs"),
+      (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_share"),
+      (col("n_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"),
+      col("n_train"), col("n_val"),
+      (col("n_docs") - col("n_train") - col("n_val")).as("n_test"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
-    x85, x86, x87, x89, x90, x91, x92
+    x85, x86, x87, x89, x90, x91, x92, x93, x94
   )
 }

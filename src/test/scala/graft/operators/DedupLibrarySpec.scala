@@ -385,6 +385,25 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(banded === brute) // recall 1.0 at maxHamming <= 3, precision via exact verify
   }
 
+  test("hard negatives: no same-label neighbor, no self, scores bounded") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Dedup.hardNegatives(emb, "vec_id", "embedding", "label",
+        col("vec_id") < 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, al, n, nl, cos) =>
+      assert(q != n)
+      assert(al != nl)                 // negatives only
+      assert(al == labels(q) && nl == labels(n))
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    // exactly k negatives per anchor (corpus has plenty of other labels)
+    out.groupBy(_._1).foreach { case (_, rows) => assert(rows.length == 3) }
+  }
+
   test("split leakage audit: cluster split never crosses, naive split does") {
     val rows = graft.SparkEntry.queries("x91_split_leakage_audit")(
         spark, "/root/testdata/sf0.001")
