@@ -2473,12 +2473,47 @@ object TrainingData {
       (col("n_docs") - col("n_train") - col("n_val")).as("n_test"))
   }
 
+  /** Incremental scorecard maintenance — the O(changeset) alternative to
+    * rescanning the corpus: the standing corpus (`doc_id % 10 != 7`) and
+    * an incoming batch (`doc_id % 10 = 7`) are reduced to per-source
+    * PARTIAL rows separately ([[Corpus.lmPartialScorecard]], scored
+    * against the STANDING corpus's unigram LM with count-1 smoothing for
+    * unseen words) and merged by [[Corpus.scorecardFromPartials]]. The
+    * oracle computes the same fixed-LM scorecard over everything in one
+    * pass — passing the hash gate proves the partial merge is EXACTLY
+    * the full recompute, which is what lets the same machinery maintain
+    * corpus statistics under streaming ingest (ScorecardStream) and CDC
+    * batches (x81) without ever rescanning standing text. */
+  val x95 = Q(
+    "x95_incremental_scorecard",
+    Some(
+      "WITH oldw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id % 10 <> 7), " +
+        "lm AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM oldw GROUP BY word), " +
+        "lnn AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM lm), " +
+        "allw AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "tok AS (SELECT source, CAST(round(ln(CAST(nn AS DOUBLE) / COALESCE(n, 1)), 4) AS DECIMAL(9,4)) AS s " +
+        "FROM allw LEFT JOIN lm USING (word) CROSS JOIN lnn), " +
+        "persrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(s) AS ssum FROM tok GROUP BY source), " +
+        "docs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "CAST(ssum AS DOUBLE) / n_tokens AS mean_surprisal " +
+        "FROM docs JOIN persrc USING (source)"
+    )
+  ) { t =>
+    val standing = t.documents.filter(col("doc_id") % 10 =!= 7)
+    val incoming = t.documents.filter(col("doc_id") % 10 === 7)
+    val lm = Corpus.unigramLm(standing, "text")
+    Corpus.scorecardFromPartials(
+      Corpus.lmPartialScorecard(standing, lm, "text", "source")
+        .unionAll(Corpus.lmPartialScorecard(incoming, lm, "text", "source")))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
-    x85, x86, x87, x89, x90, x91, x92, x93, x94
+    x85, x86, x87, x89, x90, x91, x92, x93, x94, x95
   )
 }

@@ -120,4 +120,51 @@ class SemanticsPropertySpec extends AnyFunSuite {
       assert(deduped === expected)
     }
   }
+
+  test("simhash banding == brute-force hamming on random word-soup corpora") {
+    import spark.implicits._
+    graft.functions.PolyHashFunctions.ensureRegistered(spark)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      val docs = (0L until 40L).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val banded = graft.operators.Dedup
+        .simhashHammingPairs(docs, "doc_id", "text", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sigs = graft.operators.Dedup.simhash16(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong if h <= 3
+      } yield (a, b, h)).toSet
+      assert(banded === brute, s"seed=$seed")
+    }
+  }
+
+  test("scorecard partials: any partition of the docs merges to the one-shot answer") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val vocab = Vector("red", "green", "blue", "cyan", "teal")
+    val rnd = new Random(7)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        s"src${i % 4}")
+    }
+    val full = docs.toDF("doc_id", "text", "source")
+    val lm = Corpus.unigramLm(full, "text")
+    val oneShot = Corpus.scorecardFromPartials(
+      Corpus.lmPartialScorecard(full, lm, "text", "source"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    (1 to 3).foreach { seed =>
+      val r2 = new Random(seed)
+      val parts = docs.groupBy(_ => r2.nextInt(3)).values.toSeq // random 3-way split
+      val merged = Corpus.scorecardFromPartials(
+        parts.map(p => Corpus.lmPartialScorecard(p.toDF("doc_id", "text", "source"),
+          lm, "text", "source")).reduce(_ unionAll _))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(merged === oneShot, s"seed=$seed") // bit-identical, any partitioning
+    }
+  }
 }
