@@ -836,6 +836,59 @@ object Dedup {
     result
   }
 
+  /** Empirical banding-recall calibration curve: for every true pair at
+    * shingle Jaccard ≥ `minJaccard`, whether the 4-band MinHash blocking
+    * ([[minhashCandidatePairs]]' candidate stage) would have surfaced it
+    * — aggregated per 0.1-wide Jaccard bucket as (n_true, n_hit,
+    * recall). This is the measured counterpart of the theoretical
+    * banding curve 1−(1−s²)⁴: the readout that tells an operator
+    * whether the signature budget (8 permutations / 4 bands) is safe to
+    * trust at their dedup threshold BEFORE they skip exact
+    * verification at scale. ONE shingle build feeds the exact join, the
+    * signatures and the band join (checkpoint-for-the-call, released
+    * before returning); the curve frame is ≤ 11 rows. */
+  def bandingRecallCurve(
+      df: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    val truePairs = a
+      .join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(counts.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sigs = minhashSignaturesFromShingles(sh, idCol)
+    val bandStructs = (0 until 4).map { k =>
+      struct(lit(k).as("band"), col(s"band$k").as("key"))
+    }
+    val keys = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val ca = keys.select(col(idCol).as("doc_a"), col("band"), col("key"))
+    val cb = keys.select(col(idCol).as("doc_b"), col("band"), col("key"))
+    val cand = ca.join(cb, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val result = truePairs
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(floor(col("jaccard") * 10).cast("long").as("bucket"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .localCheckpoint(true)
+    release(sh)
+    result
+  }
+
   /** MinHash estimator-error audit: every banded candidate pair with its
     * signature-agreement Jaccard ESTIMATE (matching components / 8) next
     * to the exact shingle Jaccard — the calibration readout that decides

@@ -2508,12 +2508,82 @@ object TrainingData {
         .unionAll(Corpus.lmPartialScorecard(incoming, lm, "text", "source")))
   }
 
+  /** Media inventory — the housekeeping layer of a multimodal lake:
+    * group the packed binary assets ([[Multimodal.packMedia]]'s schema)
+    * by frame-count band and report asset counts and byte totals. The
+    * point: inventory/metadata queries over a binary-column table are
+    * plain Catalyst (octet arithmetic, exact counts) — `mapPartitions`
+    * is reserved for the codec itself (x12). */
+  val x96 = Q(
+    "x96_media_inventory",
+    Some(
+      "WITH media AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
+        "octet_length(encode(text)) % 16 + 1 AS n_frames FROM documents) " +
+        s"SELECT n_frames, $sqlCount AS n_assets, " +
+        "CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, " +
+        "CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS avg_bytes, " +
+        "CAST(MAX(n_bytes) AS BIGINT) AS max_bytes " +
+        "FROM media GROUP BY n_frames"
+    )
+  ) { t =>
+    val nb = length(encode(col("text"), "utf-8")).cast("long")
+    t.documents
+      .select(col("doc_id"), nb.as("n_bytes"), (nb % 16 + 1).as("n_frames"))
+      .groupBy(col("n_frames"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("n_bytes")).cast("double") / count(lit(1))).as("avg_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+  }
+
+  /** Banding recall calibration ([[Dedup.bandingRecallCurve]]): per
+    * 0.1-Jaccard bucket, the fraction of TRUE near-dup pairs the 4-band
+    * MinHash blocking surfaces — the measured form of 1−(1−s²)⁴, and
+    * the pre-flight that decides whether banded candidates can skip
+    * exact verification at a given dedup threshold. */
+  val x97 = Q(
+    "x97_banding_recall_curve",
+    Some {
+      val mins = mhA.indices.map { j =>
+        s"CAST(MIN((sh_h * ${mhA(j)} + ${mhB(j)}) % $P) AS BIGINT) AS mh$j"
+      }.mkString(", ")
+      val bandKeys = (0 until 4).map { k =>
+        s"SELECT doc_id, $k AS band, " +
+          s"CAST((mh${2 * k} * 1000003 + mh${2 * k + 1}) % $P AS BIGINT) AS key FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"WITH $duckShingleCtes, " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "tp AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard FROM " +
+        "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) p " +
+        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.05), " +
+        s"hashed AS (SELECT doc_id, ${duckPolyHash("sh")} AS sh_h FROM shingles), " +
+        s"sigs AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id), " +
+        s"keys AS ($bandKeys), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key " +
+        "AND a.doc_id < b.doc_id), " +
+        "scored AS (SELECT CAST(FLOOR(t.jaccard * 10) AS BIGINT) AS bucket, " +
+        "CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit " +
+        "FROM tp t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) " +
+        s"SELECT bucket, $sqlCount AS n_true, " +
+        "CAST(SUM(hit) AS BIGINT) AS n_hit, " +
+        "CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall " +
+        "FROM scored GROUP BY bucket"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    Dedup.bandingRecallCurve(t.documents, "doc_id", "text", minJaccard = 0.05)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
-    x85, x86, x87, x89, x90, x91, x92, x93, x94, x95
+    x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97
   )
 }
