@@ -535,4 +535,31 @@ object Corpus {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Truncation-waste curve: for each candidate max sequence length,
+    * how many documents would be cut and what fraction of corpus tokens
+    * the cut discards — the readout that picks a packing/context length
+    * BEFORE committing a 100 TB tokenization run. Token counts are
+    * per-row length arithmetic ([[graft.functions.Text.tokenCount]] —
+    * no explode), each row fans out to `maxLens.size` (length, tokens)
+    * pairs, and one small aggregate (≤ `maxLens.size` groups) does the
+    * rest: a single map-side-combined shuffle over the whole corpus.
+    * All sums are integers (exact on any partitioning); the one double
+    * is a final single division. */
+  def truncationWaste(
+      df: DataFrame, textCol: String, maxLens: Seq[Int]): DataFrame =
+    df.select(Text.tokenCount(textCol).as("n_tokens"))
+      .select(col("n_tokens"),
+        explode(array(maxLens.map(l => lit(l.toLong)): _*)).as("max_len"))
+      .groupBy(col("max_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") > col("max_len"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(least(col("n_tokens"), col("max_len"))).as("tokens_kept"),
+        sum(greatest(col("n_tokens") - col("max_len"), lit(0L)))
+          .as("tokens_lost"))
+      .withColumn("waste_frac",
+        col("tokens_lost").cast("double") /
+          (col("tokens_kept") + col("tokens_lost")))
 }

@@ -95,6 +95,39 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "jaccard")
   }
 
+  /** Dedup-threshold sensitivity sweep: for each candidate Jaccard
+    * threshold, the surviving near-dup pair count and the number of
+    * distinct non-canonical docs a keep-min-id rule would drop — the
+    * curve that shows how sharply corpus size reacts to the threshold
+    * choice BEFORE a full dedup run commits to one. One inverted-index
+    * pair build at `thresholds.min` ([[ngramJaccardPairs]] — never
+    * all-pairs) feeds every threshold: the pair frame is tiny relative
+    * to the corpus, so the ×`thresholds.size` fan-out and the final
+    * ≤ `thresholds.size`-row aggregate are negligible at any scale.
+    * Thresholds with no qualifying pair still emit a zero row (that row
+    * is the "threshold too strict" signal). */
+  def thresholdSensitivity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholds: Seq[Double],
+      n: Int = 3): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, thresholds.min, n)
+    val swept = pairs
+      .select(col("jaccard"), col("doc_b"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_dup_docs"))
+    val ts = df.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    ts.join(swept, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+  }
+
   /** Directional containment pairs: for each ordered pair (inner, outer),
     * containment = |S(inner) ∩ S(outer)| / |S(inner)| over distinct word
     * n-gram shingles. Unlike the symmetric Jaccard of

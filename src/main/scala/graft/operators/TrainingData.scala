@@ -2578,12 +2578,63 @@ object TrainingData {
     Dedup.bandingRecallCurve(t.documents, "doc_id", "text", minJaccard = 0.05)
   }
 
+  /** Truncation-waste curve ([[Corpus.truncationWaste]]): per candidate
+    * max sequence length, docs cut and fraction of corpus tokens lost —
+    * the context-length pre-flight before a full tokenization run. */
+  val x98 = Q(
+    "x98_truncation_waste",
+    Some(
+      "WITH ws AS (SELECT length(text) - length(replace(text, ' ', '')) + 1 " +
+        "AS n_tokens FROM documents), " +
+        "ls AS (SELECT CAST(UNNEST([16, 32, 64, 128]) AS BIGINT) AS max_len) " +
+        s"SELECT max_len, $sqlCount AS n_docs, " +
+        "CAST(SUM(CASE WHEN n_tokens > max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated, " +
+        "CAST(SUM(LEAST(n_tokens, max_len)) AS BIGINT) AS tokens_kept, " +
+        "CAST(SUM(GREATEST(n_tokens - max_len, 0)) AS BIGINT) AS tokens_lost, " +
+        "CAST(SUM(GREATEST(n_tokens - max_len, 0)) AS DOUBLE) / " +
+        "(SUM(LEAST(n_tokens, max_len)) + SUM(GREATEST(n_tokens - max_len, 0))) " +
+        "AS waste_frac " +
+        "FROM ws CROSS JOIN ls GROUP BY max_len"
+    )
+  ) { t =>
+    Corpus.truncationWaste(t.documents, "text", Seq(16, 32, 64, 128))
+  }
+
+  /** Dedup-threshold sensitivity ([[Dedup.thresholdSensitivity]]): pair
+    * and droppable-doc counts at each candidate Jaccard threshold, zero
+    * rows included — how sharply corpus size reacts to the knob. */
+  val x99 = Q(
+    "x99_threshold_sensitivity",
+    Some(
+      s"WITH $duckShingleCtes, " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id), " +
+        "jp AS (SELECT doc_a, doc_b, " +
+        "CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard " +
+        "FROM pairs JOIN counts ca ON doc_a = ca.doc_id " +
+        "JOIN counts cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.05), " +
+        "ts AS (SELECT UNNEST([0.05, 0.1, 0.2, 0.3, 0.5]) AS threshold), " +
+        "agg AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_dup_docs " +
+        "FROM jp JOIN ts ON jaccard >= threshold GROUP BY threshold) " +
+        "SELECT t.threshold, COALESCE(a.n_pairs, 0) AS n_pairs, " +
+        "COALESCE(a.n_dup_docs, 0) AS n_dup_docs " +
+        "FROM ts t LEFT JOIN agg a ON t.threshold = a.threshold"
+    )
+  ) { t =>
+    Dedup.thresholdSensitivity(
+      t.documents, "doc_id", "text", Seq(0.05, 0.1, 0.2, 0.3, 0.5))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
-    x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97
+    x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99
   )
 }

@@ -198,4 +198,25 @@ class CorpusSpec extends AnyFunSuite {
       assert(t._5 === (t._3 * 2 > t._2))
     }
   }
+
+  test("truncation waste: exact integer accounting on known token counts") {
+    import spark.implicits._
+    // whitespace token counts: 3, 5, 10
+    val synth = Seq(
+      (1L, "a b c"),
+      (2L, "a b c d e"),
+      (3L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = Corpus.truncationWaste(synth, "text", Seq(4, 8))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // max_len=4: docs 2 (5 tok) and 3 (10 tok) cut; kept 3+4+4, lost 1+6
+    assert(out(4L) === ((3L, 2L, 11L, 7L, 7.0 / 18.0)))
+    // max_len=8: only doc 3 cut; kept 3+5+8, lost 2
+    assert(out(8L) === ((3L, 1L, 16L, 2L, 2.0 / 18.0)))
+    // invariant at every length: kept + lost == total corpus tokens
+    out.values.foreach { case (_, _, kept, lost, frac) =>
+      assert(kept + lost == 18L)
+      assert(frac === lost.toDouble / 18.0)
+    }
+  }
 }

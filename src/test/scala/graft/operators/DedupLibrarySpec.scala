@@ -404,6 +404,25 @@ class DedupLibrarySpec extends AnyFunSuite {
     out.groupBy(_._1).foreach { case (_, rows) => assert(rows.length == 3) }
   }
 
+  test("threshold sensitivity: monotone curve, agrees with per-threshold pair builds") {
+    val small = docs.filter(col("doc_id") < 300)
+    val thresholds = Seq(0.1, 0.3, 0.6, 1.1) // 1.1 unreachable → zero row
+    val out = Dedup.thresholdSensitivity(small, "doc_id", "text", thresholds)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === thresholds.toSet) // every threshold emits a row
+    // monotone non-increasing as the threshold tightens
+    val sorted = thresholds.sorted.map(out)
+    sorted.sliding(2).foreach { case Seq((pa, da), (pb, db)) =>
+      assert(pa >= pb && da >= db)
+    }
+    assert(out(1.1) === ((0L, 0L))) // zero row survives the left join
+    assert(out(0.1)._1 > 0L)
+    // cross-check: the swept count at 0.3 equals an independent pair build
+    val direct = Dedup.ngramJaccardPairs(small, "doc_id", "text", threshold = 0.3)
+      .count()
+    assert(out(0.3)._1 === direct)
+  }
+
   test("split leakage audit: cluster split never crosses, naive split does") {
     val rows = graft.SparkEntry.queries("x91_split_leakage_audit")(
         spark, "/root/testdata/sf0.001")
