@@ -423,6 +423,26 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(out(0.3)._1 === direct)
   }
 
+  test("banding recall curve: totals match exact pairs, identical docs always hit") {
+    graft.functions.PolyHashFunctions.ensureRegistered(spark)
+    val small = Tables(spark, "/root/testdata/sf0.001").documents
+    val out = Dedup.bandingRecallCurve(small, "doc_id", "text", minJaccard = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (bucket, nTrue, nHit, recall) =>
+      assert(bucket >= 0L && bucket <= 10L)
+      assert(nHit <= nTrue && nTrue > 0L)
+      assert(recall === nHit.toDouble / nTrue)
+    }
+    // the curve partitions the exact pair inventory at the same threshold
+    val exact = Dedup.ngramJaccardPairs(small, "doc_id", "text", threshold = 0.05)
+      .count()
+    assert(out.map(_._2).sum === exact)
+    // jaccard 1.0 ⇒ identical shingle sets ⇒ identical signatures ⇒ banding
+    // cannot miss: the top bucket, when present, must be recall 1.0
+    out.find(_._1 == 10L).foreach { case (_, _, _, r) => assert(r === 1.0) }
+  }
+
   test("split leakage audit: cluster split never crosses, naive split does") {
     val rows = graft.SparkEntry.queries("x91_split_leakage_audit")(
         spark, "/root/testdata/sf0.001")
