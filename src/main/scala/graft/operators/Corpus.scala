@@ -546,6 +546,29 @@ object Corpus {
     * rest: a single map-side-combined shuffle over the whole corpus.
     * All sums are integers (exact on any partitioning); the one double
     * is a final single division. */
+  /** PII scan + redaction in one projection pass: appends a
+    * `<name>_count` column per (name, regex) pattern and a
+    * `<textCol>_redacted` column with every match replaced by
+    * `<NAME>`. Patterns are applied to the redaction in sequence, so an
+    * earlier pattern cannot be re-matched by a later one — the same
+    * left-to-right discipline a reducing-scrubber needs for overlapping
+    * pattern families. Everything is per-row codegen'd regex work (no
+    * shuffle, no UDF); at 100 TB this is a map-only stage whose cost is
+    * the regex engine itself, and the patterns must stay in the
+    * backtracking-safe subset (character classes + bounded quantifiers,
+    * no nested unbounded groups) to keep worst-case per-row time linear. */
+  def piiScan(
+      df: DataFrame, textCol: String, patterns: Seq[(String, String)]): DataFrame = {
+    val withCounts = patterns.foldLeft(df) { case (acc, (name, re)) =>
+      acc.withColumn(s"${name}_count",
+        size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long"))
+    }
+    val redacted = patterns.foldLeft(col(textCol)) { case (e, (name, re)) =>
+      regexp_replace(e, lit(re), lit(s"<${name.toUpperCase}>"))
+    }
+    withCounts.withColumn(s"${textCol}_redacted", redacted)
+  }
+
   def truncationWaste(
       df: DataFrame, textCol: String, maxLens: Seq[Int]): DataFrame =
     df.select(Text.tokenCount(textCol).as("n_tokens"))

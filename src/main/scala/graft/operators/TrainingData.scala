@@ -2629,12 +2629,60 @@ object TrainingData {
       t.documents, "doc_id", "text", Seq(0.05, 0.1, 0.2, 0.3, 0.5))
   }
 
+  /** PII scan + redaction scorecard ([[Corpus.piiScan]]): the fixture
+    * text carries no PII, so the query first injects deterministic
+    * email/phone strings keyed off doc_id (the [[x05]]-style synthetic
+    * discipline), then scans and redacts, reporting per-source match
+    * counts and redacted char deltas. One map-only regex pass + one
+    * small groupBy — the shape a 100 TB scrub job takes. */
+  val x100 = Q(
+    "x100_pii_scan",
+    Some(
+      "WITH aug AS (SELECT doc_id, source, text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END " +
+        "AS text FROM documents), " +
+        "scanned AS (SELECT source, " +
+        "len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS email_count, " +
+        "len(regexp_extract_all(text, '\\d{3}-\\d{4}')) AS phone_count, " +
+        "length(text) - length(regexp_replace(regexp_replace(text, " +
+        "'[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'), " +
+        "'\\d{3}-\\d{4}', '<PHONE>', 'g')) AS delta FROM aug) " +
+        s"SELECT source, $sqlCount AS n_docs, " +
+        "CAST(SUM(CASE WHEN email_count + phone_count > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii, " +
+        "CAST(SUM(email_count) AS BIGINT) AS n_emails, " +
+        "CAST(SUM(phone_count) AS BIGINT) AS n_phones, " +
+        "CAST(SUM(delta) AS BIGINT) AS chars_redacted " +
+        "FROM scanned GROUP BY source"
+    )
+  ) { t =>
+    val aug = t.documents.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    Corpus.piiScan(aug, "text",
+        Seq("email" -> "[a-z0-9]+@[a-z]+\\.[a-z]+", "phone" -> "\\d{3}-\\d{4}"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("email_count") + col("phone_count") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum(col("email_count")).as("n_emails"),
+        sum(col("phone_count")).as("n_phones"),
+        sum(length(col("text")) - length(col("text_redacted")))
+          .as("chars_redacted"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
-    x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99
+    x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100
   )
 }

@@ -199,6 +199,29 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pii scan: exact counts, full redaction, clean docs untouched") {
+    import spark.implicits._
+    val pats = Seq(
+      "email" -> "[a-z0-9]+@[a-z]+\\.[a-z]+",
+      "phone" -> "\\d{3}-\\d{4}")
+    val synth = Seq(
+      (1L, "mail me at bob7@mail.com or ann@web.org thanks"), // 2 emails
+      (2L, "call 555-0142 and 555-9999 or write x@y.zz"),     // 2 phones, 1 email
+      (3L, "no contact details in this one at all")).toDF("doc_id", "text")
+    val out = Corpus.piiScan(synth, "text", pats)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 2L && out(1L)._2 == 0L)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 2L)
+    assert(out(3L) === ((0L, 0L, "no contact details in this one at all")))
+    // redacted text carries the placeholders and no surviving matches
+    assert(out(1L)._3 == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(out(2L)._3 == "call <PHONE> and <PHONE> or write <EMAIL>")
+    out.values.foreach { case (_, _, red) =>
+      pats.foreach { case (_, re) => assert(!re.r.findFirstIn(red).isDefined) }
+    }
+  }
+
   test("truncation waste: exact integer accounting on known token counts") {
     import spark.implicits._
     // whitespace token counts: 3, 5, 10
