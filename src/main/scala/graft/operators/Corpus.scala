@@ -546,6 +546,28 @@ object Corpus {
     * rest: a single map-side-combined shuffle over the whole corpus.
     * All sums are integers (exact on any partitioning); the one double
     * is a final single division. */
+  /** Per-source quantile curation gate: each source contributes its own
+    * length cutoff (the exact interpolated `q`-quantile of whitespace
+    * token counts — Spark `percentile` ≡ DuckDB `quantile_cont` on
+    * integer inputs), and a document is kept when it reaches its OWN
+    * source's cutoff. This is the per-domain thresholding a mixed crawl
+    * needs — one global cutoff over-prunes terse sources and
+    * under-prunes verbose ones. Returns (`idCol`, `sourceCol`,
+    * `n_tokens`, `cutoff`, `kept`). Scale shape: one map-side-combined
+    * aggregate to a sources-sized cutoff table, then a broadcast join
+    * back — the corpus never shuffles. */
+  def sourceQuantileGate(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      q: Double): DataFrame = {
+    val toks = df.select(col(idCol), col(sourceCol),
+      Text.tokenCount(textCol).as("n_tokens"))
+    val cutoffs = toks.groupBy(col(sourceCol))
+      .agg(percentile(col("n_tokens"), lit(q)).as("cutoff"))
+    toks.join(broadcast(cutoffs), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("cutoff"),
+        (col("n_tokens").cast("double") >= col("cutoff")).as("kept"))
+  }
+
   /** PII scan + redaction in one projection pass: appends a
     * `<name>_count` column per (name, regex) pattern and a
     * `<textCol>_redacted` column with every match replaced by

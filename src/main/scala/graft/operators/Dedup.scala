@@ -922,6 +922,33 @@ object Dedup {
     result
   }
 
+  /** Empirical hyperplane-LSH recall curve for the embedding scale path:
+    * for every true near-dup pair at exact cosine ≥ `minCosine`
+    * ([[embeddingNearDups]], the all-pairs baseline), whether the banded
+    * hyperplane bucketing ([[embeddingNearDupsBucketed]], the 100 TB
+    * path) surfaced it — aggregated per 0.1-wide cosine bucket as
+    * (n_true, n_hit, recall). The embedding counterpart of
+    * [[bandingRecallCurve]]: the readout that says whether the
+    * bands×planes budget is safe at YOUR similarity threshold before the
+    * bucketed path replaces the exact one. The all-pairs side restricts
+    * this audit to eval-sized corpora — at scale it runs on a sampled
+    * slice, and the curve transfers because recall depends only on pair
+    * cosine, not corpus size. */
+  def embeddingBandingRecallCurve(
+      df: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val exact = embeddingNearDups(df, idCol, vecCol, minCosine)
+    val hits = embeddingNearDupsBucketed(df, idCol, vecCol, minCosine)
+      .select(col("vec_a"), col("vec_b"))
+      .withColumn("hit", lit(1L))
+    exact
+      .join(hits, Seq("vec_a", "vec_b"), "left")
+      .select(floor(col("cosine") * 10).cast("long").as("bucket"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+  }
+
   /** MinHash estimator-error audit: every banded candidate pair with its
     * signature-agreement Jaccard ESTIMATE (matching components / 8) next
     * to the exact shingle Jaccard — the calibration readout that decides

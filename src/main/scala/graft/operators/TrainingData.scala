@@ -2677,12 +2677,73 @@ object TrainingData {
           .as("chars_redacted"))
   }
 
+  /** Per-source quantile curation gate ([[Corpus.sourceQuantileGate]]):
+    * each source prunes against its OWN median length — the per-domain
+    * thresholding discipline for mixed crawls. Summarized per source:
+    * cutoff, docs kept, tokens kept. */
+  val x101 = Q(
+    "x101_source_quantile_gate",
+    Some(
+      "WITH toks AS (SELECT doc_id, source, " +
+        "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents), " +
+        "cuts AS (SELECT source, quantile_cont(n_tokens, 0.5) AS cutoff " +
+        "FROM toks GROUP BY source) " +
+        s"SELECT t.source, MIN(cutoff) AS cutoff, $sqlCount AS n_docs, " +
+        "CAST(SUM(CASE WHEN CAST(n_tokens AS DOUBLE) >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(CASE WHEN CAST(n_tokens AS DOUBLE) >= cutoff THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept " +
+        "FROM toks t JOIN cuts c ON t.source = c.source GROUP BY t.source"
+    )
+  ) { t =>
+    Corpus.sourceQuantileGate(t.documents, "doc_id", "text", "source", q = 0.5)
+      .groupBy(col("source"))
+      .agg(min(col("cutoff")).as("cutoff"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+  }
+
+  /** Embedding-LSH recall calibration
+    * ([[Dedup.embeddingBandingRecallCurve]]): measured recall of the
+    * bucketed x34 scale path against the exact x11 inventory per cosine
+    * bucket — the embedding twin of x97's shingle curve. */
+  val x102 = Q(
+    "x102_embedding_recall_curve",
+    Some {
+      val bandKeys = (0 until 4).map { k =>
+        val bits = (0 until 4).map { p =>
+          s"(CASE WHEN ${duckLshDot(k * 4 + p)} >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $k AS band, CAST($bits AS BIGINT) AS band_key FROM embeddings"
+      }.mkString(" UNION ALL ")
+      s"WITH $duckNorms, " +
+        s"keys AS ($bandKeys), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key " +
+        "AND a.vec_id < b.vec_id), " +
+        "exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine " +
+        "FROM norms a JOIN norms b ON a.vec_id < b.vec_id " +
+        s"WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4) " +
+        "SELECT CAST(floor(cosine * 10) AS BIGINT) AS bucket, " +
+        s"$sqlCount AS n_true, " +
+        "CAST(SUM(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "CAST(SUM(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall " +
+        "FROM exact e LEFT JOIN cand c ON e.vec_a = c.vec_a AND e.vec_b = c.vec_b " +
+        "GROUP BY bucket"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.embeddingBandingRecallCurve(
+      t.embeddings, "vec_id", "embedding", minCosine = 0.4)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
     x24, x25, x26, x27, x28, x31, x33, x34, x35, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
-    x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100
+    x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
+    x101, x102
   )
 }

@@ -199,6 +199,21 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("source quantile gate: per-source median cutoffs, interpolation exact") {
+    import spark.implicits._
+    // source a: 1, 3, 5 tokens (median 3) — source b: 2, 4, 6, 8 (median 5.0)
+    val synth = Seq(
+      (1L, "a", "w"), (2L, "a", "w w w"), (3L, "a", "w w w w w"),
+      (4L, "b", "w w"), (5L, "b", "w w w w"),
+      (6L, "b", "w w w w w w"), (7L, "b", "w w w w w w w w")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.sourceQuantileGate(synth, "doc_id", "text", "source", q = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((3.0, false)) && out(2L) === ((3.0, true)) && out(3L) === ((3.0, true)))
+    Seq(4L, 5L).foreach(i => assert(out(i) === ((5.0, false))))
+    Seq(6L, 7L).foreach(i => assert(out(i) === ((5.0, true))))
+  }
+
   test("pii scan: exact counts, full redaction, clean docs untouched") {
     import spark.implicits._
     val pats = Seq(

@@ -443,6 +443,24 @@ class DedupLibrarySpec extends AnyFunSuite {
     out.find(_._1 == 10L).foreach { case (_, _, _, r) => assert(r === 1.0) }
   }
 
+  test("embedding recall curve: partitions the exact pair inventory, hits bounded") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val out = Dedup.embeddingBandingRecallCurve(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (bucket, nTrue, nHit, recall) =>
+      assert(bucket >= 4L && bucket <= 10L)
+      assert(nHit <= nTrue && nTrue > 0L)
+      assert(recall === nHit.toDouble / nTrue)
+    }
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4).count()
+    assert(out.map(_._2).sum === exact)
+    // every bucketed-path pair is a true pair that must be counted as hit
+    val bucketed = Dedup.embeddingNearDupsBucketed(emb, "vec_id", "embedding", 0.4).count()
+    assert(out.map(_._3).sum === bucketed)
+  }
+
   test("split leakage audit: cluster split never crosses, naive split does") {
     val rows = graft.SparkEntry.queries("x91_split_leakage_audit")(
         spark, "/root/testdata/sf0.001")
