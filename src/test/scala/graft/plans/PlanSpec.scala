@@ -107,4 +107,19 @@ class PlanSpec extends AnyFunSuite {
       .count(l => l.contains("PartitionBy: []"))
     assert(globalWindows == 0, p)
   }
+
+  test("x98/x100: map-only scans — exactly one shuffle, the final aggregate's") {
+    Seq("x98_truncation_waste", "x100_pii_scan").foreach { name =>
+      val p = plan(name)
+      val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+      assert(exchanges == 1, s"$name:\n$p")
+      assert(p.contains("partial_"), p) // map-side combine before it
+    }
+  }
+
+  test("x101: per-source cutoff table is broadcast back, corpus never shuffled for the join") {
+    val p = plan("x101_source_quantile_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
