@@ -546,6 +546,36 @@ object Corpus {
     * rest: a single map-side-combined shuffle over the whole corpus.
     * All sums are integers (exact on any partitioning); the one double
     * is a final single division. */
+  /** Bigram-conditional surprisal — the KenLM-style LM quality proxy
+    * one order above [[unigramSurprisal]]: every in-document bigram
+    * (w1, w2) scores −ln P(w2 | w1) = ln(c(w1·)/c(w1,w2)) against
+    * corpus counts, where c(w1·) counts bigrams STARTING with w1 (so
+    * the conditional normalizes to 1 and end-of-document tokens never
+    * skew the denominator). Repetitive/templated text compresses well
+    * under its own corpus (low surprisal); token-soup scores high —
+    * a sharper quality filter than the unigram model because it sees
+    * word ORDER, not just frequency. Same cross-engine exactness
+    * discipline as [[unigramSurprisal]]: per-bigram ln rounded to 4 dp
+    * then summed as exact decimals. Scale shape: the bigram count table
+    * is vocabulary²-bounded so it joins by shuffle on the bigram key
+    * (NOT broadcast — unlike the unigram table it need not fit in one
+    * executor); the prefix-count table is unigram-sized and broadcasts. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigrams(df, idCol, textCol)
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.select(split(col("bg"), " ").getItem(0).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(c2, "bg")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(broadcast(c1), "w1")
+      .select(col(idCol),
+        round(log(col("c1").cast("double") / col("c2")), 4)
+          .cast("decimal(9,4)").as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("s")).cast("double") / count(lit(1))).as("mean_surprisal"))
+  }
+
   /** Per-source quantile curation gate: each source contributes its own
     * length cutoff (the exact interpolated `q`-quantile of whitespace
     * token counts — Spark `percentile` ≡ DuckDB `quantile_cont` on

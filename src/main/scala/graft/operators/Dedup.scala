@@ -949,6 +949,38 @@ object Dedup {
       .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
   }
 
+  /** Cluster-cohesion audit — the over-merge guard for transitive
+    * dedup: connected components chain A~B~C into one cluster even when
+    * A and C share nothing, so before a keep-one-per-cluster rewrite
+    * deletes real content, this reports, per cluster, how tightly its
+    * members actually cohere. Output per `cluster_root`: member count,
+    * observed near-dup pair count, the weakest and mean observed pair
+    * similarity (4-dp decimal discipline — order-independent sums), and
+    * `pair_coverage` = observed pairs / all member pairs. Low coverage
+    * with a low minimum is the chaining signature; coverage 1.0 is a
+    * clique (safe to collapse). Cost: one CC solve over the pair frame
+    * plus two pair-frame-sized aggregates — the corpus itself is never
+    * touched. Pass an eagerly-materialized `pairs` frame
+    * (localCheckpoint) since it feeds both the CC solve and the
+    * cohesion aggregate. */
+  def clusterCohesion(
+      pairs: DataFrame, aCol: String, bCol: String, simCol: String): DataFrame = {
+    val roots = connectedComponents(pairs, aCol, bCol)
+    val sizes = roots.groupBy(col("cluster_root")).agg(count(lit(1)).as("n_docs"))
+    val coh = pairs
+      .join(roots.select(col("node").as(aCol), col("cluster_root")), Seq(aCol))
+      .select(col("cluster_root"),
+        round(col(simCol), 4).cast("decimal(9,4)").as("j"))
+      .groupBy(col("cluster_root"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("j")).cast("double").as("min_jaccard"),
+        (sum(col("j")).cast("double") / count(lit(1))).as("mean_jaccard"))
+    sizes.join(coh, Seq("cluster_root"))
+      .withColumn("pair_coverage",
+        col("n_pairs").cast("double") /
+          (col("n_docs") * (col("n_docs") - 1) / 2))
+  }
+
   /** MinHash estimator-error audit: every banded candidate pair with its
     * signature-agreement Jaccard ESTIMATE (matching components / 8) next
     * to the exact shingle Jaccard — the calibration readout that decides

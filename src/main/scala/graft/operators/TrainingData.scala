@@ -2737,6 +2737,61 @@ object TrainingData {
       t.embeddings, "vec_id", "embedding", minCosine = 0.4)
   }
 
+  /** Bigram-conditional surprisal ([[Corpus.bigramSurprisal]]): the
+    * order-2 LM quality proxy — sees word order where x86's unigram
+    * model sees only frequency. */
+  val x103 = Q(
+    "x103_bigram_surprisal",
+    Some(
+      "WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+        "i -> w[i] || ' ' || w[i+1])) AS bg FROM wl), " +
+        "c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bgs GROUP BY bg), " +
+        "c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(COUNT(*) AS BIGINT) AS c1 " +
+        "FROM bgs GROUP BY 1), " +
+        "tok AS (SELECT doc_id, CAST(round(ln(CAST(c1 AS DOUBLE) / c2), 4) AS DECIMAL(9,4)) AS s " +
+        "FROM bgs JOIN c2 USING (bg) JOIN c1 ON string_split(bg, ' ')[1] = c1.w1) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_surprisal FROM tok GROUP BY doc_id"
+    )
+  ) { t => Corpus.bigramSurprisal(t.documents, "doc_id", "text") }
+
+  /** Cluster-cohesion audit ([[Dedup.clusterCohesion]]): per near-dup
+    * cluster, observed-pair coverage and weakest/mean similarity — the
+    * chaining (over-merge) guard run before a keep-one-per-cluster
+    * rewrite. */
+  val x104 = Q(
+    "x104_cluster_cohesion",
+    Some(
+      s"WITH RECURSIVE $duckShingleCtes, " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "jp AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard FROM " +
+        "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) p " +
+        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5), " +
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM jp " +
+        "UNION SELECT doc_b, doc_a FROM jp), " +
+        "reach(u, v) AS (SELECT u, v FROM edges " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "lab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root FROM reach GROUP BY u), " +
+        "cl AS (SELECT cluster_root, CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab GROUP BY cluster_root), " +
+        "pj AS (SELECT l.cluster_root, CAST(round(jaccard, 4) AS DECIMAL(9,4)) AS j " +
+        "FROM jp JOIN lab l ON jp.doc_a = l.doc_id), " +
+        "coh AS (SELECT cluster_root, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(MIN(j) AS DOUBLE) AS min_jaccard, CAST(SUM(j) AS DOUBLE) / COUNT(*) AS mean_jaccard " +
+        "FROM pj GROUP BY cluster_root) " +
+        "SELECT cl.cluster_root, cl.n_docs, coh.n_pairs, coh.min_jaccard, coh.mean_jaccard, " +
+        "CAST(coh.n_pairs AS DOUBLE) / (cl.n_docs * (cl.n_docs - 1) / 2) AS pair_coverage " +
+        "FROM cl JOIN coh USING (cluster_root)"
+    )
+  ) { t =>
+    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+      .localCheckpoint(true)
+    Dedup.clusterCohesion(pairs, "doc_a", "doc_b", "jaccard")
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -2744,6 +2799,6 @@ object TrainingData {
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
-    x101, x102
+    x101, x102, x103, x104
   )
 }

@@ -199,6 +199,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram surprisal: repeated word order scores below shuffled order") {
+    import spark.implicits._
+    // docs 1 and 2 share the exact bigram sequence; doc 3 uses the same
+    // words in a novel order — its bigrams are rarer, surprisal higher
+    val synth = Seq(
+      (1L, "a b c d a b c d"),
+      (2L, "a b c d a b c d"),
+      (3L, "d c b a d c b a"),
+      (4L, "a")). // single token: no bigrams, must be absent
+      toDF("doc_id", "text")
+    val out = Corpus.bigramSurprisal(synth, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(!byId.contains(4L))
+    assert(byId(1L)._2 == 7L && byId(3L)._2 == 7L)
+    assert(byId(1L)._3 === byId(2L)._3) // identical docs, identical score
+    assert(byId(3L)._3 > byId(1L)._3)   // novel order = higher surprisal
+    out.foreach { case (_, _, s) => assert(s >= 0.0) }
+  }
+
   test("source quantile gate: per-source median cutoffs, interpolation exact") {
     import spark.implicits._
     // source a: 1, 3, 5 tokens (median 3) — source b: 2, 4, 6, 8 (median 5.0)

@@ -461,6 +461,23 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(out.map(_._3).sum === bucketed)
   }
 
+  test("cluster cohesion: chain reads as low coverage, clique as 1.0") {
+    import spark.implicits._
+    // chain 1~2~3 (1 and 3 never paired) + clique pair 10~11
+    val pairs = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.6), (10L, 11L, 1.0)
+    ).toDF("doc_a", "doc_b", "jaccard").localCheckpoint(true)
+    val out = Dedup.clusterCohesion(pairs, "doc_a", "doc_b", "jaccard")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.keySet === Set(1L, 10L))
+    val (nDocs, nPairs, minJ, meanJ, cov) = out(1L)
+    assert(nDocs == 3L && nPairs == 2L)
+    assert(minJ === 0.6 && meanJ === 0.75)
+    assert(cov === 2.0 / 3.0) // the chaining signature: not all pairs observed
+    assert(out(10L) === ((2L, 1L, 1.0, 1.0, 1.0))) // clique: safe to collapse
+  }
+
   test("split leakage audit: cluster split never crosses, naive split does") {
     val rows = graft.SparkEntry.queries("x91_split_leakage_audit")(
         spark, "/root/testdata/sf0.001")
