@@ -524,6 +524,76 @@ object Corpus {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         (col("ssum").cast("double") / col("n_tokens")).as("mean_surprisal"))
 
+  /** Per-DOCUMENT surprisal against a FIXED reference LM (the per-doc
+    * companion to [[lmPartialScorecard]]'s per-source rollup): each
+    * word scores ln(N / c(word)) with unseen words smoothed to count 1,
+    * 4-dp-rounded then summed as exact decimals. The canonical use is
+    * held-out evaluation — train the LM on one split, score another —
+    * where per-doc granularity lets a curation pass rank or filter
+    * individual held-out documents rather than whole sources. Scale:
+    * the LM is vocabulary-bounded and broadcasts; scoring is one
+    * map-side explode + one shuffle on `idCol`. */
+  def lmDocSurprisal(
+      docs: DataFrame, lm: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val nt = lm.agg(sum(col("n")).as("nn"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(lm), Seq("word"), "left")
+      .crossJoin(broadcast(nt))
+      .select(col(idCol),
+        round(log(col("nn").cast("double") / coalesce(col("n"), lit(1L))), 4)
+          .cast("decimal(9,4)").as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("s")).cast("double") / count(lit(1))).as("mean_surprisal"))
+  }
+
+  /** Shard manifest for a deterministic dataset release: assign every
+    * document to one of `nShards` shards by hashing its ID (content
+    * changes never move a doc between shards; re-runs are stable on any
+    * cluster size), then emit per-shard `n_docs`, token totals, the id
+    * range, and an order-independent XOR checksum of content hashes.
+    * The checksum is the cheap equality witness between two
+    * materializations of the same release — `bit_xor` is associative
+    * and commutative, so it is partitioning-proof and can never
+    * overflow the way a sum of hashes would at 100 TB row counts.
+    * Cost: one map-side-combined shuffle to `nShards` groups; the
+    * write path this manifests for is `partitionBy(shard)`. */
+  def shardManifest(
+      df: DataFrame, idCol: String, textCol: String, nShards: Int): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    df.select(
+        expr(s"poly_hash(CAST($idCol AS STRING)) % $nShards").as("shard"),
+        col(idCol).cast("long").as("__id"),
+        Text.tokenCount(textCol).as("__tok"),
+        expr(s"poly_hash($textCol)").as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        min(col("__id")).as("min_id"),
+        max(col("__id")).as("max_id"),
+        expr("bit_xor(__h)").as("checksum"))
+  }
+
+  /** Dedup-clean evaluation sample: `k` docs per source drawn ONLY from
+    * documents that appear in NO near-dup pair — the eval-set builder
+    * that composes near-dup detection with [[stratifiedSample]] so a
+    * held-out benchmark can't share a template with anything else in
+    * the corpus (weaker near-dup leakage than x52 guards, but the
+    * right default for sampling eval sets). `pairs` is any
+    * (aCol, bCol) near-dup pair frame; docs on either side are
+    * excluded via one anti-join (pair ids are tiny next to the corpus,
+    * so AQE broadcasts the exclusion set), then the LCG sample picks
+    * deterministically. */
+  def cleanEvalSample(
+      docs: DataFrame, pairs: DataFrame, aCol: String, bCol: String,
+      idCol: String, srcCol: String, k: Int): DataFrame = {
+    val dup = pairs.select(col(aCol).as("__dup"))
+      .union(pairs.select(col(bCol).as("__dup"))).distinct()
+    val clean = docs.join(dup, docs(idCol) === dup("__dup"), "left_anti")
+    stratifiedSample(clean, col(srcCol), col(idCol), k)
+  }
+
   /** Deterministic stratified sample: `k` rows per stratum, chosen by an
     * arithmetic LCG of the unique key — reproducible on any cluster
     * size, no RNG state. One shuffle (the window by stratum). */

@@ -2792,6 +2792,75 @@ object TrainingData {
     Dedup.clusterCohesion(pairs, "doc_a", "doc_b", "jaccard")
   }
 
+  /** Held-out surprisal ([[Corpus.lmDocSurprisal]]): unigram LM trained
+    * ONLY on the train split of the content-hash split (x43's rule),
+    * scoring each held-out (val/test) document — leakage-free per-doc
+    * perplexity, the eval-side twin of x86's self-corpus surprisal. */
+  val x105 = Q(
+    "x105_heldout_surprisal",
+    Some(
+      s"WITH b AS (SELECT doc_id, text, ${duckPolyHash("text")} % 100 AS bucket FROM documents), " +
+        "twords AS (SELECT unnest(string_split(text, ' ')) AS word FROM b WHERE bucket < 98), " +
+        "lm AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM twords GROUP BY word), " +
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM twords), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM b WHERE bucket >= 98), " +
+        "sc AS (SELECT doc_id, CAST(round(ln(CAST(nn AS DOUBLE) / COALESCE(n, 1)), 4) AS DECIMAL(9,4)) AS s " +
+        "FROM tok LEFT JOIN lm USING (word) CROSS JOIN nt) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_surprisal FROM sc GROUP BY doc_id"
+    )
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val bucketed = t.documents.withColumn("bucket", expr("poly_hash(text) % 100"))
+    val lm = Corpus.unigramLm(bucketed.filter(col("bucket") < 98), "text")
+    Corpus.lmDocSurprisal(
+      bucketed.filter(col("bucket") >= 98), lm, "doc_id", "text")
+  }
+
+  /** Shard manifest ([[Corpus.shardManifest]]): 16-way id-hash shard
+    * assignment with per-shard counts, token totals, id ranges, and the
+    * order-independent XOR content checksum — the release-equality
+    * witness for a sharded dataset write. */
+  val x106 = Q(
+    "x106_shard_manifest",
+    Some(
+      s"SELECT ${duckPolyHash("CAST(doc_id AS VARCHAR)")} % 16 AS shard, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens, " +
+        "CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id, " +
+        s"bit_xor(${duckPolyHash("text")}) AS checksum " +
+        "FROM documents GROUP BY 1"
+    )
+  ) { t => Corpus.shardManifest(t.documents, "doc_id", "text", 16) }
+
+  /** Dedup-clean eval sample ([[Corpus.cleanEvalSample]]): 5 docs per
+    * source drawn only from documents in no near-dup pair — the
+    * benchmark-set builder that bakes leakage hygiene into sampling. */
+  val x107 = Q(
+    "x107_clean_eval_sample",
+    Some(
+      s"WITH $duckShingleCtes, " +
+        "counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id), " +
+        "prs AS (SELECT doc_a, doc_b FROM " +
+        "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) p " +
+        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5), " +
+        "dup AS (SELECT doc_a AS doc_id FROM prs UNION SELECT doc_b FROM prs), " +
+        "clean AS (SELECT doc_id, source FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM dup)), " +
+        "ranked AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rn FROM clean) " +
+        "SELECT doc_id, source FROM ranked WHERE rn <= 5"
+    )
+  ) { t =>
+    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+    Corpus.cleanEvalSample(
+        t.documents, pairs, "doc_a", "doc_b", "doc_id", "source", k = 5)
+      .select(col("doc_id"), col("source"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -2799,6 +2868,6 @@ object TrainingData {
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
-    x101, x102, x103, x104
+    x101, x102, x103, x104, x105, x106, x107
   )
 }

@@ -219,6 +219,58 @@ class CorpusSpec extends AnyFunSuite {
     out.foreach { case (_, _, s) => assert(s >= 0.0) }
   }
 
+  test("held-out LM surprisal: OOV words score ln(N/1), seen words ln(N/c)") {
+    import spark.implicits._
+    val train = Seq((1L, "a a a b")).toDF("doc_id", "text") // N=4: c(a)=3, c(b)=1
+    val lm = Corpus.unigramLm(train, "text")
+    val heldout = Seq((10L, "a b z")).toDF("doc_id", "text") // z is OOV
+    val out = Corpus.lmDocSurprisal(heldout, lm, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 1)
+    val (_, n, mean) = out.head
+    assert(n === 3L)
+    // per-word 4-dp rounds: ln(4/3)=0.2877, ln(4/1)=1.3863 (b and OOV z alike)
+    assert(math.abs(mean - (0.2877 + 1.3863 + 1.3863) / 3) < 1e-9)
+  }
+
+  test("shard manifest: partitioning-proof checksum, id-stable shards, totals add up") {
+    import spark.implicits._
+    val docsDf = (1L to 40L).map(i => (i, s"w$i text number $i")).toDF("doc_id", "text")
+    val m1 = Corpus.shardManifest(docsDf, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    // same rows, radically different partitioning → identical manifest
+    val m2 = Corpus.shardManifest(docsDf.repartition(13), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(m1 === m2)
+    assert(m1.values.map(_._1).sum === 40L) // every doc in exactly one shard
+    // editing one doc's TEXT changes its shard's checksum but not its shard
+    val edited = docsDf.withColumn("text",
+      when(col("doc_id") === 7L, lit("edited")).otherwise(col("text")))
+    val m3 = Corpus.shardManifest(edited, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(m3.keySet === m1.keySet)
+    assert(m3.values.map(_._1).sum === 40L)
+    assert(m1.count { case (s, (_, _, ck)) => m3(s)._3 != ck } === 1)
+  }
+
+  test("clean eval sample: paired docs excluded, k per source, deterministic") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"), (6L, "b")
+    ).toDF("doc_id", "source").withColumn("text", lit("t"))
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Corpus.cleanEvalSample(
+        docsDf, pairs, "doc_a", "doc_b", "doc_id", "source", k = 2)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(!out.exists(t => t._1 == 1L || t._1 == 2L)) // both pair sides gone
+    assert(out.count(_._2 == "a") === 2 && out.count(_._2 == "b") === 2)
+    // LCG order over {3,4} and {5,6} is total, so the pick is exact
+    val again = Corpus.cleanEvalSample(
+        docsDf.repartition(5), pairs, "doc_a", "doc_b", "doc_id", "source", k = 2)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(again === out)
+  }
+
   test("source quantile gate: per-source median cutoffs, interpolation exact") {
     import spark.implicits._
     // source a: 1, 3, 5 tokens (median 3) — source b: 2, 4, 6, 8 (median 5.0)
