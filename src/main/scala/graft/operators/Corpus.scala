@@ -575,6 +575,21 @@ object Corpus {
         expr("bit_xor(__h)").as("checksum"))
   }
 
+  /** Merge per-batch [[shardManifest]] partials into the standing
+    * release manifest: counts add, id ranges combine by min/max, and
+    * the XOR checksum — associative, commutative, self-inverse —
+    * folds across batches to exactly the one-shot corpus checksum.
+    * This is what makes the manifest STREAMABLE: each micro-batch
+    * contributes a |shards|-row partial and the merge never rescans
+    * documents ([[graft.streaming.ManifestStream]]). */
+  def manifestFromPartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("min_id")).as("min_id"),
+        max(col("max_id")).as("max_id"),
+        expr("bit_xor(checksum)").as("checksum"))
+
   /** Dedup-clean evaluation sample: `k` docs per source drawn ONLY from
     * documents that appear in NO near-dup pair — the eval-set builder
     * that composes near-dup detection with [[stratifiedSample]] so a
@@ -604,6 +619,125 @@ object Corpus {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** Mixture-drift audit between two corpus versions (raw → curated,
+    * release N → N+1): per-source token shares in each version and the
+    * per-source KL(b‖a) contribution `share_b · ln(share_b / share_a)`
+    * — the readout that says WHICH domains a curation pass silently
+    * over- or under-pruned, before committing a 100 TB tokenization to
+    * a skewed mixture. Token counts are per-row length arithmetic (no
+    * explode); each side is one map-side-combined shuffle to |sources|
+    * groups and the totals ride in as broadcast 1-row aggregates.
+    * Exactness: shares are single IEEE divisions of exact longs; the
+    * one `ln` is 4-dp-rounded before the multiply (the
+    * [[unigramSurprisal]] cross-library discipline). Sources absent
+    * from `b` contribute 0 by the 0·ln0 = 0 convention. */
+  def mixtureDrift(
+      a: DataFrame, b: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    def tokensBySource(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col(srcCol))
+        .agg(sum(Text.tokenCount(textCol)).as(out))
+    val ta = tokensBySource(a, "tokens_a")
+    val tb = tokensBySource(b, "tokens_b")
+    val tota = ta.agg(sum(col("tokens_a")).as("__tota"))
+    val totb = tb.agg(sum(col("tokens_b")).as("__totb"))
+    ta.join(tb, Seq(srcCol), "left")
+      .na.fill(0L, Seq("tokens_b"))
+      .crossJoin(broadcast(tota)).crossJoin(broadcast(totb))
+      .select(
+        col(srcCol),
+        col("tokens_a"), col("tokens_b"),
+        (col("tokens_a").cast("double") / col("__tota")).as("share_a"),
+        (col("tokens_b").cast("double") / col("__totb")).as("share_b"))
+      .withColumn("kl_term",
+        when(col("tokens_b") === 0L, lit(0.0))
+          .otherwise(col("share_b") *
+            round(log(col("share_b") / col("share_a")), 4)
+              .cast("decimal(9,4)").cast("double")))
+  }
+
+  /** Tokenizer fertility audit per source: whitespace tokens, BPE-ish
+    * regex tokens ([[graft.functions.Text.regexTokenCount]]), chars,
+    * and the two ratios curation actually reads — regex/whitespace
+    * fertility (how much a subword-style split inflates the count) and
+    * chars per regex token (script/density proxy). All three sums are
+    * per-row length arithmetic folded map-side into |sources| groups:
+    * one shuffle, integer-exact on any partitioning, with two final
+    * IEEE divisions. */
+  def tokenizerFertility(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.groupBy(col(srcCol))
+      .agg(
+        sum(Text.tokenCount(textCol)).as("ws_tokens"),
+        sum(Text.regexTokenCount(textCol)).as("regex_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+      .select(col(srcCol), col("ws_tokens"), col("regex_tokens"), col("n_chars"),
+        (col("regex_tokens").cast("double") / col("ws_tokens")).as("fertility"),
+        (col("n_chars").cast("double") / col("regex_tokens")).as("chars_per_token"))
+
+  /** Per-source label composition entropy over a categorical column
+    * (language, license, topic): each (source, label) share p and the
+    * source's Shannon entropy −Σ p·ln p — the one-number "is this
+    * domain monolingual?" audit a mixture designer reads before
+    * weighting. Two map-side-combined shuffles (label counts, then
+    * |sources| groups). Exactness: each term's `p·ln p` is
+    * 4-dp-rounded to exact decimal BEFORE the sum (the
+    * [[unigramSurprisal]] discipline), so the per-source total is
+    * associative and partitioning-proof. */
+  def labelEntropy(df: DataFrame, srcCol: String, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol), col(labelCol))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col(srcCol)).agg(sum(col("c")).as("n"))
+    counts.join(broadcast(totals), srcCol)
+      .select(col(srcCol),
+        round((col("c").cast("double") / col("n")) *
+            log(col("c").cast("double") / col("n")), 4)
+          .cast("decimal(9,4)").as("term"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_labels"),
+        // negate in the DECIMAL domain (no signed zero) BEFORE the double
+        // cast, so a monolingual source is +0.0 in every engine
+        (-sum(col("term"))).cast("double").as("entropy"))
+  }
+
+  /** Fixed-width histogram sketch of a long-valued column: one
+    * map-side-combined shuffle to at most range/`binWidth` groups.
+    * This is the mergeable, partitioning-proof alternative to exact
+    * percentiles at 100 TB: partial histograms from any split of the
+    * data merge by bin-wise addition ([[mergeHistograms]]), so the
+    * sketch streams, unions across releases, and never needs a sort. */
+  def histogramSketch(df: DataFrame, valueCol: Column, binWidth: Long): DataFrame =
+    df.select(floor(valueCol / lit(binWidth)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+
+  /** Bin-wise merge of histogram partials — associative and
+    * commutative, the equality witness that makes [[histogramSketch]]
+    * a sketch rather than a one-shot aggregate. */
+  def mergeHistograms(partials: DataFrame): DataFrame =
+    partials.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+
+  /** Error-bounded quantile estimates off a [[histogramSketch]]: for
+    * each requested q, walk the cumulative histogram to the first bin
+    * where cum ≥ ⌈q·N⌉ and linearly interpolate inside it. The
+    * estimate is within `binWidth` of the exact order statistic by
+    * construction, at the cost of one tiny (≤ #bins rows) window pass
+    * — the whole corpus is touched exactly once, by the sketch. */
+  def histQuantiles(hist: DataFrame, qs: Seq[Double], binWidth: Long): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("n")).as("total"))))
+    qs.foldLeft(Option.empty[DataFrame]) { (acc, q) =>
+        val target = ceil(lit(q) * col("total"))
+        val row = cum.filter(col("cum") >= target)
+          .orderBy(col("bin")).limit(1)
+          .select(lit(q).as("q"),
+            (col("bin") * binWidth +
+              round((target - (col("cum") - col("n"))).cast("double") / col("n")
+                * binWidth, 4).cast("decimal(14,4)").cast("double")).as("estimate"))
+        Some(acc.fold(row)(_.unionAll(row)))
+      }.get
   }
 
   /** Truncation-waste curve: for each candidate max sequence length,

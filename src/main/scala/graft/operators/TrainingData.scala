@@ -2861,6 +2861,114 @@ object TrainingData {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Mixture drift ([[Corpus.mixtureDrift]]): per-source token shares
+    * raw vs after the x65 quality gate, with the KL(kept‖raw)
+    * contribution — which domains did curation silently over- or
+    * under-prune. */
+  val x108 = Q(
+    "x108_mixture_drift",
+    Some {
+      val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
+      val counts = markers
+        .map { case (l, w) => s"CAST(${duckWordCount(w)} AS DOUBLE) AS c_$l" }
+        .mkString(", ")
+      val tok = "length(text) - length(replace(text, ' ', '')) + 1"
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "ws AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(COUNT(DISTINCT word) AS BIGINT) AS nd FROM words GROUP BY doc_id), " +
+        "lng AS (SELECT doc_id, CASE " +
+        "WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
+        "WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
+        "WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
+        "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS lang_pred " +
+        s"FROM (SELECT doc_id, $counts FROM documents) c), " +
+        "kept AS (SELECT ws.doc_id FROM ws JOIN lng ON ws.doc_id = lng.doc_id " +
+        "WHERE NOT ((n_words < 40) OR (n_words > 400) OR " +
+        "(CAST(n_words - nd AS DOUBLE) / n_words > 0.8) OR (lang_pred <> 'en'))), " +
+        s"ta AS (SELECT source, CAST(SUM($tok) AS BIGINT) AS tokens_a " +
+        "FROM documents GROUP BY source), " +
+        s"tb AS (SELECT source, CAST(SUM($tok) AS BIGINT) AS tokens_b " +
+        "FROM documents d JOIN kept k ON d.doc_id = k.doc_id GROUP BY source), " +
+        "tota AS (SELECT CAST(SUM(tokens_a) AS BIGINT) AS t FROM ta), " +
+        "totb AS (SELECT CAST(SUM(tokens_b) AS BIGINT) AS t FROM tb), " +
+        "j AS (SELECT ta.source, tokens_a, COALESCE(tokens_b, 0) AS tokens_b, " +
+        "CAST(tokens_a AS DOUBLE) / tota.t AS share_a, " +
+        "CAST(COALESCE(tokens_b, 0) AS DOUBLE) / totb.t AS share_b " +
+        "FROM ta LEFT JOIN tb ON ta.source = tb.source CROSS JOIN tota CROSS JOIN totb) " +
+        "SELECT source, tokens_a, tokens_b, share_a, share_b, " +
+        "CASE WHEN tokens_b = 0 THEN 0.0 ELSE share_b * " +
+        "CAST(CAST(round(ln(share_b / share_a), 4) AS DECIMAL(9,4)) AS DOUBLE) END AS kl_term " +
+        "FROM j"
+    }
+  ) { t =>
+    val gate = Corpus.qualityGate(t.documents, "doc_id", "text")
+    val kept = t.documents.join(
+      gate.filter(col("kept")).select(col("doc_id")), "doc_id")
+    Corpus.mixtureDrift(t.documents, kept, "source", "text")
+  }
+
+  /** Tokenizer fertility ([[Corpus.tokenizerFertility]]): per-source
+    * whitespace vs BPE-ish regex token counts, fertility ratio, and
+    * chars per regex token — the pre-tokenization density audit. */
+  val x109 = Q(
+    "x109_tokenizer_fertility",
+    Some(
+      "SELECT source, " +
+        "CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS ws_tokens, " +
+        "CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS regex_tokens, " +
+        "CAST(SUM(length(text)) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE) " +
+        "/ SUM(length(text) - length(replace(text, ' ', '')) + 1) AS fertility, " +
+        "CAST(SUM(length(text)) AS DOUBLE) " +
+        "/ SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS chars_per_token " +
+        "FROM documents GROUP BY source"
+    )
+  ) { t => Corpus.tokenizerFertility(t.documents, "source", "text") }
+
+  /** Label entropy ([[Corpus.labelEntropy]]): per-source language
+    * composition entropy — the "is this domain monolingual?" audit. */
+  val x110 = Q(
+    "x110_lang_entropy",
+    Some(
+      "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM documents GROUP BY source, lang), " +
+        "n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source), " +
+        "t AS (SELECT c.source, CAST(round((CAST(c AS DOUBLE) / n) * " +
+        "ln(CAST(c AS DOUBLE) / n), 4) AS DECIMAL(9,4)) AS term " +
+        "FROM c JOIN n ON c.source = n.source) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_labels, " +
+        "CAST(-SUM(term) AS DOUBLE) AS entropy FROM t GROUP BY source"
+    )
+  ) { t => Corpus.labelEntropy(t.documents, "source", "lang") }
+
+  /** Histogram-sketch quantiles ([[Corpus.histogramSketch]] +
+    * [[Corpus.histQuantiles]]): p50/p90/p99 token-count estimates off a
+    * width-16 mergeable histogram — the one-scan, sort-free alternative
+    * to x22's exact percentiles at 100 TB (merge-invariance pinned in
+    * CorpusSpec). */
+  val x111 = Q(
+    "x111_hist_quantiles",
+    Some(
+      "WITH v AS (SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS t " +
+        "FROM documents), " +
+        "h AS (SELECT CAST(floor(t / 16) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM v GROUP BY bin), " +
+        "c AS (SELECT bin, n, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum, " +
+        "(SELECT CAST(SUM(n) AS BIGINT) FROM h) AS total FROM h), " +
+        "qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)), " +
+        "sel AS (SELECT qs.q, c.bin, c.n, c.cum, " +
+        "CAST(ceil(qs.q * c.total) AS BIGINT) AS target, " +
+        "ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY c.bin) AS rn " +
+        "FROM qs CROSS JOIN c WHERE c.cum >= ceil(qs.q * c.total)) " +
+        "SELECT q, bin * 16 + CAST(CAST(round(CAST(target - (cum - n) AS DOUBLE) / n * 16, 4) " +
+        "AS DECIMAL(14,4)) AS DOUBLE) AS estimate FROM sel WHERE rn = 1"
+    )
+  ) { t =>
+    val sketch = Corpus.histogramSketch(
+      t.documents, graft.functions.Text.tokenCount("text").cast("long"), 16L)
+    Corpus.histQuantiles(sketch, Seq(0.5, 0.9, 0.99), 16L)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -2868,6 +2976,6 @@ object TrainingData {
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
-    x101, x102, x103, x104, x105, x106, x107
+    x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111
   )
 }

@@ -329,4 +329,67 @@ class CorpusSpec extends AnyFunSuite {
       assert(frac === lost.toDouble / 18.0)
     }
   }
+
+  test("histogram sketch: partials merge to the one-shot sketch, quantiles interpolate") {
+    import spark.implicits._
+    val vals = (1L to 100L).toDF("v")
+    val whole = Corpus.histogramSketch(vals, col("v"), 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // arbitrary split of the same rows → bin-wise merge is identical
+    val partA = Corpus.histogramSketch(vals.filter(col("v") % 3 === 0), col("v"), 10L)
+    val partB = Corpus.histogramSketch(vals.filter(col("v") % 3 =!= 0), col("v"), 10L)
+    val merged = Corpus.mergeHistograms(partA.unionAll(partB))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged === whole)
+    // p50 over 1..100 width 10: target 50, bin 5 holds 50..59 w/ cum 60
+    val qs = Corpus.histQuantiles(
+        Corpus.mergeHistograms(partA.unionAll(partB)), Seq(0.5), 10L)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    // bin 5 (values 50-59): cum before = 49, need 1 more of its 10 → 50 + 1/10*10
+    assert(qs(0.5) === 51.0)
+  }
+
+  test("label entropy: monolingual source is exactly +0.0, mixed is -sum p ln p") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "en"), (2L, "a", "en"), (3L, "a", "en"),
+      (4L, "b", "en"), (5L, "b", "fr")).toDF("doc_id", "source", "lang")
+    val out = Corpus.labelEntropy(df, "source", "lang")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (na, ea) = out("a")
+    assert(na === 1L)
+    // decimal-domain negation: no IEEE -0.0 may leak to the oracle hash
+    assert(java.lang.Double.doubleToRawLongBits(ea) === 0L)
+    val (nb, eb) = out("b")
+    assert(nb === 2L)
+    // two 4-dp-rounded terms of p=0.5: round(0.5*ln 0.5, 4) = -0.3466
+    assert(eb === 0.3466 * 2)
+  }
+
+  test("mixture drift: pruned-away source gets share_b 0 and kl_term 0, shares sum to 1") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "s1", "w w w w"), (2L, "s1", "w w w w"),
+      (3L, "s2", "w w w w w w w w")).toDF("doc_id", "source", "text")
+    val b = a.filter(col("source") === "s1") // curation dropped all of s2
+    val out = Corpus.mixtureDrift(a, b, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("s2") === ((8L, 0L, 0.5, 0.0, 0.0)))
+    val (ta, tb, sa, sb, kl) = out("s1")
+    assert((ta, tb, sa, sb) === ((8L, 8L, 0.5, 1.0)))
+    // share_b doubled vs share_a: kl_term = 1.0 * round(ln 2, 4)
+    assert(kl === 0.6931)
+    assert(out.values.map(_._3).sum === 1.0 && out.values.map(_._4).sum === 1.0)
+  }
+
+  test("tokenizer fertility: punctuation splits inflate regex tokens over whitespace") {
+    import spark.implicits._
+    val df = Seq((1L, "s", "ab cd, x9!")).toDF("doc_id", "source", "text")
+    // ws tokens: 3; regex tokens: ab, cd, ',', x, 9, '!' = 6; chars: 10
+    val r = Corpus.tokenizerFertility(df, "source", "text").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 6L, 10L)))
+    assert(r.getDouble(4) === 2.0)
+    assert(r.getDouble(5) === 10.0 / 6)
+  }
 }
