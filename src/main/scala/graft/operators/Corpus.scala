@@ -740,6 +740,79 @@ object Corpus {
       }.get
   }
 
+  /** Per-group [[histQuantiles]]: the same cumulative-walk interpolation
+    * run once per group of a grouped [[histogramSketch]] (hist carries
+    * `groupCols` + bin + n). The window partitions by group, so no
+    * global sort exists anywhere; the output is |groups| × |qs| rows.
+    * This is the sketch-based scale twin of the exact per-source
+    * quantile gate (x101): at 100 TB the exact within-group percentile
+    * sort is the one cost this version deletes, trading it for a
+    * ±binWidth error bound. */
+  def groupedHistQuantiles(
+      hist: DataFrame, groupCols: Seq[String], qs: Seq[Double],
+      binWidth: Long): DataFrame = {
+    val gc = groupCols.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hist.groupBy(gc: _*).agg(sum(col("n")).as("total"))
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .join(broadcast(totals), groupCols)
+    qs.foldLeft(Option.empty[DataFrame]) { (acc, q) =>
+        val target = ceil(lit(q) * col("total"))
+        val hit = cum.filter(col("cum") >= target)
+          .withColumn("__rn",
+            row_number().over(Window.partitionBy(gc: _*).orderBy(col("bin"))))
+          .filter(col("__rn") === 1)
+          .select(gc :+ lit(q).as("q") :+
+            (col("bin") * binWidth +
+              round((target - (col("cum") - col("n"))).cast("double") / col("n")
+                * binWidth, 4).cast("decimal(14,4)").cast("double")).as("estimate"): _*)
+        Some(acc.fold(hit)(_.unionAll(hit)))
+      }.get
+  }
+
+  /** Reciprocal-rank fusion of N retrieval rankings (lexical BM25,
+    * vector ANN, …): each input carries (`idCol`, its rank column);
+    * every id scores Σ 1/(k0 + rank) over the rankings it appears in,
+    * absent ids contributing exactly 0. The contributions are summed in
+    * INPUT order (a fixed two-term-at-a-time fold of exactly-rounded
+    * integer reciprocals), so the fused score is bit-identical on any
+    * engine and any partitioning — no transcendental, no data-order
+    * float sum. Rankings are top-k-bounded frames (tiny), so the
+    * full-outer chain stays broadcast-sized no matter the corpus. */
+  def rrfFuse(idCol: String, k0: Int, rankings: (DataFrame, String)*): DataFrame = {
+    val renamed = rankings.zipWithIndex.map { case ((df, rc), i) =>
+      df.select(col(idCol), col(rc).cast("long").as(s"rank_$i"))
+    }
+    val joined = renamed.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(k0) + col(s"rank_$i")), lit(0.0)))
+      .reduceLeft(_ + _)
+    joined.withColumn("rrf_score", score)
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis): each
+    * row draws a deterministic uniform u ∈ (0, 1] from an arithmetic
+    * LCG of its id (the library's F6 discipline — reproducible on any
+    * cluster size, no `rand()`), takes key = ln(u) / w, and the k
+    * largest keys are the sample — rows with weight w are selected with
+    * probability ∝ w, exactly the E–S scheme. The one transcendental
+    * (ln) is 4-dp-rounded before the division so the key is
+    * cross-engine exact; top-k goes through ORDER BY … LIMIT
+    * (TakeOrderedAndProject — a per-partition heap + driver merge of k,
+    * never a global sort). */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: Column, k: Int): DataFrame = {
+    val u = (((col(idCol) + 1) * lit(2654435761L)) % lit(2147483647L) + 1)
+      .cast("double") / lit(2147483648.0)
+    df.select(col(idCol), weightCol.as("weight"),
+        (round(log(u), 4).cast("decimal(9,4)").cast("double") /
+          col("weight")).as("es_key"))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Truncation-waste curve: for each candidate max sequence length,
     * how many documents would be cut and what fraction of corpus tokens
     * the cut discards — the readout that picks a packing/context length

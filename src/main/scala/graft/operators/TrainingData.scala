@@ -2969,6 +2969,139 @@ object TrainingData {
     Corpus.histQuantiles(sketch, Seq(0.5, 0.9, 0.99), 16L)
   }
 
+  /** Hybrid retrieval fusion ([[Corpus.rrfFuse]]): BM25 lexical top-50
+    * (x69's fixed query) and exact-cosine vector top-50 for query
+    * vector 0 fused by reciprocal-rank fusion (k0 = 60) — the standard
+    * two-tower retrieval merge for RAG candidate mining. Both rank
+    * windows run over 50-row top-k frames (tiny), and the fused score
+    * is a fixed-order sum of exact integer reciprocals — no float
+    * hazards anywhere. */
+  val x112 = Q(
+    "x112_hybrid_rrf",
+    Some {
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM words GROUP BY doc_id), " +
+        "tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM words " +
+        "WHERE word IN ('spark', 'join', 'data') GROUP BY doc_id, word), " +
+        "dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word), " +
+        "totals AS (SELECT CAST(SUM(len) AS BIGINT) AS total_len, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM lens), " +
+        "scored AS (SELECT tf.doc_id, tf.word, " +
+        "((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+        "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * " +
+        "(CAST(len AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS score_t " +
+        "FROM tf JOIN dfreq USING (word) JOIN lens USING (doc_id) CROSS JOIN totals), " +
+        "perterm AS (SELECT doc_id, " +
+        "COALESCE(MAX(CASE WHEN word = 'spark' THEN score_t END), 0.0) AS s_0, " +
+        "COALESCE(MAX(CASE WHEN word = 'join' THEN score_t END), 0.0) AS s_1, " +
+        "COALESCE(MAX(CASE WHEN word = 'data' THEN score_t END), 0.0) AS s_2 " +
+        "FROM scored GROUP BY doc_id), " +
+        "lex AS (SELECT doc_id, ((s_0 + s_1) + s_2) AS score FROM perterm " +
+        "ORDER BY score DESC, doc_id LIMIT 50), " +
+        "lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex FROM lex), " +
+        s"$duckNorms, " +
+        "sims AS (SELECT b.vec_id AS doc_id, " +
+        s"${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine " +
+        "FROM norms a JOIN norms b ON a.vec_id = 0 AND b.vec_id <> 0), " +
+        "vtop AS (SELECT doc_id, cosine FROM sims ORDER BY cosine DESC, doc_id LIMIT 50), " +
+        "vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY cosine DESC, doc_id) AS BIGINT) AS r_vec FROM vtop) " +
+        "SELECT COALESCE(lexr.doc_id, vecr.doc_id) AS doc_id, " +
+        "lexr.r_lex AS rank_0, vecr.r_vec AS rank_1, " +
+        "COALESCE(1.0 / (60 + lexr.r_lex), 0.0) + " +
+        "COALESCE(1.0 / (60 + vecr.r_vec), 0.0) AS rrf_score " +
+        "FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.doc_id"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = Corpus.bm25TopK(t.documents, "doc_id", "text",
+        Seq("spark", "join", "data"), 50)
+      .select(col("doc_id"), row_number().over(wLex).as("r_lex"))
+    val wVec = Window.orderBy(col("cosine").desc, col("neighbor_id"))
+    val vec = Dedup.annTopK(t.embeddings, "vec_id", "embedding",
+        col("query_id") === 0, k = 50)
+      .select(col("neighbor_id").as("doc_id"), row_number().over(wVec).as("r_vec"))
+    Corpus.rrfFuse("doc_id", 60, (lex, "r_lex"), (vec, "r_vec"))
+  }
+
+  /** Weighted sampling without replacement ([[Corpus.weightedSample]]):
+    * 100 docs drawn ∝ the x68 distinct-ratio quality score via the
+    * Efraimidis–Spirakis key — quality-biased corpus subsampling with
+    * zero `rand()` (the F6 arithmetic-LCG discipline, reproducible on
+    * any cluster size). */
+  val x113 = Q(
+    "x113_weighted_sample",
+    Some {
+      "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "ws AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(DISTINCT word) AS BIGINT) AS nd FROM words GROUP BY doc_id), " +
+        "s AS (SELECT doc_id, CAST(nd AS DOUBLE) / n_tokens AS weight FROM ws), " +
+        "k AS (SELECT doc_id, weight, " +
+        "CAST(CAST(round(ln(CAST(((doc_id + 1) * 2654435761) % 2147483647 + 1 AS DOUBLE) " +
+        "/ 2147483648.0), 4) AS DECIMAL(9,4)) AS DOUBLE) / weight AS es_key FROM s) " +
+        "SELECT doc_id, weight, es_key FROM k ORDER BY es_key DESC, doc_id LIMIT 100"
+    }
+  ) { t =>
+    val scored = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("nd"))
+      .select(col("doc_id"),
+        (col("nd").cast("double") / col("n_tokens")).as("w"))
+    Corpus.weightedSample(scored, "doc_id", col("w"), 100)
+  }
+
+  /** Sketch-based per-source length gate ([[Corpus.groupedHistQuantiles]]):
+    * the 100 TB twin of x101's exact quantile gate — per-source [p10,
+    * p90] token-count bands estimated off a width-8 grouped histogram
+    * sketch instead of an exact within-group percentile sort. The
+    * corpus is scanned once (map-side-combined bin counts), the band
+    * table is |sources| × 2 rows and broadcasts back; the trade is a
+    * ±8-token error bound on the cutoffs, which a curation gate
+    * tolerates by design. */
+  val x114 = Q(
+    "x114_sketch_quantile_gate",
+    Some {
+      "WITH n AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "h AS (SELECT source, CAST(floor(n_tokens / 8) AS BIGINT) AS bin, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM n GROUP BY source, bin), " +
+        "t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM h GROUP BY source), " +
+        "c AS (SELECT h.source, bin, n, CAST(SUM(n) OVER " +
+        "(PARTITION BY h.source ORDER BY bin) AS BIGINT) AS cum, total " +
+        "FROM h JOIN t ON h.source = t.source), " +
+        "qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.1), (0.9)) v(q)), " +
+        "sel AS (SELECT qs.q, c.source, bin, n, cum, " +
+        "CAST(ceil(qs.q * c.total) AS BIGINT) AS target, " +
+        "ROW_NUMBER() OVER (PARTITION BY qs.q, c.source ORDER BY c.bin) AS rn " +
+        "FROM qs CROSS JOIN c WHERE c.cum >= ceil(qs.q * c.total)), " +
+        "est AS (SELECT q, source, bin * 8 + " +
+        "CAST(CAST(round(CAST(target - (cum - n) AS DOUBLE) / n * 8, 4) " +
+        "AS DECIMAL(14,4)) AS DOUBLE) AS estimate FROM sel WHERE rn = 1), " +
+        "b AS (SELECT source, MAX(CASE WHEN q = 0.1 THEN estimate END) AS lo, " +
+        "MAX(CASE WHEN q = 0.9 THEN estimate END) AS hi FROM est GROUP BY source) " +
+        "SELECT doc_id, n.source, n_tokens, lo, hi, " +
+        "(CAST(n_tokens AS DOUBLE) >= lo AND CAST(n_tokens AS DOUBLE) <= hi) AS keep " +
+        "FROM n JOIN b ON n.source = b.source"
+    }
+  ) { t =>
+    val n = t.documents.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val sketch = n
+      .select(col("source"), floor(col("n_tokens") / lit(8L)).as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
+    val bands = Corpus.groupedHistQuantiles(sketch, Seq("source"), Seq(0.1, 0.9), 8L)
+      .groupBy(col("source"))
+      .agg(max(when(col("q") === 0.1, col("estimate"))).as("lo"),
+        max(when(col("q") === 0.9, col("estimate"))).as("hi"))
+    n.join(broadcast(bands), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("lo"), col("hi"),
+        (col("n_tokens").cast("double") >= col("lo") &&
+          col("n_tokens").cast("double") <= col("hi")).as("keep"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -2976,6 +3109,7 @@ object TrainingData {
     x43, x44, x45, x46, x47, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60,
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
-    x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111
+    x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
+    x112, x113, x114
   )
 }

@@ -383,6 +383,56 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum === 1.0 && out.values.map(_._4).sum === 1.0)
   }
 
+  test("grouped hist quantiles: each group's estimate equals its own global walk") {
+    import spark.implicits._
+    val a = (1L to 100L).map(("a", _))
+    val b = (1L to 50L).map(v => ("b", v * 3))
+    val df = (a ++ b).toDF("src", "v")
+    def sketchOf(s: String) = Corpus.histogramSketch(
+      df.filter(col("src") === s).select(col("v")), col("v"), 10L)
+    val grouped = Corpus.groupedHistQuantiles(
+        df.select(col("src"), floor(col("v") / 10).as("bin"))
+          .groupBy(col("src"), col("bin")).agg(count(lit(1)).as("n")),
+        Seq("src"), Seq(0.5, 0.9), 10L)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (s <- Seq("a", "b"); q <- Seq(0.5, 0.9)) {
+      val global = Corpus.histQuantiles(sketchOf(s), Seq(q), 10L)
+        .collect().head.getDouble(1)
+      assert(grouped((s, q)) === global, s"src=$s q=$q")
+    }
+  }
+
+  test("rrf fusion: overlapping ids add both reciprocals, absent side contributes exact 0") {
+    import spark.implicits._
+    val lex = Seq((10L, 1), (20L, 2)).toDF("id", "r_lex")
+    val vec = Seq((20L, 1), (30L, 2)).toDF("id", "r_vec")
+    val out = Corpus.rrfFuse("id", 60, (lex, "r_lex"), (vec, "r_vec"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(10L) === 1.0 / 61)
+    assert(out(20L) === 1.0 / 62 + 1.0 / 61)
+    assert(out(30L) === 1.0 / 62)
+  }
+
+  test("weighted sample: deterministic, k-sized, and weight-biased") {
+    import spark.implicits._
+    // evens weight 1.0, odds weight 0.001: E-S keys ln(u)/w push odds far
+    // negative, so a 20-of-100 sample should be (nearly) all even
+    val df = (0L until 100L)
+      .map(i => (i, if (i % 2 == 0) 1.0 else 0.001)).toDF("id", "w")
+    val s1 = Corpus.weightedSample(df, "id", col("w"), 20).collect()
+    val s2 = Corpus.weightedSample(df, "id", col("w"), 20).collect()
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.length === 20)
+    assert(s1.count(_.getLong(0) % 2 == 0) >= 19)
+    // keys are the documented closed form: round4(ln(u)) / w
+    val r = s1.head
+    val id = r.getLong(0)
+    val u = (((id + 1) * 2654435761L) % 2147483647L + 1).toDouble / 2147483648.0
+    val expected = BigDecimal(math.log(u)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble / r.getDouble(1)
+    assert(r.getDouble(2) === expected)
+  }
+
   test("tokenizer fertility: punctuation splits inflate regex tokens over whitespace") {
     import spark.implicits._
     val df = Seq((1L, "s", "ab cd, x9!")).toDF("doc_id", "source", "text")
