@@ -813,6 +813,46 @@ object Corpus {
       .limit(k)
   }
 
+  /** Cross-source LM cross-entropy matrix: for every (data-source B,
+    * model-source A) pair, the mean surprisal of B's tokens under A's
+    * add-1-smoothed unigram LM — the domain-similarity readout behind
+    * mixture design ("which domains are interchangeable, which are
+    * outliers?"). The diagonal is each domain's in-domain entropy; a
+    * large off-diagonal gap means the domains don't share a vocabulary
+    * distribution. Exactness: p_A(w) = (c_A(w)+1)/(N_A+V) over the
+    * GLOBAL vocab (so every token of every data source has a defined
+    * probability), each −ln p is 4-dp-rounded to exact decimal, and
+    * the weighted sums run in the exact decimal domain — c_B(w) × lnp
+    * as a decimal product is bit-identical to summing c_B(w)
+    * occurrence copies of lnp (both exact), which is how the engine's
+    * counts-based form hash-matches the oracle's occurrence-level SQL.
+    * Scale shape: the model table is |vocab|×|sources| built from the
+    * COUNT table (no corpus rescan), the scoring join is count-table ⋈
+    * count-table on word — nothing token-sized ever shuffles. */
+  def crossSourceCrossEntropy(
+      df: DataFrame, idCol: String, textCol: String, srcCol: String): DataFrame = {
+    val w = df.select(col(srcCol).as("src"),
+      explode(split(col(textCol), " ")).as("word"))
+    val counts = w.groupBy(col("src"), col("word")).agg(count(lit(1)).as("c"))
+    val na = w.groupBy(col("src")).agg(count(lit(1)).as("n_a"))
+    val vocab = w.select(col("word")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val m = vocab.crossJoin(counts.select(col("src")).distinct())
+      .join(counts, Seq("src", "word"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(na), "src")
+      .crossJoin(broadcast(vsize))
+      .select(col("word"), col("src").as("src_model"),
+        round(log((col("n_a") + col("v")).cast("double") /
+            (col("c") + 1).cast("double")), 4)
+          .cast("decimal(9,4)").as("lnp"))
+    counts.select(col("src").as("src_data"), col("word"), col("c"))
+      .join(m, "word")
+      .groupBy(col("src_data"), col("src_model"))
+      .agg(sum(col("c")).as("n_tokens"),
+        (sum(col("c").cast("decimal(20,0)") * col("lnp")).cast("double") /
+          sum(col("c"))).as("cross_entropy"))
+  }
+
   /** Truncation-waste curve: for each candidate max sequence length,
     * how many documents would be cut and what fraction of corpus tokens
     * the cut discards — the readout that picks a packing/context length

@@ -3102,6 +3102,61 @@ object TrainingData {
           col("n_tokens").cast("double") <= col("hi")).as("keep"))
   }
 
+  /** Inter-arrival histogram per event type: each user's consecutive
+    * event gaps (µs), attributed to the later event's type, folded into
+    * 1-minute [[Corpus.histogramSketch]] bins — the cadence profile
+    * that sizes session-gap thresholds (x13's 30 min) and watermark
+    * delays from data instead of folklore. One shuffle by user for the
+    * lag, then a map-side-combined (type, bin) count; the sketch is
+    * mergeable across days/releases by construction. */
+  val x115 = Q(
+    "x115_interarrival_histogram",
+    Some(
+      "WITH ev AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events), " +
+        "d AS (SELECT event_type, tus - lag(tus) OVER " +
+        "(PARTITION BY user_id ORDER BY tus, event_id) AS delta_us FROM ev) " +
+        "SELECT event_type, CAST(floor(delta_us / 60000000) AS BIGINT) AS bin, " +
+        s"$sqlCount AS n FROM d WHERE delta_us IS NOT NULL GROUP BY event_type, bin"
+    )
+  ) { t =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("delta_us", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("delta_us").isNotNull)
+      .select(col("event_type"), floor(col("delta_us") / lit(60000000L)).as("bin"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Cross-source LM cross-entropy matrix
+    * ([[Corpus.crossSourceCrossEntropy]]): mean surprisal of every
+    * source's tokens under every source's smoothed unigram LM — the
+    * |sources|² domain-similarity matrix mixture design reads before
+    * weighting or merging domains. */
+  val x116 = Q(
+    "x116_cross_entropy_matrix",
+    Some(
+      "WITH cw AS (SELECT source AS src, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "cnt AS (SELECT src, word, CAST(COUNT(*) AS BIGINT) AS c FROM cw GROUP BY src, word), " +
+        "na AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_a FROM cw GROUP BY src), " +
+        "vocab AS (SELECT DISTINCT word FROM cw), " +
+        "v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab), " +
+        "m AS (SELECT g.word, g.src AS src_model, " +
+        "CAST(round(ln(CAST(n_a + v AS DOUBLE) / CAST(COALESCE(c, 0) + 1 AS DOUBLE)), 4) " +
+        "AS DECIMAL(9,4)) AS lnp " +
+        "FROM (SELECT word, src FROM vocab CROSS JOIN (SELECT DISTINCT src FROM cnt) s) g " +
+        "LEFT JOIN cnt ON g.src = cnt.src AND g.word = cnt.word " +
+        "JOIN na ON g.src = na.src CROSS JOIN v) " +
+        "SELECT d.src AS src_data, m.src_model, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(lnp) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS cross_entropy " +
+        "FROM cw d JOIN m ON d.word = m.word GROUP BY d.src, m.src_model"
+    )
+  ) { t =>
+    Corpus.crossSourceCrossEntropy(t.documents, "doc_id", "text", "source")
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -3110,6 +3165,6 @@ object TrainingData {
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
-    x112, x113, x114
+    x112, x113, x114, x115, x116
   )
 }

@@ -433,6 +433,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(r.getDouble(2) === expected)
   }
 
+  test("cross-source cross-entropy: diagonal is in-domain, disjoint vocab pays the OOV rate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x x x"), (2L, "b", "y y")).toDF("doc_id", "source", "text")
+    val out = Corpus.crossSourceCrossEntropy(df, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // V=2; model a: N=3 → p(x)=4/5, p(y)=1/5; model b: N=2 → p(y)=3/4, p(x)=1/4
+    assert(out(("a", "a")) === ((3L, 0.2231))) // round4(ln(5/4))
+    assert(out(("a", "b")) === ((3L, 1.3863))) // round4(ln(4/1))
+    assert(out(("b", "b")) === ((2L, 0.2877))) // round4(ln(4/3))
+    assert(out(("b", "a")) === ((2L, 1.6094))) // round4(ln(5/1))
+    // every data row keeps its full token count under every model
+    assert(out.keySet.size === 4)
+  }
+
   test("tokenizer fertility: punctuation splits inflate regex tokens over whitespace") {
     import spark.implicits._
     val df = Seq((1L, "s", "ab cd, x9!")).toDF("doc_id", "source", "text")
