@@ -244,6 +244,39 @@ object Corpus {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Per-source recrawl churn: [[snapshotDiff]]'s per-document verdicts
+    * rolled up to the per-source rates a crawl operator watches —
+    * added / removed / changed / unchanged counts and the churn rate
+    * (added + removed + changed over the OLD snapshot's size). Each
+    * side hashes to 8 bytes before the one full-outer join (text never
+    * shuffles), the source rides the hash rows, and the rollup is a
+    * |sources|-row integer aggregate with one final IEEE division. */
+  def snapshotChurnBySource(
+      oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(oldDf.sparkSession)
+    val a = oldDf.select(col(idCol).as("old_id"), col(srcCol).as("old_src"),
+      expr(s"poly_hash($textCol)").as("h_old"))
+    val b = newDf.select(col(idCol).as("new_id"), col(srcCol).as("new_src"),
+      expr(s"poly_hash($textCol)").as("h_new"))
+    a.join(b, col("old_id") === col("new_id"), "full_outer")
+      .select(
+        coalesce(col("old_src"), col("new_src")).as("source"),
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .withColumn("churn_rate",
+        (col("n_added") + col("n_removed") + col("n_changed")).cast("double") /
+          (col("n_removed") + col("n_changed") + col("n_unchanged")))
+  }
+
   /** Token-budget corpus selection — keep the best documents (by
     * `scoreCol`, descending, `idCol` tiebreak) until the running token
     * total exceeds `budget`: the "fill the training run with the

@@ -3157,6 +3157,74 @@ object TrainingData {
     Corpus.crossSourceCrossEntropy(t.documents, "doc_id", "text", "source")
   }
 
+  /** Quasi-identifier k-anonymity audit: group documents by the
+    * (source, lang, 50-token length band) quasi-identifier tuple and
+    * flag every document whose group has fewer than k = 5 members — the
+    * re-identification audit a release runs AFTER x100's direct-PII
+    * scrub (small quasi-identifier groups can leak identity even with
+    * direct identifiers removed). One map-side-combined group count +
+    * a broadcast join back; integer-only, exact on any partitioning. */
+  val x117 = Q(
+    "x117_k_anonymity",
+    Some(
+      "WITH n AS (SELECT doc_id, source, lang, " +
+        "CAST(floor(len(string_split(text, ' ')) / 50) AS BIGINT) AS band FROM documents), " +
+        "g AS (SELECT source, lang, band, CAST(COUNT(*) AS BIGINT) AS group_n " +
+        "FROM n GROUP BY source, lang, band) " +
+        "SELECT doc_id, n.source, n.lang, n.band, group_n, group_n < 5 AS at_risk " +
+        "FROM n JOIN g ON n.source = g.source AND n.lang = g.lang AND n.band = g.band"
+    )
+  ) { t =>
+    val n = t.documents.select(col("doc_id"), col("source"), col("lang"),
+      floor(size(split(col("text"), " ")) / lit(50)).as("band"))
+    val g = n.groupBy(col("source"), col("lang"), col("band"))
+      .agg(count(lit(1)).as("group_n"))
+    n.join(broadcast(g), Seq("source", "lang", "band"))
+      .select(col("doc_id"), col("source"), col("lang"), col("band"),
+        col("group_n"), (col("group_n") < 5).as("at_risk"))
+  }
+
+  /** Per-source recrawl churn ([[Corpus.snapshotChurnBySource]]):
+    * x67's synthetic next snapshot rolled up to the per-source
+    * added/removed/changed rates — the "which domains are unstable
+    * between crawls" readout that decides recrawl cadence and
+    * incremental-dedup budget per domain. */
+  val x118 = Q(
+    "x118_churn_by_source",
+    Some {
+      "WITH b0 AS (SELECT doc_id, source, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 13 <> 0), " +
+        "bn AS (SELECT doc_id + 10000000 AS doc_id, source, text FROM documents WHERE doc_id % 17 = 0), " +
+        s"a AS (SELECT doc_id, source, ${duckPolyHash("text")} AS h_old FROM documents), " +
+        s"b AS (SELECT doc_id, source, ${duckPolyHash("text")} AS h_new FROM " +
+        "(SELECT * FROM b0 UNION ALL SELECT * FROM bn) u), " +
+        "st AS (SELECT COALESCE(a.source, b.source) AS source, " +
+        "CASE WHEN a.doc_id IS NULL THEN 'added' " +
+        "WHEN b.doc_id IS NULL THEN 'removed' " +
+        "WHEN h_old <> h_new THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id) " +
+        "SELECT source, " +
+        s"${sqlCountIf("status = 'added'")} AS n_added, " +
+        s"${sqlCountIf("status = 'removed'")} AS n_removed, " +
+        s"${sqlCountIf("status = 'changed'")} AS n_changed, " +
+        s"${sqlCountIf("status = 'unchanged'")} AS n_unchanged, " +
+        "CAST(" + sqlCountIf("status IN ('added', 'removed', 'changed')") +
+        " AS DOUBLE) / " + sqlCountIf("status IN ('removed', 'changed', 'unchanged')") +
+        " AS churn_rate FROM st GROUP BY source"
+    }
+  ) { t =>
+    val next = t.documents
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(
+        t.documents.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("source"), col("text")))
+    Corpus.snapshotChurnBySource(t.documents, next, "doc_id", "text", "source")
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -3165,6 +3233,6 @@ object TrainingData {
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
-    x112, x113, x114, x115, x116
+    x112, x113, x114, x115, x116, x117, x118
   )
 }

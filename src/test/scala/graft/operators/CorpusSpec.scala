@@ -450,6 +450,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.keySet.size === 4)
   }
 
+  test("churn by source: verdict counts roll up per source, rate over old size") {
+    import spark.implicits._
+    val old = Seq((1L, "s1", "a"), (2L, "s1", "b"), (3L, "s2", "c"))
+      .toDF("doc_id", "source", "text")
+    val next = Seq((1L, "s1", "a"), (2L, "s1", "B"), (4L, "s2", "d"))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.snapshotChurnBySource(old, next, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // s1: doc 2 changed, doc 1 unchanged → churn 1/2
+    assert(out("s1") === ((0L, 0L, 1L, 1L, 0.5)))
+    // s2: doc 4 added, doc 3 removed, old size 1 → churn 2/1
+    assert(out("s2") === ((1L, 1L, 0L, 0L, 2.0)))
+  }
+
   test("tokenizer fertility: punctuation splits inflate regex tokens over whitespace") {
     import spark.implicits._
     val df = Seq((1L, "s", "ab cd, x9!")).toDF("doc_id", "source", "text")

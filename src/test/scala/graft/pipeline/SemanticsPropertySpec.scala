@@ -167,4 +167,36 @@ class SemanticsPropertySpec extends AnyFunSuite {
       assert(merged === oneShot, s"seed=$seed") // bit-identical, any partitioning
     }
   }
+
+  test("sketch + manifest partials: any partition of the rows merges to the one-shot answer") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val rnd = new Random(11)
+    val docs = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(12))("w" + rnd.nextInt(9)).mkString(" "))
+    }
+    val full = docs.toDF("doc_id", "text")
+    val sketchShot = Corpus.histogramSketch(
+        full.select(length(col("text")).cast("long").as("v")), col("v"), 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val manifestShot = Corpus.shardManifest(full, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    (1 to 3).foreach { seed =>
+      val r2 = new Random(seed)
+      val parts = docs.groupBy(_ => r2.nextInt(4)).values.toSeq
+      val sketchMerged = Corpus.mergeHistograms(
+          parts.map(p => Corpus.histogramSketch(
+            p.toDF("doc_id", "text").select(length(col("text")).cast("long").as("v")),
+            col("v"), 8L)).reduce(_ unionAll _))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(sketchMerged === sketchShot, s"sketch seed=$seed")
+      val manifestMerged = Corpus.manifestFromPartials(
+          parts.map(p => Corpus.shardManifest(p.toDF("doc_id", "text"), "doc_id", "text", 4))
+            .reduce(_ unionAll _))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(manifestMerged === manifestShot, s"manifest seed=$seed")
+    }
+  }
 }
