@@ -95,6 +95,36 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "jaccard")
   }
 
+  /** Cross-set near-dup report — every `train` document whose n-gram
+    * Jaccard against SOME `bench` document reaches `threshold`, with
+    * its best-matching bench doc (highest Jaccard, lowest id tiebreak):
+    * the NEAR-DUP benchmark-decontamination layer that catches
+    * paraphrased or lightly-edited eval leakage the exact-gram pass
+    * (x40/x80) can't. Plan shape is [[incrementalDedup]]'s: the bench
+    * side is eval-sized and BROADCASTS to the shingle join, the train
+    * corpus streams through once and never self-joins — O(|corpus| ×
+    * |bench-shingle hits|), scale-correct at 100 TB. The per-train
+    * argmax is rank-bounded via [[Ranks.topKPerGroup]]. */
+  def crossNearDup(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val shT = shingles(train, idCol, textCol, n)
+    val shB = shingles(bench, idCol, textCol, n)
+    val cT = shT.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
+    val cB = shB.groupBy(col(idCol)).agg(count(lit(1)).as("nb"))
+    val pairs = shT.select(col(idCol).as("train_id"), col("sh"))
+      .join(broadcast(shB.select(col(idCol).as("bench_id"), col("sh"))), "sh")
+      .groupBy(col("train_id"), col("bench_id")).agg(count(lit(1)).as("common"))
+      .join(cT.select(col(idCol).as("train_id"), col("na")), "train_id")
+      .join(broadcast(cB.select(col(idCol).as("bench_id"), col("nb"))), "bench_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+    Ranks.topKPerGroup(pairs, Seq("train_id"),
+      Seq(("jaccard", false), ("bench_id", true)), 1)
+      .select(col("train_id"), col("bench_id"), col("common"), col("jaccard"))
+  }
+
   /** Dedup-threshold sensitivity sweep: for each candidate Jaccard
     * threshold, the surviving near-dup pair count and the number of
     * distinct non-canonical docs a keep-min-id rule would drop — the

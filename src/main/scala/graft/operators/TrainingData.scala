@@ -3225,6 +3225,39 @@ object TrainingData {
     Corpus.snapshotChurnBySource(t.documents, next, "doc_id", "text", "source")
   }
 
+  /** Near-dup benchmark decontamination ([[Dedup.crossNearDup]]): train
+    * docs whose 3-gram Jaccard against any benchmark doc (the x40
+    * `doc_id % 97` eval set) reaches 0.5, with the best-matching bench
+    * doc — catches paraphrased eval leakage that exact-gram
+    * decontamination (x40/x80) misses. Bench side broadcasts; the
+    * corpus never self-joins. */
+  val x119 = Q(
+    "x119_neardup_decontamination",
+    Some {
+      "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words), " +
+        "shT AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 97 <> 0), " +
+        "shB AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 97 = 0), " +
+        "cT AS (SELECT train_id, CAST(COUNT(*) AS BIGINT) AS na FROM shT GROUP BY train_id), " +
+        "cB AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS nb FROM shB GROUP BY bench_id), " +
+        "p AS (SELECT train_id, bench_id, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM shT JOIN shB USING (sh) GROUP BY train_id, bench_id), " +
+        "j AS (SELECT train_id, bench_id, common, " +
+        "CAST(common AS DOUBLE) / (na + nb - common) AS jaccard " +
+        "FROM p JOIN cT USING (train_id) JOIN cB USING (bench_id) " +
+        "WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5) " +
+        "SELECT train_id, bench_id, common, jaccard FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY train_id " +
+        "ORDER BY jaccard DESC, bench_id) AS rn FROM j) WHERE rn = 1"
+    }
+  ) { t =>
+    Dedup.crossNearDup(
+      t.documents.filter(col("doc_id") % 97 =!= 0),
+      t.documents.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", threshold = 0.5)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -3233,6 +3266,6 @@ object TrainingData {
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
-    x112, x113, x114, x115, x116, x117, x118
+    x112, x113, x114, x115, x116, x117, x118, x119
   )
 }

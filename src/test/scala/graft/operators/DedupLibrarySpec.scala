@@ -18,6 +18,25 @@ class DedupLibrarySpec extends AnyFunSuite {
 
   lazy val docs = Tables(spark, "/root/testdata/sf0.01").documents
 
+  test("crossNearDup: paraphrase-level overlap reported with best bench match, clean doc silent") {
+    import spark.implicits._
+    val bench = Seq(
+      (970L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1940L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares 6-of-8 words in order with bench 970 → high Jaccard
+      (1L, "alpha beta gamma delta epsilon zeta iota kappa"),
+      (2L, "totally unrelated text about spark query engines and joins")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossNearDup(train, bench, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length === 1)
+    val (trainId, benchId, j) = out.head
+    assert(trainId === 1L && benchId === 970L)
+    // shingles: train1 has 6, bench970 has 6, common 4 → 4/8
+    assert(j === 0.5)
+  }
+
   test("hot-shingle cap prunes candidates but keeps near-identical pairs") {
     val uncapped = Dedup
       .ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)

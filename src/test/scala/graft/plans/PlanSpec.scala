@@ -122,4 +122,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("x113: E-S weighted sample selects via TakeOrderedAndProject, not a global sort") {
+    val p = plan("x113_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x114: sketch band table is broadcast back; every window is partitioned") {
+    val p = plan("x114_sketch_quantile_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the cumulative walk partitions by source — no unpartitioned window
+    // may touch anything (the sketch frames are the only window inputs)
+    p.linesIterator.filter(_.contains("Window")).foreach { l =>
+      // formatted mode lists window group key in the Arguments lines; the
+      // absence of SortMergeJoin + presence of broadcast is the key pin
+      assert(!l.contains("partitionBy=[]"), p)
+    }
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x117: quasi-identifier group counts broadcast back over one scan pass") {
+    val p = plan("x117_k_anonymity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x116: scoring join is count-table-sized — no token-level exchange after the counts") {
+    val p = plan("x116_cross_entropy_matrix")
+    // the corpus explode feeds ONLY partial aggregates (counts); every
+    // join input downstream is an aggregate output, so no Exchange moves
+    // exploded token rows
+    assert(p.contains("partial_count"), p)
+  }
 }
