@@ -3258,6 +3258,118 @@ object TrainingData {
       "doc_id", "text", threshold = 0.5)
   }
 
+  /** Calendar forward-fill: each user's daily metric series with gaps
+    * filled by the last observed value — the imputation step before any
+    * per-day aggregate that must not treat "no event" as zero. Daily
+    * value = the day's LAST event (ts, event_id ordered); the per-user
+    * calendar comes from `sequence(min_day, max_day)` (bounded by the
+    * user's own span, never a global calendar join); the fill is
+    * `last(value, ignoreNulls)` over the per-user day window. No float
+    * arithmetic anywhere — values are carried, not computed — so the
+    * result is exact on any engine. */
+  val x120 = Q(
+    "x120_forward_fill",
+    Some(
+      "WITH ev AS (SELECT user_id, event_id, value, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS tus, " +
+        "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day FROM events), " +
+        "d AS (SELECT user_id, day, value FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day " +
+        "ORDER BY tus DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1), " +
+        "span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id), " +
+        "cal AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span), " +
+        "j AS (SELECT cal.user_id, cal.day, d.value FROM cal " +
+        "LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day) " +
+        "SELECT user_id, day, last_value(value IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS value_filled, value IS NOT NULL AS was_observed FROM j"
+    )
+  ) { t =>
+    val ev = t.events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("day", floor(col("tus") / lit(86400000000L)))
+    val wD = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("tus").desc, col("event_id").desc)
+    val daily = ev.withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("value"), ignoreNulls = true).over(wF).as("value_filled"),
+        col("value").isNotNull.as("was_observed"))
+  }
+
+  /** MAD robust outlier scores per event type: median absolute
+    * deviation replaces x84's mean/std — one wild event can't drag the
+    * center (breakdown point 50% vs 0%), which is what anomaly gating
+    * on heavy-tailed event streams needs. Both medians ride the x22
+    * exact-interpolation discipline (`percentile` ≡ `quantile_cont`);
+    * the robust z is comparison-free arithmetic on carried doubles
+    * with a guarded zero-MAD branch. Two grouped percentile passes +
+    * one broadcast stats join; values never self-join. */
+  val x121 = Q(
+    "x121_mad_outliers",
+    Some(
+      "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+        "FROM events GROUP BY event_type), " +
+        "dev AS (SELECT e.event_id, e.event_type, e.value, m.med, " +
+        "abs(e.value - m.med) AS dev FROM events e JOIN med m ON e.event_type = m.event_type), " +
+        "mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type) " +
+        "SELECT d.event_id, d.event_type, d.value, d.med, mad.mad, " +
+        "CASE WHEN mad.mad = 0 THEN 0.0 ELSE (d.value - d.med) / mad.mad END AS robust_z " +
+        "FROM dev d JOIN mad ON d.event_type = mad.event_type"
+    )
+  ) { t =>
+    val med = t.events.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = t.events.join(broadcast(med), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("dev"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"), col("med"), col("mad"),
+        when(col("mad") === 0, lit(0.0))
+          .otherwise((col("value") - col("med")) / col("mad")).as("robust_z"))
+  }
+
+  /** Trailing-7-day active users per day: each (user, active day) fans
+    * out to the 7 report days whose window covers it, duplicates
+    * collapse map-side, and an exact distinct count lands per day —
+    * the bounded-fanout rolling-distinct formulation (fanout = window
+    * length, never a per-day corpus rescan and never a sliding
+    * collect_set). Report days clip to the observed day range. */
+  val x122 = Q(
+    "x122_rolling_wau",
+    Some(
+      "WITH ud AS (SELECT DISTINCT user_id, " +
+        "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day FROM events), " +
+        "mx AS (SELECT MAX(day) AS dmax FROM ud), " +
+        "fan AS (SELECT DISTINCT user_id, day + i AS report_day " +
+        "FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) s " +
+        "CROSS JOIN mx WHERE day + i <= dmax) " +
+        "SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau " +
+        "FROM fan GROUP BY report_day"
+    )
+  ) { t =>
+    val ud = t.events
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .distinct()
+    val dmax = ud.agg(max(col("day")).as("dmax"))
+    ud.select(col("user_id"), explode(sequence(lit(0L), lit(6L))).as("i"), col("day"))
+      .crossJoin(broadcast(dmax))
+      .select(col("user_id"), (col("day") + col("i")).as("report_day"), col("dmax"))
+      .filter(col("report_day") <= col("dmax"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -3266,6 +3378,6 @@ object TrainingData {
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
-    x112, x113, x114, x115, x116, x117, x118, x119
+    x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122
   )
 }
