@@ -3370,6 +3370,87 @@ object TrainingData {
       .agg(countDistinct(col("user_id")).as("wau"))
   }
 
+  /** Canonicalization dedup: lowercase, strip non-alphanumerics,
+    * collapse whitespace, then group by the canonical-form hash —
+    * catches the case/punctuation/spacing variants exact dedup (x01)
+    * misses and near-dup scoring wastes candidates on. Per-doc output:
+    * the canonical group's min-id representative, the group size, and
+    * whether this doc IS the representative. The canonical text never
+    * shuffles — only its 8-byte poly_hash does (the x01/x67
+    * discipline); regex normalization is a map-only projection. */
+  val x123 = Q(
+    "x123_canonical_dedup",
+    Some {
+      val canon = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"WITH c AS (SELECT doc_id, ${duckPolyHash(canon)} AS canon_hash FROM documents), " +
+        "g AS (SELECT canon_hash, CAST(MIN(doc_id) AS BIGINT) AS canonical_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_variants FROM c GROUP BY canon_hash) " +
+        "SELECT doc_id, c.canon_hash, canonical_id, n_variants, " +
+        "doc_id = canonical_id AS is_canonical " +
+        "FROM c JOIN g ON c.canon_hash = g.canon_hash"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val canon = trim(regexp_replace(regexp_replace(lower(col("text")),
+      lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" ")))
+    val h = t.documents
+      .withColumn("__c", canon)
+      .select(col("doc_id"), expr("poly_hash(__c)").as("canon_hash"))
+    val g = h.groupBy(col("canon_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_variants"))
+    h.join(g, "canon_hash")
+      .select(col("doc_id"), col("canon_hash"), col("canonical_id"),
+        col("n_variants"), (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** Zipf slope fit: exact least squares over (ln rank, ln count) of
+    * the word-frequency table — the one-number power-law audit behind
+    * x73's count-of-counts curve (natural text ≈ −1; templated or
+    * deduped-to-death corpora drift off). Both lns are 4-dp-rounded to
+    * exact decimal, the five regression sums are exact decimal
+    * products/adds, and the slope/intercept combine those exact terms
+    * in a fixed-order double expression — deterministic on any engine
+    * and partitioning. The rank window runs over the VOCABULARY table
+    * (not the corpus); at web scale cap it to the top-K words first
+    * (the x41 TakeOrdered discipline). */
+  val x124 = Q(
+    "x124_zipf_slope",
+    Some(
+      "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "vc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w), " +
+        "r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rnk FROM vc), " +
+        "xy AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 4) AS DECIMAL(9,4)) AS x, " +
+        "CAST(round(ln(CAST(c AS DOUBLE)), 4) AS DECIMAL(9,4)) AS y FROM r), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+        "SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy) " +
+        "SELECT n AS n_vocab, " +
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, " +
+        "(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE) AS intercept FROM s"
+    )
+  ) { t =>
+    val vc = t.documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val r = vc.select(col("c"),
+      row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("long").as("rnk"))
+    val xy = r.select(
+      round(log(col("rnk").cast("double")), 4).cast("decimal(9,4)").as("x"),
+      round(log(col("c").cast("double")), 4).cast("decimal(9,4)").as("y"))
+    val s = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val (sx, sy, sxy, sxx) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    s.select(col("n").as("n_vocab"), slope.as("slope"),
+      ((sy - slope * sx) / nD).as("intercept"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -3378,6 +3459,7 @@ object TrainingData {
     x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83,
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
-    x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122
+    x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
+    x123, x124
   )
 }
