@@ -3451,6 +3451,106 @@ object TrainingData {
       ((sy - slope * sx) / nD).as("intercept"))
   }
 
+  /** Source vocabulary overlap: Jaccard similarity of the distinct-word
+    * sets for every source pair — the set-coverage complement to x116's
+    * distribution similarity (two domains can share vocabulary yet
+    * weight it differently; x116 sees the weights, this sees the
+    * support). One distinct (source, word) table, one word-keyed
+    * self-join (per-word fanout ≤ |sources|²), integer counts, one
+    * final IEEE division. */
+  val x125 = Q(
+    "x125_source_vocab_overlap",
+    Some(
+      "WITH sv AS (SELECT DISTINCT source, word FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) t), " +
+        "vc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM sv GROUP BY source), " +
+        "p AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source " +
+        "GROUP BY a.source, b.source) " +
+        "SELECT src_a, src_b, na.nv AS n_a, nb.nv AS n_b, common, " +
+        "CAST(common AS DOUBLE) / (na.nv + nb.nv - common) AS jaccard " +
+        "FROM p JOIN vc na ON src_a = na.source JOIN vc nb ON src_b = nb.source"
+    )
+  ) { t =>
+    val sv = t.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val vc = sv.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val a = sv.select(col("source").as("src_a"), col("word"))
+    val b = sv.select(col("source").as("src_b"), col("word"))
+    a.join(b, a("word") === b("word") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("common"))
+      .join(broadcast(vc.select(col("source").as("src_a"), col("nv").as("n_a"))), "src_a")
+      .join(broadcast(vc.select(col("source").as("src_b"), col("nv").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("common"),
+        (col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+          .as("jaccard"))
+  }
+
+  /** Session-level association rules over event types: for every
+    * unordered type pair, co-occurrence support within x13's 30-minute
+    * sessions plus lift and both conditional confidences — "users who
+    * do A in a session also do B" with the independence baseline made
+    * explicit. All counts are session-distinct integers; lift and
+    * confidence are single divisions of exact integer products. The
+    * session pass reuses the x13 user-keyed window; the pair join runs
+    * on the session×type table (≤ |types| rows per session). */
+  val x126 = Q(
+    "x126_session_association",
+    Some(
+      "WITH ev AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events), " +
+        "flags AS (SELECT user_id, event_id, event_type, tus, " +
+        "CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL " +
+        "OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM ev), " +
+        "sess AS (SELECT user_id, event_type, " +
+        "SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS sid FROM flags), " +
+        "st AS (SELECT DISTINCT user_id, sid, event_type FROM sess), " +
+        "n AS (SELECT CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT) AS n_sessions FROM st), " +
+        "supp AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS s FROM st GROUP BY event_type), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_ab " +
+        "FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid " +
+        "AND a.event_type < b.event_type GROUP BY a.event_type, b.event_type) " +
+        "SELECT type_a, type_b, sa.s AS n_a, sb.s AS n_b, n_ab, " +
+        "CAST(n_sessions * n_ab AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE) AS lift, " +
+        "CAST(n_ab AS DOUBLE) / sa.s AS conf_a_to_b, " +
+        "CAST(n_ab AS DOUBLE) / sb.s AS conf_b_to_a " +
+        "FROM p JOIN supp sa ON type_a = sa.event_type " +
+        "JOIN supp sb ON type_b = sb.event_type CROSS JOIN n"
+    )
+  ) { t =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val flags = t.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("new_s",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1).otherwise(0))
+    val st = flags
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .select(col("user_id"), col("sid"), col("event_type"))
+      .distinct()
+    val n = st.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val supp = st.groupBy(col("event_type")).agg(count(lit(1)).as("s"))
+    val a = st.select(col("user_id"), col("sid"), col("event_type").as("type_a"))
+    val b = st.select(col("user_id").as("ub"), col("sid").as("sb"),
+      col("event_type").as("type_b"))
+    a.join(b, col("user_id") === col("ub") && col("sid") === col("sb") &&
+        col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(supp.select(col("event_type").as("type_a"), col("s").as("n_a"))), "type_a")
+      .join(broadcast(supp.select(col("event_type").as("type_b"), col("s").as("n_b"))), "type_b")
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+        ((col("n_sessions") * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"),
+        (col("n_ab").cast("double") / col("n_a")).as("conf_a_to_b"),
+        (col("n_ab").cast("double") / col("n_b")).as("conf_b_to_a"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -3460,6 +3560,6 @@ object TrainingData {
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
-    x123, x124
+    x123, x124, x125, x126
   )
 }
