@@ -3551,6 +3551,148 @@ object TrainingData {
         (col("n_ab").cast("double") / col("n_b")).as("conf_b_to_a"))
   }
 
+  /** Shard skew audit: the x106 manifest reduced to the one-row
+    * balance readout a release gate checks — per-shard doc/token
+    * min/max and the max/min imbalance ratios. A skewed shard layout
+    * is a straggler generator at 100 TB; this is the number that says
+    * re-hash before shipping. Integer comparisons over the
+    * |shards|-row manifest + two final divisions. */
+  val x127 = Q(
+    "x127_shard_skew",
+    Some(
+      s"WITH m AS (SELECT ${duckPolyHash("CAST(doc_id AS VARCHAR)")} % 16 AS shard, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_shards, " +
+        "CAST(MIN(n_docs) AS BIGINT) AS min_docs, CAST(MAX(n_docs) AS BIGINT) AS max_docs, " +
+        "CAST(MIN(n_tokens) AS BIGINT) AS min_tokens, CAST(MAX(n_tokens) AS BIGINT) AS max_tokens, " +
+        "CAST(MAX(n_docs) AS DOUBLE) / MIN(n_docs) AS doc_skew, " +
+        "CAST(MAX(n_tokens) AS DOUBLE) / MIN(n_tokens) AS token_skew FROM m"
+    )
+  ) { t =>
+    Corpus.shardManifest(t.documents, "doc_id", "text", 16)
+      .agg(count(lit(1)).as("n_shards"),
+        min(col("n_docs")).as("min_docs"), max(col("n_docs")).as("max_docs"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+      .select(col("n_shards"), col("min_docs"), col("max_docs"),
+        col("min_tokens"), col("max_tokens"),
+        (col("max_docs").cast("double") / col("min_docs")).as("doc_skew"),
+        (col("max_tokens").cast("double") / col("min_tokens")).as("token_skew"))
+  }
+
+  /** Activity concentration deciles: users ranked by event volume into
+    * NTILE(10) buckets (count desc, user_id tiebreak — fully
+    * deterministic), each decile's user count, event mass, and share of
+    * all events — the "top 10% of users generate X% of the firehose"
+    * readout that sizes per-user state budgets and salting choices.
+    * The rank runs over the USER table (one map-side-combined count
+    * shuffle first); shares are single IEEE divisions. */
+  val x128 = Q(
+    "x128_activity_deciles",
+    Some(
+      "WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id), " +
+        "t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uc), " +
+        "d AS (SELECT c, NTILE(10) OVER (ORDER BY c DESC, user_id) AS decile FROM uc) " +
+        "SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(c) AS BIGINT) AS n_events, " +
+        "CAST(SUM(c) AS DOUBLE) / CAST(total AS DOUBLE) AS share " +
+        "FROM d CROSS JOIN t GROUP BY decile, total"
+    )
+  ) { t =>
+    val uc = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val total = uc.agg(sum(col("c")).as("total"))
+    uc.select(col("c"),
+        ntile(10).over(Window.orderBy(col("c").desc, col("user_id"))).as("decile"))
+      .groupBy(col("decile").cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"))
+      .crossJoin(broadcast(total))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        (col("n_events").cast("double") / col("total").cast("double")).as("share"))
+  }
+
+  /** Data-quality profile: per (table, column) null / NaN / empty /
+    * distinct statistics over the heterogeneous tables a pipeline
+    * actually ingests — the profiling pass that runs BEFORE any schema
+    * contract is trusted. One aggregate per table (each a single
+    * map-side-combined scan), unioned into the profile frame; every
+    * metric is an exact integer count. */
+  val x129 = Q(
+    "x129_data_profile",
+    Some(
+      "SELECT 'documents' AS tbl, 'text' AS col, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${sqlCountIf("text IS NULL")} AS n_null, " +
+        s"${sqlCountIf("text = ''")} AS n_empty, " +
+        "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct FROM documents " +
+        "UNION ALL SELECT 'documents', 'lang', CAST(COUNT(*) AS BIGINT), " +
+        s"${sqlCountIf("lang IS NULL")}, ${sqlCountIf("lang = ''")}, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'events', 'event_type', CAST(COUNT(*) AS BIGINT), " +
+        s"${sqlCountIf("event_type IS NULL")}, ${sqlCountIf("event_type = ''")}, " +
+        "CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'events', 'value', CAST(COUNT(*) AS BIGINT), " +
+        s"${sqlCountIf("value IS NULL")}, ${sqlCountIf("isnan(value)")}, " +
+        "CAST(COUNT(DISTINCT value) AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'orders', 'o_custkey', CAST(COUNT(*) AS BIGINT), " +
+        s"${sqlCountIf("o_custkey IS NULL")}, CAST(0 AS BIGINT), " +
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders"
+    )
+  ) { t =>
+    def prof(df: DataFrame, tbl: String, c: String,
+        empty: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(empty, 1L).otherwise(0L)).as("n_empty"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(tbl).as("tbl"), lit(c).as("col"),
+          col("n"), col("n_null"), col("n_empty"), col("n_distinct"))
+    prof(t.documents, "documents", "text", col("text") === "")
+      .unionAll(prof(t.documents, "documents", "lang", col("lang") === ""))
+      .unionAll(prof(t.events, "events", "event_type", col("event_type") === ""))
+      .unionAll(prof(t.events, "events", "value", isnan(col("value"))))
+      .unionAll(prof(t.orders, "orders", "o_custkey", lit(false)))
+  }
+
+  /** Referential-integrity audit over the star schema: orphan counts
+    * for every foreign-key edge (lineitem→orders/part/supplier,
+    * orders→customer, customer/supplier→nation, nation→region) — the
+    * dbt `relationships` test generalized to one queryable report.
+    * Each edge is a left-anti join against the (small, broadcast)
+    * parent key set; counts are exact integers; a healthy warehouse
+    * returns all zeros, and the row that doesn't names the edge. */
+  val x130 = Q(
+    "x130_fk_audit",
+    Some(
+      "SELECT 'lineitem.l_orderkey->orders' AS edge, CAST(COUNT(*) AS BIGINT) AS n_orphans " +
+        "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
+        "UNION ALL SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT) " +
+        "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey) " +
+        "UNION ALL SELECT 'lineitem.l_suppkey->supplier', CAST(COUNT(*) AS BIGINT) " +
+        "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey) " +
+        "UNION ALL SELECT 'orders.o_custkey->customer', CAST(COUNT(*) AS BIGINT) " +
+        "FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) " +
+        "UNION ALL SELECT 'customer.c_nationkey->nation', CAST(COUNT(*) AS BIGINT) " +
+        "FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey) " +
+        "UNION ALL SELECT 'supplier.s_nationkey->nation', CAST(COUNT(*) AS BIGINT) " +
+        "FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey) " +
+        "UNION ALL SELECT 'nation.n_regionkey->region', CAST(COUNT(*) AS BIGINT) " +
+        "FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)"
+    )
+  ) { t =>
+    def orphans(child: DataFrame, fk: String, parent: DataFrame, pk: String,
+        edge: String): DataFrame =
+      child.join(parent.select(col(pk)), child(fk) === parent(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(edge).as("edge"), col("n_orphans"))
+    orphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey", "lineitem.l_orderkey->orders")
+      .unionAll(orphans(t.lineitem, "l_partkey", t.part, "p_partkey", "lineitem.l_partkey->part"))
+      .unionAll(orphans(t.lineitem, "l_suppkey", t.supplier, "s_suppkey", "lineitem.l_suppkey->supplier"))
+      .unionAll(orphans(t.orders, "o_custkey", t.customer, "c_custkey", "orders.o_custkey->customer"))
+      .unionAll(orphans(t.customer, "c_nationkey", t.nation, "n_nationkey", "customer.c_nationkey->nation"))
+      .unionAll(orphans(t.supplier, "s_nationkey", t.nation, "n_nationkey", "supplier.s_nationkey->nation"))
+      .unionAll(orphans(t.nation, "n_regionkey", t.region, "r_regionkey", "nation.n_regionkey->region"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -3560,6 +3702,6 @@ object TrainingData {
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
-    x123, x124, x125, x126
+    x123, x124, x125, x126, x127, x128, x129, x130
   )
 }
