@@ -239,25 +239,28 @@ object TrainingData {
       )
   }
 
-  /** Language ID: marker-word frequency heuristic with a fixed tie-break
-    * order (en > es > de > fr > zh). */
-  val x07 = Q(
-    "x07_lang_id",
-    Some {
-      val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
-      val counts = markers
-        .map { case (l, w) => s"CAST(${duckWordCount(w)} AS DOUBLE) AS c_$l" }
-        .mkString(", ")
-      "SELECT doc_id, lang, CASE " +
-        "WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
-        "WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
-        "WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
-        "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS lang_pred " +
-        s"FROM (SELECT doc_id, lang, $counts FROM documents)"
-    }
-  ) { t =>
-    val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
-    val withCounts = markers.foldLeft(
+  /** Marker words for the language-ID heuristic, highest-priority first
+    * (the fixed tie-break order en > es > de > fr > zh). Shared by x07
+    * (per-doc predictions) and x134 (confusion-matrix audit). */
+  private val langMarkers =
+    Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
+
+  /** Oracle-side SELECT producing (doc_id, lang, lang_pred). */
+  private def langIdSql: String = {
+    val counts = langMarkers
+      .map { case (l, w) => s"CAST(${duckWordCount(w)} AS DOUBLE) AS c_$l" }
+      .mkString(", ")
+    "SELECT doc_id, lang, CASE " +
+      "WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
+      "WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
+      "WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
+      "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS lang_pred " +
+      s"FROM (SELECT doc_id, lang, $counts FROM documents)"
+  }
+
+  /** Engine-side twin of [[langIdSql]]: (doc_id, lang, lang_pred). */
+  private def langIdFrame(t: Tables): DataFrame = {
+    val withCounts = langMarkers.foldLeft(
       t.documents.select(col("doc_id"), col("lang"), col("text"))
     ) { case (df, (l, w)) =>
       df.withColumn(s"c_$l", graft.functions.Text.wordCount("text", w).cast("double"))
@@ -273,6 +276,10 @@ object TrainingData {
         .otherwise("zh").as("lang_pred")
     )
   }
+
+  /** Language ID: marker-word frequency heuristic with a fixed tie-break
+    * order (en > es > de > fr > zh). */
+  val x07 = Q("x07_lang_id", Some(langIdSql))(langIdFrame)
 
   /** Document fingerprinting: MD5 content hash (identical hex in both
     * engines) + the portable polynomial hash as a 62-bit integer id. */
@@ -3693,6 +3700,237 @@ object TrainingData {
       .unionAll(orphans(t.nation, "n_regionkey", t.region, "r_regionkey", "nation.n_regionkey->region"))
   }
 
+  /** Temporal train/test split with an embargo gap — the time-series
+    * analog of x43/x52's leakage control: the test set is everything
+    * after the global 80th-percentile event time, and a 7-day embargo
+    * zone immediately before the cutoff is DROPPED so that near-boundary
+    * leakage (labels computed from windows that straddle the split) is
+    * structurally impossible. The cutoff is an exact order statistic —
+    * smallest timestamp whose cumulative event count reaches
+    * floor(0.8·n) — computed from the per-timestamp count table, so the
+    * running sum scans |distinct ts| rows, not |events|. That frame is
+    * unpartitioned here (exact global quantile needs a total order); at
+    * 100 TB swap in the two-pass histogram-bracket form x111 uses, or
+    * range-partition by day and carry partial sums. Split counts are one
+    * map-side-combined conditional aggregate against the broadcast
+    * one-row cutoff. */
+  val x131 = Q(
+    "x131_temporal_embargo_split",
+    Some(
+      "WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev), " +
+        "c AS (SELECT tus, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY tus), " +
+        "cum AS (SELECT tus, SUM(cnt) OVER (ORDER BY tus) AS cum FROM c), " +
+        "cut AS (SELECT MIN(tus) AS cutoff FROM cum CROSS JOIN n " +
+        "WHERE cum >= CAST(FLOOR(n * 0.8) AS BIGINT)) " +
+        "SELECT event_type, " +
+        s"${sqlCountIf("tus <= cutoff - 604800000000")} AS n_train, " +
+        s"${sqlCountIf("tus > cutoff - 604800000000 AND tus <= cutoff")} AS n_embargo, " +
+        s"${sqlCountIf("tus > cutoff")} AS n_test " +
+        "FROM ev CROSS JOIN cut GROUP BY event_type"
+    )
+  ) { t =>
+    val gapUs = 604800000000L // 7 days
+    val ev = t.events.select(col("event_type"), unix_micros(col("ts")).as("tus"))
+    val n = ev.agg(count(lit(1)).as("n"))
+    val cum = ev.groupBy(col("tus")).agg(count(lit(1)).as("cnt"))
+      .select(col("tus"), sum(col("cnt")).over(Window.orderBy(col("tus"))).as("cum"))
+    val cutoff = cum.crossJoin(broadcast(n))
+      .where(col("cum") >= floor(col("n") * 0.8).cast("long"))
+      .agg(min(col("tus")).as("cutoff"))
+    ev.crossJoin(broadcast(cutoff))
+      .groupBy(col("event_type"))
+      .agg(
+        countIf(col("tus") <= col("cutoff") - gapUs).as("n_train"),
+        countIf(col("tus") > col("cutoff") - gapUs && col("tus") <= col("cutoff"))
+          .as("n_embargo"),
+        countIf(col("tus") > col("cutoff")).as("n_test"))
+  }
+
+  /** Pareto frontier (skyline) per brand over (retail price ↓ better,
+    * size ↑ better): the preference-query operator — "no strictly
+    * cheaper-or-equal part is at least as large, with one strict". The
+    * naive form is an O(n²) dominance self-join; this is the one-pass
+    * window form: collapse to per-(brand, price) max size, then a part
+    * is on the frontier iff its size equals that max AND the max beats
+    * every max at a strictly lower price (ROWS UNBOUNDED..1 PRECEDING
+    * over the distinct-price frame, where "preceding row" ≡ "strictly
+    * cheaper" exactly because prices are grouped). Windows partition by
+    * brand, so the sort is per-brand — no global single-partition stage
+    * at any scale. */
+  val x132 = Q(
+    "x132_pareto_frontier",
+    Some(
+      "WITH pb AS (SELECT p_brand, p_retailprice AS price, " +
+        "CAST(p_size AS BIGINT) AS sz, CAST(p_partkey AS BIGINT) AS p_partkey FROM part), " +
+        "g AS (SELECT p_brand, price, MAX(sz) AS msz FROM pb GROUP BY p_brand, price), " +
+        "w AS (SELECT p_brand, price, msz, MAX(msz) OVER (PARTITION BY p_brand " +
+        "ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM g), " +
+        "f AS (SELECT p_brand, price, msz FROM w WHERE prevmax IS NULL OR msz > prevmax) " +
+        "SELECT pb.p_brand, pb.p_partkey, pb.price, pb.sz AS p_size " +
+        "FROM pb JOIN f ON pb.p_brand = f.p_brand AND pb.price = f.price AND pb.sz = f.msz"
+    )
+  ) { t =>
+    val pb = t.part.select(
+      col("p_brand"), col("p_retailprice").as("price"),
+      col("p_size").cast("long").as("sz"), col("p_partkey").cast("long").as("p_partkey"))
+    val g = pb.groupBy(col("p_brand"), col("price")).agg(max(col("sz")).as("msz"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val f = g.withColumn("prevmax", max(col("msz")).over(w))
+      .where(col("prevmax").isNull || col("msz") > col("prevmax"))
+      .select(col("p_brand").as("fb"), col("price").as("fp"), col("msz"))
+    pb.join(f, pb("p_brand") === col("fb") && pb("price") === col("fp") &&
+        pb("sz") === col("msz"))
+      .select(pb("p_brand"), col("p_partkey"), col("price"), col("sz").as("p_size"))
+  }
+
+  /** RFM customer segmentation: recency (latest order date), frequency
+    * (order count), monetary (exact decimal spend) per customer, each
+    * scored into terciles by NTILE(3) with a custkey tiebreak (fully
+    * deterministic), then rolled up to segment cells with customer
+    * counts and exact total spend. The per-customer aggregate is one
+    * map-side-combined shuffle; the three rank windows run over the
+    * CUSTOMER table (orders-magnitude smaller than the fact table).
+    * They are global windows — at 100 TB score against fixed quantile
+    * boundaries (x111) instead of NTILE so the rank never needs a total
+    * order. */
+  val x133 = Q(
+    "x133_rfm_segments",
+    Some(
+      "WITH cust AS (SELECT o_custkey, MAX(o_orderdate) AS last_dt, " +
+        "CAST(COUNT(*) AS BIGINT) AS freq, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS mon FROM orders GROUP BY o_custkey), " +
+        "s AS (SELECT mon, NTILE(3) OVER (ORDER BY last_dt DESC, o_custkey) AS r, " +
+        "NTILE(3) OVER (ORDER BY freq DESC, o_custkey) AS f, " +
+        "NTILE(3) OVER (ORDER BY mon DESC, o_custkey) AS m FROM cust) " +
+        "SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+        "CAST(round(SUM(mon), 4) AS DOUBLE) AS total_monetary " +
+        "FROM s GROUP BY r, f, m"
+    )
+  ) { t =>
+    val cust = t.orders.groupBy(col("o_custkey")).agg(
+      max(col("o_orderdate")).as("last_dt"),
+      count(lit(1)).as("freq"),
+      sum(col("o_totalprice").cast(Dec)).as("mon"))
+    val s = cust.select(
+      col("mon"),
+      ntile(3).over(Window.orderBy(col("last_dt").desc, col("o_custkey"))).as("r"),
+      ntile(3).over(Window.orderBy(col("freq").desc, col("o_custkey"))).as("f"),
+      ntile(3).over(Window.orderBy(col("mon").desc, col("o_custkey"))).as("m"))
+    s.groupBy(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
+        col("m").cast("long").as("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("mon")), 4).cast("double").as("total_monetary"))
+  }
+
+  /** Language-ID confusion audit: x07's heuristic scored against the
+    * labeled `lang` column as a full confusion matrix with per-true-lang
+    * recall and per-predicted-lang precision — the calibration readout
+    * that says whether the cheap classifier is safe to gate a corpus on
+    * (x97's recall-curve discipline applied to the text side). The
+    * marker-count scan is the only heavy stage; the matrix is
+    * |langs|² rows, so the two share-windows are trivial at any scale.
+    * Fractions are single divisions of exact integer counts. */
+  val x134 = Q(
+    "x134_langid_confusion",
+    Some(
+      s"WITH pred AS ($langIdSql), " +
+        "m AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM pred GROUP BY lang, lang_pred) " +
+        "SELECT lang, lang_pred, n, " +
+        "CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang) AS recall_frac, " +
+        "CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang_pred) AS precision_frac " +
+        "FROM m"
+    )
+  ) { t =>
+    val m = langIdFrame(t)
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+    m.select(col("lang"), col("lang_pred"), col("n"),
+      (col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("lang")))).as("recall_frac"),
+      (col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("lang_pred")))).as("precision_frac"))
+  }
+
+  /** Cross-source score calibration via rank normalization: each doc's
+    * length score (n_chars) is mapped to its global percent-rank
+    * cnt_lt/(N−1), then summarized per source — a source whose mean
+    * normalized score sits far from 0.5 is length-shifted vs the pool,
+    * which is what breaks naive global quality thresholds (x101's
+    * motivation, made quantitative). The CDF is computed on the
+    * DISTINCT-VALUE count table (bounded domain — document lengths),
+    * so the one ordered window is over a tiny frame and the per-doc
+    * join broadcasts it; per-source means are exact integer sums with
+    * ONE final division (no float accumulation ordering anywhere). */
+  val x135 = Q(
+    "x135_quantile_normalize",
+    Some(
+      "WITH d AS (SELECT source, n_chars FROM documents), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d), " +
+        "c AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY n_chars), " +
+        "cum AS (SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) - cnt AS cnt_lt FROM c), " +
+        "j AS (SELECT d.source, cum.cnt_lt FROM d JOIN cum ON d.n_chars = cum.n_chars) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(cnt_lt) AS DOUBLE) / (COUNT(*) * (n - 1)) AS mean_pr, " +
+        "CAST(MIN(cnt_lt) AS DOUBLE) / (n - 1) AS min_pr, " +
+        "CAST(MAX(cnt_lt) AS DOUBLE) / (n - 1) AS max_pr " +
+        "FROM j CROSS JOIN n GROUP BY source, n"
+    )
+  ) { t =>
+    val d = t.documents.select(col("source"), col("n_chars"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val cum = d.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+      .select(col("n_chars"),
+        (sum(col("cnt")).over(Window.orderBy(col("n_chars"))) - col("cnt")).as("cnt_lt"))
+    d.join(broadcast(cum), "n_chars")
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cnt_lt")).as("sum_lt"),
+        min(col("cnt_lt")).as("min_lt"), max(col("cnt_lt")).as("max_lt"))
+      .select(col("source"), col("n_docs"),
+        (col("sum_lt").cast("double") / (col("n_docs") * (col("n") - 1))).as("mean_pr"),
+        (col("min_lt").cast("double") / (col("n") - 1)).as("min_pr"),
+        (col("max_lt").cast("double") / (col("n") - 1)).as("max_pr"))
+  }
+
+  /** Co-purchase graph degree distribution: parts are linked when they
+    * appear in the same order; the output histogram (degree → part
+    * count, degree 0 included via the dimension left join) is the
+    * connectivity readout behind basket recommenders and graph-sampling
+    * budgets. Pair generation is a self-join WITHIN order — work is
+    * Σ c(k,2) over per-order item counts, which TPC-H bounds at 7 lines
+    * per order, never corpus×corpus (the same bounded-block discipline
+    * as x02's inverted index; on skewed real baskets cap per-block size
+    * like maxDocFreq). Distinct pairs, symmetric expansion, then two
+    * map-side-combined counts. */
+  val x136 = Q(
+    "x136_copurchase_degree",
+    Some(
+      "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb FROM op a " +
+        "JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "und AS (SELECT pa AS pk, pb AS other FROM pairs " +
+        "UNION ALL SELECT pb, pa FROM pairs), " +
+        "deg AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY pk), " +
+        "alld AS (SELECT CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree " +
+        "FROM part p LEFT JOIN deg ON p.p_partkey = deg.pk) " +
+        "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts FROM alld GROUP BY degree"
+    )
+  ) { t =>
+    val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val pairs = op.join(b, col("l_orderkey") === col("ok") && col("l_partkey") < col("pb"))
+      .select(col("l_partkey").as("pa"), col("pb")).distinct()
+    val und = pairs.select(col("pa").as("pk"))
+      .unionAll(pairs.select(col("pb").as("pk")))
+    val deg = und.groupBy(col("pk")).agg(count(lit(1)).as("degree"))
+    t.part.join(deg, t.part("p_partkey") === deg("pk"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_parts"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -3702,6 +3940,7 @@ object TrainingData {
     x85, x86, x87, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100,
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
-    x123, x124, x125, x126, x127, x128, x129, x130
+    x123, x124, x125, x126, x127, x128, x129, x130,
+    x131, x132, x133, x134, x135, x136
   )
 }
