@@ -503,7 +503,17 @@ object Dedup {
     * never disagree. Each Lloyd round costs one corpus scan for the
     * assignment plus one (cell, dim)-grouped aggregate — the mean is
     * computed distributed (explode to n·d rows, two shuffles of k·d
-    * rows out), never on the driver. */
+    * rows out), never on the driver.
+    *
+    * The per-cell mean is computed on 1e-6-FLOOR-QUANTIZED components:
+    * each float is mapped to ⌊v·10⁶⌋ (one exact-rounded IEEE multiply +
+    * floor — identical on every engine), summed as plain longs (exact,
+    * order-independent — safe to ~9e12 rows/cell before overflow), and
+    * the mean rebuilt with one fixed-order double divide. Centroids are
+    * therefore BIT-reproducible under any partitioning and any engine —
+    * which is what lets x53 carry a DuckDB hash oracle; the ≤1e-6
+    * perturbation per component is far below the recall noise floor
+    * (IvfSpec pins refined-vs-seed recall). */
   private def ivfIndex(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       lloydIters: Int): (DataFrame, DataFrame) = {
@@ -514,7 +524,9 @@ object Dedup {
       cents = assignToCells(norms, cents, idCol)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("mv"))
+        .agg((sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+            .cast("double") /
+          (count(lit(1)).cast("double") * lit(1000000.0))).as("mv"))
         .groupBy(col("cell"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mv")))),

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -99,5 +99,45 @@ object Ranks {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** Exact strictly-greater suffix sum over a DISTINCT-value frame with
+    * NO unpartitioned window: `outCol` = Σ `weightCol` over rows whose
+    * `valueCol` is strictly greater.
+    *
+    * The naive form — `sum(w).over(Window.orderBy(v.desc))` — funnels
+    * the whole frame through ONE sort task (the g06 hazard). Here the
+    * total order is recovered hierarchically: `bucket` coarsens the
+    * value domain into an ORDERED grid (caller supplies a monotone
+    * non-decreasing map, e.g. `floor(v / 1024)`), per-bucket totals make
+    * a grid-sized frame whose strictly-greater offsets come from a
+    * broadcast nested-loop self-join (grid² pairs — the grid is bounded
+    * by domain/width, never by row count), and the within-bucket
+    * remainder is a window PARTITIONED by bucket. Every shuffle is keyed;
+    * the only global structure is the broadcast grid.
+    *
+    * Contract: `valueCol` values must be distinct (a groupBy(value)
+    * frame), `weightCol` integral (long), `bucket` monotone in the value.
+    */
+  def suffixSumDistinct(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      bucket: Column,
+      outCol: String
+  ): DataFrame = {
+    val b = df.withColumn("__b", bucket.cast("long"))
+    val perBucket = b.groupBy(col("__b")).agg(sum(col(weightCol)).as("__bw"))
+    val rhs = perBucket.select(col("__b").as("__ob"), col("__bw").as("__obw"))
+    val off = perBucket
+      .join(broadcast(rhs), col("__ob") > col("__b"), "left")
+      .groupBy(col("__b"))
+      .agg(coalesce(sum(col("__obw")), lit(0L)).as("__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col(valueCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(off), "__b")
+      .withColumn(outCol,
+        coalesce(sum(col(weightCol)).over(w), lit(0L)) + col("__off"))
+      .drop("__b", "__off")
   }
 }

@@ -30,18 +30,31 @@ final class Tables private (val spark: SparkSession, val dir: String) {
   lazy val part: DataFrame       = read("part")
   lazy val orders: DataFrame     = read("orders")
   lazy val lineitem: DataFrame   = read("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects — read nanos as long, then convert to a microsecond
-    * timestamp (the source data is µs-aligned, so this is lossless).
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — read nanos as long, convert to
+    * a microsecond timestamp; the source data is µs-aligned, so this is
+    * lossless) and plain TIMESTAMP(MICROS) (pass through). Handle both
+    * layouts by dispatching on the decoded type, so a testdata
+    * regeneration can't strand every events query.
     * DuckDB oracles read the same values via `CAST(ts AS TIMESTAMP)`. */
   lazy val events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")
-      )
-    )
+    val raw = read("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false) decodes as NTZ;
+        // downstream operators (unix_micros, range joins, watermarks)
+        // expect TIMESTAMP. The session timezone is pinned to UTC
+        // (Verify/Bench), so the cast relabels the same instants.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   lazy val documents: DataFrame  = read("documents")
   lazy val embeddings: DataFrame = read("embeddings")

@@ -67,12 +67,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
-  test("approx distinct is within 5% of exact") {
-    SparkEntry.queries("x21_approx_distinct")(spark, sf).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx $approx vs exact $exact")
+  test("x21 approx distinct within 5% of the hash-green exact twin x36, every group") {
+    // x21 is the scoreboard's one PERMANENT no-hash-oracle row: HLL++
+    // register layouts are engine-specific, so no DuckDB twin can ever
+    // byte-match. This pin is its correctness contract instead — the
+    // sketch estimate vs the oracle-checked exact x36, per group.
+    val approx = SparkEntry.queries("x21_approx_distinct")(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts"))
+      .toMap
+    val exact = SparkEntry.queries("x36_count_distinct_exact")(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("exact_parts"))
+      .toMap
+    assert(approx.keySet === exact.keySet, "same groups in both")
+    assert(exact.keySet === Set("A", "N", "R"))
+    exact.foreach { case (g, ex) =>
+      val ap = approx(g).toDouble
+      assert(math.abs(ap - ex) / ex < 0.05,
+        s"group $g: approx $ap vs exact $ex drifts beyond 5%")
     }
   }
 

@@ -54,12 +54,15 @@ class IvfSpec extends AnyFunSuite {
     assert(full === exact)
   }
 
-  test("one Lloyd round recomputes centroids as exact per-cell means") {
+  test("one Lloyd round recomputes centroids as exact quantized per-cell means") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     // driver-side replica of assign(seeds) → per-cell mean → reassign,
     // with FloatVecDot's exact arithmetic (sequential double
-    // accumulation, ties to the lowest cent_id) — the distributed Lloyd
-    // step must land every vector in the same refined cell
+    // accumulation, ties to the lowest cent_id) and the engine's
+    // 1e-6-floor quantized mean (⌊v·10⁶⌋ long sums, one double divide —
+    // the bit-reproducibility contract behind x53's oracle) — the
+    // distributed Lloyd step must land every vector in the same refined
+    // cell
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
@@ -82,7 +85,8 @@ class IvfSpec extends AnyFunSuite {
       val vs = members.keys.toSeq.sorted.map(byId)
       val dims = vs.head.length
       cell -> Array.tabulate(dims) { d =>
-        (vs.map(_(d).toDouble).sum / vs.size).toFloat
+        val sq = vs.map(v => math.floor(v(d).toDouble * 1000000.0).toLong).sum
+        (sq.toDouble / (vs.size.toDouble * 1000000.0)).toFloat
       }
     }
     val expected = assign(means)

@@ -64,4 +64,28 @@ class RanksSpec extends AnyFunSuite {
     val out = Ranks.topKPerGroup(li, keys, orders, 1)
     assert(out.count() === 3) // exact result: one per returnflag
   }
+
+  test("suffixSumDistinct equals the global-window suffix sum, any bucket width") {
+    val cc = Tables(spark, "/root/testdata/sf0.01").orders
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("cnt"))
+    val naive = cc.withColumn("gt",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("freq").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("freq", "cnt", "gt").collect().map(_.toSeq).toSet
+    for (width <- Seq(1L, 4L, 1024L)) {
+      val fast = Ranks.suffixSumDistinct(cc, "freq", "cnt",
+          floor(col("freq") / lit(width)), "gt")
+        .select("freq", "cnt", "gt").collect().map(_.toSeq).toSet
+      assert(fast === naive, s"width=$width")
+    }
+    // and the plan carries no unpartitioned logical Window
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val planned = Ranks.suffixSumDistinct(cc, "freq", "cnt",
+      floor(col("freq") / lit(4L)), "gt")
+    val globals = planned.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty)
+  }
 }

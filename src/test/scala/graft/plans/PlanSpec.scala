@@ -154,4 +154,30 @@ class PlanSpec extends AnyFunSuite {
     // exploded token rows
     assert(p.contains("partial_count"), p)
   }
+
+  test("x124/x128/x133: no unpartitioned Window anywhere in the rank-band audits") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("x124_zipf_slope", "x128_activity_deciles",
+        "x133_rfm_segments")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      // deciles/terciles come from suffixSumDistinct (bucket-partitioned
+      // windows + broadcast grid); the Zipf rank from a broadcast
+      // self-join over the TakeOrdered cap — never a global sort task
+      assert(globalWindows.isEmpty,
+        s"$name has ${globalWindows.size} unpartitioned Window(s):\n" +
+          df.queryExecution.optimizedPlan)
+    }
+  }
+
+  test("x124: the vocabulary cap plans as TakeOrderedAndProject, not a global sort") {
+    val t = graft.sources.Tables(spark, sf)
+    val p = graft.operators.TrainingData.zipfCappedVocab(t)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.matches("""\(\d+\) Sort.*""") && !l.contains("TakeOrdered")), p)
+  }
 }
