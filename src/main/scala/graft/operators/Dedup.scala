@@ -466,8 +466,19 @@ object Dedup {
     * instead — the mutuality self-join is on n·k rows either way. The
     * top-k frame is materialized once (checkpoint-for-the-call) so the
     * mutuality join does not recompute the similarity scan twice. */
-  def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val topk = annTopK(df, idCol, vecCol, lit(true), k)
+  def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    mutualEdgesFromTopK(annTopK(df, idCol, vecCol, lit(true), k))
+
+  /** The mutuality tail shared by the exact and IVF kNN-cluster paths:
+    * given ANY (query_id, neighbor_id) top-k list frame, keep the edges
+    * both endpoints agree on. The list frame is materialized once
+    * (checkpoint-for-the-call) so the self-join does not recompute the
+    * similarity scan twice; the join is on n·k rows regardless of how
+    * the lists were generated — which is exactly why swapping exact
+    * [[annTopK]] lists for [[ivfSearch]] lists changes only the
+    * candidate-generation cost, never the clustering tail. */
+  def mutualEdgesFromTopK(lists: DataFrame): DataFrame = {
+    val topk = lists
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true)
     // a rev row (rq, rv) = (q2's neighbor, q2): the edge (q, n) survives

@@ -4031,6 +4031,103 @@ object TrainingData {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_parts"))
   }
 
+  /** DuckDB CTE chain replaying `Dedup.ivfSearch` (deterministic seed
+    * centroids, no Lloyd) over ALL queries — shared by the IVF-backed
+    * twins x137/x138. Yields `ivflists(query_id, neighbor_id, cosine)`.
+    * Prefix with `WITH` (or `WITH RECURSIVE`) at the call site. */
+  private def duckIvfListCtes(k: Int, nprobe: Int, topK: Int): String = {
+    def cos(a: String, an: String, b: String, bn: String) =
+      s"${duckDot(a, b)} / ($an * $bn)"
+    s"$duckNorms, " +
+      s"icents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+      s"FROM norms WHERE vec_id < $k), " +
+      "iassigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
+      "SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell, " +
+      s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+      s"${cos("n.embedding", "n.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
+      "FROM norms n CROSS JOIN icents c) WHERE rn = 1), " +
+      "iprobed AS (SELECT query_id, qe, qn, cell FROM (" +
+      "SELECT q.vec_id AS query_id, q.embedding AS qe, q.nrm AS qn, " +
+      "c.cent_id AS cell, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      s"${cos("q.embedding", "q.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
+      "FROM norms q CROSS JOIN icents c) WHERE rn <= " + nprobe + "), " +
+      "ivflists AS (SELECT query_id, neighbor_id, cosine FROM (" +
+      "SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      s"${cos("p.qe", "p.qn", "a.embedding", "a.nrm")} AS cosine, " +
+      s"row_number() OVER (PARTITION BY p.query_id ORDER BY " +
+      s"${cos("p.qe", "p.qn", "a.embedding", "a.nrm")} DESC, a.vec_id) AS rn " +
+      "FROM iprobed p JOIN iassigned a ON p.cell = a.cell " +
+      s"AND p.query_id <> a.vec_id) WHERE rn <= $topK)"
+  }
+
+  /** x59's semantic clustering on the IVF scale path: candidate top-3
+    * lists come from [[Dedup.ivfSearch]] (per-query work ∝ corpus/k ×
+    * nprobe instead of the full corpus — the 100 TB answer SCALE.md
+    * promises for kNN clustering), then the SAME mutuality + guarded
+    * connected-components tail as the exact baseline
+    * ([[Dedup.mutualEdgesFromTopK]] makes the tail literally shared
+    * code). Fully deterministic (seed centroids, id tiebreaks), so the
+    * whole pipeline carries a hash oracle; DedupLibrarySpec pins edge
+    * recall vs the exact x59 graph. */
+  val x137 = Q(
+    "x137_semantic_clusters_ivf",
+    Some(
+      s"WITH RECURSIVE ${duckIvfListCtes(k = 16, nprobe = 2, topK = 3)}, " +
+        "tk AS (SELECT query_id AS qa, neighbor_id AS qb FROM ivflists), " +
+        "mut AS (SELECT t.qa AS u, t.qb AS v FROM tk t " +
+        "JOIN tk r ON t.qa = r.qb AND t.qb = r.qa WHERE t.qa < t.qb), " +
+        "edges AS (SELECT u, v FROM mut UNION SELECT v, u FROM mut), " +
+        "reach(u, v) AS (SELECT u, v FROM edges " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "cl AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_root FROM reach GROUP BY u) " +
+        "SELECT vec_id, cluster_root, " +
+        "CAST(COUNT(*) OVER (PARTITION BY cluster_root) AS BIGINT) AS cluster_size FROM cl"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val lists = Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
+      lit(true), k = 16, nprobe = 2, topK = 3)
+    val edges = Dedup.mutualEdgesFromTopK(lists)
+    val cc = Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
+    val out = cc
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_root"))))
+      .select(col("node").as("vec_id"), col("cluster_root"), col("cluster_size"))
+    Dedup.release(edges)
+    out
+  }
+
+  /** x89's hubness audit on the IVF scale path: the in-degree
+    * distribution of the [[Dedup.ivfSearch]] top-5 graph instead of the
+    * exact all-pairs one — same count shuffle + dimension left join +
+    * histogram tail, with candidate generation ∝ corpus/k × nprobe.
+    * Hubs this audit exists to catch are precisely the vectors an IVF
+    * list still over-cites, so the approximate graph preserves the
+    * fat-tail signal (DedupLibrarySpec pins list recall and that the
+    * degree mass matches the list count exactly). */
+  val x138 = Q(
+    "x138_ann_hubness_ivf",
+    Some(
+      s"WITH ${duckIvfListCtes(k = 16, nprobe = 2, topK = 5)}, " +
+        "deg AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM ivflists GROUP BY neighbor_id), " +
+        "ind AS (SELECT e.vec_id, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS in_degree " +
+        "FROM embeddings e LEFT JOIN deg d ON e.vec_id = d.neighbor_id) " +
+        "SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM ind GROUP BY in_degree"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val lists = Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
+      lit(true), k = 16, nprobe = 2, topK = 5)
+    val deg = lists.groupBy(col("neighbor_id")).agg(count(lit(1)).as("cnt"))
+    t.embeddings.select(col("vec_id"))
+      .join(deg, col("vec_id") === col("neighbor_id"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4041,6 +4138,6 @@ object TrainingData {
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
-    x131, x132, x133, x134, x135, x136
+    x131, x132, x133, x134, x135, x136, x137, x138
   )
 }

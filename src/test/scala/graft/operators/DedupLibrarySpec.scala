@@ -507,4 +507,50 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(crossC == 0L)  // families share their root's hash — by construction
     assert(crossN > 0L)   // the leakage the naive splitter ships on this corpus
   }
+
+  test("IVF twins x137/x138 agree with the exact x59/x89 baselines within pinned bounds") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(col(a), col(b)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // x138's candidate lists: recall vs the exact top-5 graph. Uniform
+    // random 64-dim vectors are the WORST case for coarse quantization
+    // (no density modes to exploit), so the floor is modest by design;
+    // clustered real embeddings sit far above it.
+    val exactLists = pairs(
+      Dedup.annTopK(emb, "vec_id", "embedding", lit(true), 5),
+      "query_id", "neighbor_id")
+    val ivfLists = pairs(
+      Dedup.ivfSearch(emb, "vec_id", "embedding", lit(true),
+        k = 16, nprobe = 2, topK = 5),
+      "query_id", "neighbor_id")
+    val listRecall = exactLists.intersect(ivfLists).size.toDouble / exactLists.size
+    info(f"ivf top-5 list recall vs exact: $listRecall%.3f")
+    assert(listRecall >= 0.2, f"list recall $listRecall%.3f below pinned floor")
+
+    // structural exactness of the shared tail: x138's degree mass IS the
+    // list count (the histogram loses nothing)
+    val hist = graft.SparkEntry.queries("x138_ann_hubness_ivf")(
+        spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(hist.map { case (d, n) => d * n }.sum === ivfLists.size)
+    assert(hist.map(_._2).sum === emb.count()) // every vector counted once
+
+    // x137's mutual-edge graph: recall vs the exact mutual-kNN edges
+    val exactEdges = pairs(
+      Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3), "u", "v")
+    val ivfEdges = pairs(
+      Dedup.mutualEdgesFromTopK(
+        Dedup.ivfSearch(emb, "vec_id", "embedding", lit(true),
+          k = 16, nprobe = 2, topK = 3)), "u", "v")
+    val edgeRecall = exactEdges.intersect(ivfEdges).size.toDouble / exactEdges.size
+    info(f"ivf mutual-edge recall vs exact: $edgeRecall%.3f " +
+      s"(${ivfEdges.size} ivf vs ${exactEdges.size} exact edges)")
+    assert(edgeRecall >= 0.2, f"edge recall $edgeRecall%.3f below pinned floor")
+    // mutuality only prunes: no IVF edge pairs vectors that never cited
+    // each other in the lists
+    assert(ivfEdges.forall { case (u, v) => u < v })
+  }
 }
