@@ -54,19 +54,28 @@ object Bench {
           false
       }
 
-    /** warmup + two timed passes; per-query min. */
+    /** warmup + two timed passes; per-query min. Scaling-curve runs at
+      * big self-generated SFs can't afford 3 full executions:
+      * SPARK_GRAFT_BENCH_PASSES=1 + SPARK_GRAFT_BENCH_WARMUP=0 switch to
+      * one timed pass (the driver never sets these, so the contract run
+      * keeps min-of-2; relative 10× ratios dwarf single-pass noise). A
+      * per-query stderr line makes long runs observable. */
     def bench(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
         dir: String): Seq[(String, Double)] = {
-      qs.foreach { case (_, fn) => runOnce(fn, dir) }
+      val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+      val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+      if (warmup) qs.foreach { case (_, fn) => runOnce(fn, dir) }
       def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = runOnce(fn, dir)
         val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name ${if (ok) dt else -1.0}%.2f s")
         name -> (if (ok) dt else -1.0)
       }
-      val (p1, p2) = (timedPass(), timedPass())
-      p1.zip(p2).map { case ((name, a), (_, b)) =>
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      (1 to passes).map(_ => timedPass()).reduce { (p1, p2) =>
+        p1.zip(p2).map { case ((name, a), (_, b)) =>
+          name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        }
       }
     }
 

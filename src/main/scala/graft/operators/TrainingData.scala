@@ -4128,6 +4128,162 @@ object TrainingData {
       .agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** Segment-level dedup with removal accounting (the CCNet/RefinedWeb
+    * "line dedup" pass adapted to the corpus's flat word streams):
+    * every doc is cut into NON-overlapping 8-word segments, one global
+    * first-writer-wins pass keeps each distinct segment's earliest
+    * occurrence (min (doc_id, position) — encoded as one bigint so the
+    * winner is a single MIN aggregate), and the per-source report says
+    * how many tokens survive — the sub-document dedup that catches
+    * templated headers/footers exact doc-dedup (x01) and overlapping
+    * n-gram novelty (x55) both miss. Scale shape: segments shuffle as
+    * 8-byte poly hashes (never segment text), one hash-keyed MIN + one
+    * keyed join back, one source-keyed aggregate; segment position is
+    * bounded (< 2^20) so the winner encoding never overflows for any
+    * doc_id below 2^43. */
+  val x139 = Q(
+    "x139_segment_dedup",
+    Some(
+      "WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), " +
+        "occ0 AS (SELECT doc_id, source, w, " +
+        "unnest(range(0, (len(w) + 7) // 8)) AS s FROM words), " +
+        s"occ AS (SELECT doc_id, source, s, doc_id * 1048576 + s AS k, " +
+        s"${duckPolyHash("array_to_string(w[s*8+1 : s*8+8], ' ')")} AS h, " +
+        "LEAST(8, len(w) - s * 8) AS n_toks FROM occ0), " +
+        "win AS (SELECT h, MIN(k) AS kmin FROM occ GROUP BY h) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments, " +
+        s"${sqlCountIf("k = kmin")} AS n_kept, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS tokens_before, " +
+        "CAST(SUM(CASE WHEN k = kmin THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_after, " +
+        "CAST(SUM(CASE WHEN k = kmin THEN n_toks ELSE 0 END) AS DOUBLE) / SUM(n_toks) AS keep_ratio " +
+        "FROM occ JOIN win USING (h) GROUP BY source"
+    )
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val words = split(col("text"), " ")
+    val occ = t.documents
+      .select(col("doc_id"), col("source"), words.as("w"))
+      .select(col("doc_id"), col("source"), col("w"),
+        explode(sequence(lit(0),
+          floor((size(col("w")) - 1) / 8).cast("int"))).as("s"))
+      .select(col("doc_id"), col("source"), col("s"),
+        (col("doc_id") * lit(1048576L) + col("s")).as("k"),
+        expr("poly_hash(array_join(slice(w, s*8+1, 8), ' '))").as("h"),
+        least(lit(8), size(col("w")) - col("s") * 8).cast("long").as("n_toks"))
+    val win = occ.groupBy(col("h")).agg(min(col("k")).as("kmin"))
+    occ.join(win, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segments"),
+        countIf(col("k") === col("kmin")).as("n_kept"),
+        sum(col("n_toks")).as("tokens_before"),
+        sum(when(col("k") === col("kmin"), col("n_toks")).otherwise(0L))
+          .as("tokens_after"),
+        (sum(when(col("k") === col("kmin"), col("n_toks")).otherwise(0L))
+          .cast("double") / sum(col("n_toks"))).as("keep_ratio"))
+  }
+
+  /** Length-curriculum schedule: docs staged shortest-first into 10
+    * token-count bands (stage = ⌊lt·10/N⌋+1 from the strictly-smaller
+    * CDF — the ascending mirror of x128's decile arithmetic, same
+    * [[Ranks.suffixSumDistinct]] machinery over the token-count
+    * distinct-value frame, so nothing sorts docs globally), with each
+    * stage's doc count, token mass, and cumulative token share — the
+    * schedule a curriculum loader consumes directly. The cumulative walk
+    * is a broadcast ≤10×10 stage self-join, not a window. */
+  val x140 = Q(
+    "x140_curriculum_stages",
+    Some(
+      "WITH tc AS (SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks FROM documents), " +
+        "cc AS (SELECT n_toks, CAST(COUNT(*) AS BIGINT) AS mu FROM tc GROUP BY n_toks), " +
+        "t AS (SELECT CAST(SUM(mu) AS BIGINT) AS n_total, CAST(SUM(n_toks * mu) AS BIGINT) AS tok_total FROM cc), " +
+        "d AS (SELECT n_toks, mu, COALESCE(CAST(SUM(mu) OVER " +
+        "(ORDER BY n_toks ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS lt FROM cc), " +
+        "st AS (SELECT CAST((lt * 10) // n_total + 1 AS BIGINT) AS stage, " +
+        "CAST(SUM(mu) AS BIGINT) AS n_docs, CAST(SUM(n_toks * mu) AS BIGINT) AS stage_tokens " +
+        "FROM d CROSS JOIN t GROUP BY 1) " +
+        "SELECT a.stage, a.n_docs, a.stage_tokens, " +
+        "CAST(SUM(b.stage_tokens) AS DOUBLE) / CAST(tok_total AS DOUBLE) AS cum_token_share " +
+        "FROM st a JOIN st b ON b.stage <= a.stage CROSS JOIN t " +
+        "GROUP BY a.stage, a.n_docs, a.stage_tokens, tok_total"
+    )
+  ) { t =>
+    val tc = t.documents
+      .select(graft.functions.Text.tokenCount("text").as("n_toks"))
+    val cc = tc.groupBy(col("n_toks")).agg(count(lit(1)).as("mu"))
+    val tot = cc.agg(sum(col("mu")).as("n_total"),
+      sum(col("n_toks") * col("mu")).as("tok_total"))
+    // strictly-greater CDF from the helper; strictly-smaller = N - gt - mu
+    val st = Ranks.suffixSumDistinct(cc, "n_toks", "mu",
+        floor(col("n_toks") / lit(64L)), "gt")
+      .crossJoin(broadcast(tot))
+      .select(expr("((n_total - gt - mu) * 10) div n_total + 1")
+          .cast("long").as("stage"),
+        col("mu"), (col("n_toks") * col("mu")).as("toks"), col("tok_total"))
+      .groupBy(col("stage"))
+      .agg(sum(col("mu")).as("n_docs"), sum(col("toks")).as("stage_tokens"),
+        first(col("tok_total")).as("tok_total"))
+    val rhs = st.select(col("stage").as("stage2"),
+      col("stage_tokens").as("stage_tokens2"))
+    st.join(broadcast(rhs), col("stage2") <= col("stage"))
+      .groupBy(col("stage"), col("n_docs"), col("stage_tokens"), col("tok_total"))
+      .agg(sum(col("stage_tokens2")).as("cum_tokens"))
+      .select(col("stage"), col("n_docs"), col("stage_tokens"),
+        (col("cum_tokens").cast("double") / col("tok_total").cast("double"))
+          .as("cum_token_share"))
+  }
+
+  /** IVF cell label purity — the clustering-quality audit over x39's
+    * deterministic cell assignment: per cell, the member count, majority
+    * label (count desc, label asc tiebreak), and purity fraction. Low
+    * purity cells are where probe-search recall and kNN label votes
+    * (x63) degrade, so this is the pre-flight that says whether the
+    * coarse quantizer respects the label structure. Cost: the one
+    * assignment scan + a (cell, label) aggregate; the per-cell argmax
+    * runs on the ≤ k×|labels| count frame. */
+  val x141 = Q(
+    "x141_cell_label_purity",
+    Some {
+      def cos(a: String, an: String, b: String, bn: String) =
+        s"${duckDot(a, b)} / ($an * $bn)"
+      s"WITH $duckNorms, " +
+        "cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+        "FROM norms WHERE vec_id < 16), " +
+        "assigned AS (SELECT vec_id, cell FROM (" +
+        "SELECT n.vec_id, c.cent_id AS cell, " +
+        s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+        s"${cos("n.embedding", "n.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
+        "FROM norms n CROSS JOIN cents c) WHERE rn = 1), " +
+        "lab AS (SELECT a.cell, e.label, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id " +
+        "GROUP BY a.cell, e.label), " +
+        "tot AS (SELECT cell, CAST(SUM(cnt) AS BIGINT) AS n_vecs FROM lab GROUP BY cell), " +
+        "top AS (SELECT cell, label, cnt FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label) AS rn " +
+        "FROM lab) WHERE rn = 1) " +
+        "SELECT t.cell, t.n_vecs, CAST(p.label AS BIGINT) AS majority_label, " +
+        "p.cnt AS n_majority, CAST(p.cnt AS DOUBLE) / t.n_vecs AS purity " +
+        "FROM tot t JOIN top p USING (cell)"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val assigned = Dedup.ivfAssign(t.embeddings, "vec_id", "embedding", k = 16)
+      .select(col("vec_id"), col("cell"))
+    val lab = assigned
+      .join(t.embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("cnt"))
+    val tot = lab.groupBy(col("cell")).agg(sum(col("cnt")).as("n_vecs"))
+    val top = lab
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(col("cnt").desc, col("label"))))
+      .filter(col("rn") === 1)
+    tot.join(top, "cell")
+      .select(col("cell"), col("n_vecs"),
+        col("label").cast("long").as("majority_label"),
+        col("cnt").as("n_majority"),
+        (col("cnt").cast("double") / col("n_vecs")).as("purity"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4138,6 +4294,6 @@ object TrainingData {
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
-    x131, x132, x133, x134, x135, x136, x137, x138
+    x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141
   )
 }
