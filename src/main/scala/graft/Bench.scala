@@ -85,7 +85,11 @@ object Bench {
     def totalOf(results: Seq[(String, Double)]): Double =
       results.collect { case (_, v) if v >= 0 => v }.sum
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated subset for local
+    // iteration on one query's plan; driver runs never set it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = bench(qs, sfDir)
 
     // the baseline-comparable set IS the gold-analog registry — derived,

@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *  - `documents.text`: every 5th word of a copy>0 doc is replaced by a
   *    copy-salted token (kills 3-gram Jaccard across copies while
   *    preserving length and word-frequency shape); n_chars recomputed.
+  *    The salt domain is SMALL (97 per copy) so the corpus vocabulary
+  *    grows additively (~97×copies tokens), matching how organic corpus
+  *    vocabulary grows sublinearly — a large salt domain would explode
+  *    vocab-frame queries' scaling exponents with generator artifacts.
   *  - `embeddings.embedding`: copy>0 components get a deterministic
   *    ±5e-3 arithmetic-hash jitter (breaks exact/cosine near-dup pairs
   *    across copies, preserves the distribution).
@@ -106,7 +110,7 @@ object GenSf {
           transform(split(col("text"), " "), (_, i) => i),
           (w, i) => when(i % 5 === pmod(col("doc_id"), lit(5)),
             concat(lit("c"), col("__copy"), lit("w"),
-              pmod(xxhash64(col("doc_id"), i), lit(9973))))
+              pmod(xxhash64(col("doc_id"), i), lit(97))))
             .otherwise(w)),
         " "))
     write(

@@ -1177,18 +1177,28 @@ object TrainingData {
 
   /** Blocked edit-distance fuzzy dedup — the character-level near-dup
     * detector that catches what shingle Jaccard misses (small in-place
-    * edits): documents block on their first two words (an inverted-index
-    * key — candidate work is Σ block², never the corpus cross join, the
-    * same scaling story as x02), pairs inside a block score relative
+    * edits): documents block on their first two words PLUS a geometric
+    * length band (see below), pairs inside a block score relative
     * Levenshtein distance, and pairs within 0.3 of the longer length
     * surface. `levenshtein` is an integer in both engines; the relative
-    * distance is one exact int division. Two lossless prunes keep the
-    * candidate work bounded (the oracle computes the naive form — same
-    * survivors): a length filter (|len_a − len_b| alone already exceeds
-    * the distance bound → the pair can never pass, since lev ≥ the
-    * length gap), and Spark's banded `levenshtein(a, b, k)` with k one
-    * above the bound, which computes only the O(n·k) diagonal band and
-    * returns −1 for pairs that can't pass. */
+    * distance is one exact int division. Three lossless prunes keep the
+    * candidate work bounded (the oracle computes the naive first-two-
+    * words form — same survivors):
+    *  - LENGTH-BAND BLOCKING: a passing pair needs min ≥ 0.7·max, i.e.
+    *    the log-ratio of lengths is ≤ ln(1/0.7), so with geometric
+    *    bands ⌊ln(nc)/ln(1/0.7)⌋ the endpoints differ by ≤ 1 band —
+    *    one side explodes to its 3 neighbor bands and the join key
+    *    becomes (first2words, band). The round-8 sf1 scaling run
+    *    measured the words-only key at 451 s / exponent ~2 (the block
+    *    count is VOCABULARY-bounded, so blocks grow linearly with the
+    *    corpus and pairs quadratically); the length band re-bounds
+    *    block size by length density and is the difference between
+    *    Σ block² over vocab² blocks and over vocab²×bands blocks.
+    *  - a length filter (|len_a − len_b| alone already exceeds the
+    *    distance bound → the pair can never pass, since lev ≥ the gap),
+    *  - Spark's banded `levenshtein(a, b, k)` with k one above the
+    *    bound, which computes only the O(n·k) diagonal band and
+    *    returns −1 for pairs that can't pass. */
   val x51 = Q(
     "x51_fuzzy_dedup_levenshtein",
     Some {
@@ -1202,15 +1212,22 @@ object TrainingData {
         "WHERE CAST(levenshtein(a.text, b2.text) AS DOUBLE) / greatest(a.nc, b2.nc) <= 0.3"
     }
   ) { t =>
+    // geometric length band: base 1/0.7 ⇒ any pair that can pass the
+    // 0.3 relative bound spans ≤ 1 band (plan-side prune only — the
+    // float log never reaches the output, so oracle parity is untouched)
+    val bandOf = floor(log(greatest(length(col("text")), lit(1)).cast("double"))
+      / lit(math.log(1.0 / 0.7)))
     val blocked = t.documents.select(
       col("doc_id"), col("text"),
       array_join(slice(split(col("text"), " "), 1, 2), " ").as("blk"),
-      length(col("text")).as("nc"))
+      length(col("text")).as("nc"),
+      bandOf.cast("long").as("bd"))
     val a = blocked.select(col("doc_id").as("doc_a"), col("text").as("ta"),
-      col("blk"), col("nc").as("na"))
+      col("blk"), col("nc").as("na"), col("bd"))
     val b = blocked.select(col("doc_id").as("doc_b"), col("text").as("tb"),
-      col("blk"), col("nc").as("nb"))
-    a.join(b, Seq("blk"))
+      col("blk"), col("nc").as("nb"),
+      explode(array(col("bd") - 1, col("bd"), col("bd") + 1)).as("bd"))
+    a.join(b, Seq("blk", "bd"))
       .filter(col("doc_a") < col("doc_b"))
       // lossless: lev >= |na - nb|, so this pair could never pass the
       // rel_dist filter (same double division as the final predicate)
@@ -4284,6 +4301,64 @@ object TrainingData {
         (col("cnt").cast("double") / col("n_vecs")).as("purity"))
   }
 
+  /** x51's fuzzy dedup with a HOT-BLOCK CAP — the registered scale path
+    * for edit-distance near-dup on corpora whose blocking key
+    * degenerates. The round-8 sf1 scaling run measured x51 at exponent
+    * ~2.2: its block count is vocabulary-bounded, so on a
+    * fixed-vocabulary corpus blocks grow linearly with the corpus and
+    * the banded-Levenshtein pair work quadratically. The standard
+    * record-linkage answer is to refuse degenerate blocks: (first-two-
+    * words, length-band) blocks with more than `cap` members are
+    * dropped whole (the cap is part of the operator's contract and of
+    * the oracle — deterministic, auditable via the emitted block sizes
+    * in x127-style manifests; on organic corpora with open vocabularies
+    * blocks are small and the cap never fires, making this ≡ x51).
+    * Within-cap work is bounded at |blocks| × cap² pairs at ANY corpus
+    * size. Same output schema and prune chain as x51. */
+  val x142 = Q(
+    "x142_fuzzy_dedup_capped",
+    Some {
+      "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
+        "b AS (SELECT doc_id, text, array_to_string(w[1:2], ' ') AS blk, " +
+        "CAST(floor(ln(greatest(len(text), 1)) / ln(1.0 / 0.7)) AS BIGINT) AS bd, " +
+        "len(text) AS nc FROM d), " +
+        "sz AS (SELECT blk, bd, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY blk, bd), " +
+        "ok AS (SELECT b.* FROM b JOIN sz USING (blk, bd) WHERE sz.n <= 32) " +
+        "SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, " +
+        "CAST(levenshtein(a.text, b2.text) AS BIGINT) AS lev, " +
+        "CAST(levenshtein(a.text, b2.text) AS DOUBLE) / greatest(a.nc, b2.nc) AS rel_dist " +
+        "FROM ok a JOIN ok b2 ON a.blk = b2.blk AND abs(a.bd - b2.bd) <= 1 " +
+        "AND a.doc_id < b2.doc_id " +
+        "WHERE CAST(levenshtein(a.text, b2.text) AS DOUBLE) / greatest(a.nc, b2.nc) <= 0.3"
+    }
+  ) { t =>
+    val bandOf = floor(log(greatest(length(col("text")), lit(1)).cast("double"))
+      / lit(math.log(1.0 / 0.7)))
+    val blocked = t.documents.select(
+      col("doc_id"), col("text"),
+      array_join(slice(split(col("text"), " "), 1, 2), " ").as("blk"),
+      length(col("text")).as("nc"),
+      bandOf.cast("long").as("bd"))
+    val sz = blocked.groupBy(col("blk"), col("bd")).agg(count(lit(1)).as("n"))
+    val ok = blocked.join(sz, Seq("blk", "bd")).filter(col("n") <= 32)
+    val a = ok.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+      col("blk"), col("nc").as("na"), col("bd"))
+    val b = ok.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+      col("blk"), col("nc").as("nb"),
+      explode(array(col("bd") - 1, col("bd"), col("bd") + 1)).as("bd"))
+    a.join(b, Seq("blk", "bd"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("na") - col("nb")).cast("double")
+        / greatest(col("na"), col("nb")) <= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        expr("levenshtein(ta, tb, CAST(0.3 * greatest(na, nb) AS INT) + 1)")
+          .cast("long").as("lev"))
+      .filter(col("lev") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        (col("lev").cast("double") / greatest(col("na"), col("nb"))).as("rel_dist"))
+      .filter(col("rel_dist") <= 0.3)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4294,6 +4369,6 @@ object TrainingData {
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
-    x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141
+    x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142
   )
 }

@@ -508,6 +508,21 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(crossN > 0L)   // the leakage the naive splitter ships on this corpus
   }
 
+  test("x142 capped fuzzy dedup equals x51 exactly wherever the cap never fires") {
+    // at sf0.01 every (block, band) group is far below the 32-member cap,
+    // so the capped scale path must reproduce the exact operator's pairs
+    // bit-for-bit — the "≡ x51 where the cap never fires" contract
+    val sf = "/root/testdata/sf0.01"
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val exact = rows("x51_fuzzy_dedup_levenshtein")
+    val capped = rows("x142_fuzzy_dedup_capped")
+    assert(exact.nonEmpty)
+    assert(capped === exact)
+  }
+
   test("IVF twins x137/x138 agree with the exact x59/x89 baselines within pinned bounds") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val emb = Tables(spark, "/root/testdata/sf0.01").embeddings

@@ -180,4 +180,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.linesIterator.exists(l =>
       l.matches("""\(\d+\) Sort.*""") && !l.contains("TakeOrdered")), p)
   }
+
+  test("x139: segment text never reaches an exchange — shuffles carry the 8-byte hash") {
+    val p = plan("x139_segment_dedup")
+    // every Exchange argument list must be free of the segment-string
+    // column; the join/groupBy keys are the poly_hash column `h`
+    val exchangeArgs = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+    exchangeArgs.foreach { l =>
+      assert(l.contains("h#") || l.contains("source#"),
+        s"exchange not keyed on hash/source: $l\n$p")
+    }
+    assert(p.contains("partial_"), p) // map-side combine on the source agg
+  }
+
+  test("x140: curriculum staging has no unpartitioned Window and no ntile") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("x140_curriculum_stages")(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, df.queryExecution.optimizedPlan.toString)
+  }
 }
