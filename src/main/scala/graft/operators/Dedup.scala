@@ -866,6 +866,31 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** IVF-cell-blocked embedding near-dup — candidate pairs are generated
+    * WITHIN coarse-quantizer cells only ([[ivfAssign]]'s deterministic
+    * seed centroids), then exactly rescored; near-dup vectors are near in
+    * cosine, so they overwhelmingly share a nearest centroid. Unlike a
+    * fixed-parameter LSH band join (bucket size ∝ n/2^p — quadratic
+    * candidates at any fixed p, see x34's sf1 measurement), the cell
+    * count k is an explicit knob: pick k ∝ n/target_cell_size and
+    * candidate work stays LINEAR in the corpus at a fixed recall
+    * profile. Precision is 1.0 (exact rescoring); recall vs the
+    * all-pairs baseline is pinned in DedupLibrarySpec. */
+  def embeddingNearDupsIvf(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      k: Int = 16): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, k)
+    val a = assigned.select(col("cell"), col(idCol).as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col(idCol).as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** MinHash banded candidate pairs with exact verification — the scale
     * path [[ngramJaccardPairs]] is the correctness baseline for:
     * signatures ([[minhashSignatures]]) → explode the 4 band keys →

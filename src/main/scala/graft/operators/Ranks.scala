@@ -118,7 +118,14 @@ object Ranks {
     *
     * Contract: `valueCol` values must be distinct (a groupBy(value)
     * frame), `weightCol` integral (long), `bucket` monotone in the value.
-    */
+    *
+    * The input frame is materialized once (checkpoint-for-the-call):
+    * three consumers read it (per-bucket totals, offsets, join-back),
+    * and without the barrier each would re-run the full upstream
+    * aggregation — measured as 4× redundant fact-table scans in the
+    * x128/x133/x140 plans (ReuseExchange does not unify them). The
+    * frame is distinct-value-sized by contract, so the materialization
+    * is grid-cheap at any corpus scale. */
   def suffixSumDistinct(
       df: DataFrame,
       valueCol: String,
@@ -126,7 +133,7 @@ object Ranks {
       bucket: Column,
       outCol: String
   ): DataFrame = {
-    val b = df.withColumn("__b", bucket.cast("long"))
+    val b = df.withColumn("__b", bucket.cast("long")).localCheckpoint(true)
     val perBucket = b.groupBy(col("__b")).agg(sum(col(weightCol)).as("__bw"))
     val rhs = perBucket.select(col("__b").as("__ob"), col("__bw").as("__obw"))
     val off = perBucket

@@ -3695,7 +3695,10 @@ object TrainingData {
     )
   ) { t =>
     val uc = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    // one events scan: the count-of-counts grid feeds both the totals
+    // and the CDF helper
     val cc = uc.groupBy(col("c")).agg(count(lit(1)).as("mu"))
+      .localCheckpoint(true)
     val tot = cc.agg(sum(col("mu")).as("n_total"),
       sum(col("c") * col("mu")).as("ev_total"))
     Ranks.suffixSumDistinct(cc, "c", "mu", floor(col("c") / lit(1024L)), "gt")
@@ -3915,11 +3918,14 @@ object TrainingData {
         "GROUP BY r, f, m"
     )
   ) { t =>
+    // checkpoint-for-the-call: four consumers (three tercile maps + the
+    // final join) would otherwise each re-aggregate orders from scratch
     val cust = t.orders.groupBy(col("o_custkey")).agg(
       max(col("o_orderdate")).as("last_dt"),
       count(lit(1)).as("freq"),
       sum(col("o_totalprice").cast(Dec)).as("mon"))
       .withColumn("mq", floor(col("mon")).cast("long"))
+      .localCheckpoint(true)
     val tot = cust.agg(count(lit(1)).as("n"))
     def tercileMap(valueCol: String, bucket: org.apache.spark.sql.Column,
         out: String): DataFrame =
@@ -4226,7 +4232,9 @@ object TrainingData {
   ) { t =>
     val tc = t.documents
       .select(graft.functions.Text.tokenCount("text").as("n_toks"))
+    // one documents scan: the token-count grid feeds totals + CDF
     val cc = tc.groupBy(col("n_toks")).agg(count(lit(1)).as("mu"))
+      .localCheckpoint(true)
     val tot = cc.agg(sum(col("mu")).as("n_total"),
       sum(col("n_toks") * col("mu")).as("tok_total"))
     // strictly-greater CDF from the helper; strictly-smaller = N - gt - mu
@@ -4359,6 +4367,40 @@ object TrainingData {
       .filter(col("rel_dist") <= 0.3)
   }
 
+  /** Embedding near-dup on the IVF scale path
+    * ([[Dedup.embeddingNearDupsIvf]]): candidates only within coarse-
+    * quantizer cells, exact cosine rescoring — completes the embedding
+    * family's scale story alongside x137/x138. The round-8 sf1 run
+    * measured both the exact x11 AND the fixed-parameter LSH x34 at
+    * exponent ~1.9 (LSH bucket size grows ∝ n at any fixed plane
+    * count); cell count k is the explicit knob that keeps candidate
+    * work linear (k ∝ corpus/target_cell — here the x39-contract k=16).
+    * Deterministic end to end → full hash oracle; recall vs the
+    * all-pairs x11 pinned in DedupLibrarySpec. */
+  val x143 = Q(
+    "x143_embedding_neardup_ivf",
+    Some {
+      def cos(a: String, an: String, b: String, bn: String) =
+        s"${duckDot(a, b)} / ($an * $bn)"
+      s"WITH $duckNorms, " +
+        "cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+        "FROM norms WHERE vec_id < 16), " +
+        "assigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
+        "SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell, " +
+        s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+        s"${cos("n.embedding", "n.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
+        "FROM norms n CROSS JOIN cents c) WHERE rn = 1) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cosine " +
+        "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        s"WHERE ${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= 0.4"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.embeddingNearDupsIvf(t.embeddings, "vec_id", "embedding",
+      threshold = 0.4, k = 16)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4369,6 +4411,7 @@ object TrainingData {
     x101, x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
-    x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142
+    x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
+    x143
   )
 }

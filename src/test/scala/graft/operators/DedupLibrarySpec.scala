@@ -523,6 +523,26 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("x143 IVF-blocked near-dup: precision 1.0, pinned recall vs all-pairs x11") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val exact = Dedup.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.4)
+      .select("vec_a", "vec_b", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Dedup.embeddingNearDupsIvf(e, "vec_id", "embedding",
+        threshold = 0.4, k = 16)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // exact rescoring within cells → every reported pair is a true pair
+    assert(ivf.subsetOf(exact.keySet))
+    val recall = ivf.size.toDouble / exact.size
+    info(f"x143 recall vs x11: $recall%.3f (${ivf.size}/${exact.size})")
+    // uniform random vectors + borderline 0.4-cosine pairs are the worst
+    // case for cell agreement; the floor is deliberately modest
+    assert(recall >= 0.2, f"IVF-blocked recall $recall%.3f below pinned floor")
+  }
+
   test("IVF twins x137/x138 agree with the exact x59/x89 baselines within pinned bounds") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val emb = Tables(spark, "/root/testdata/sf0.01").embeddings

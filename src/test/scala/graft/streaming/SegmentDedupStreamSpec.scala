@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.sources.Tables
+
+/** Multi-batch contract of the streaming segment-dedup gate: with docs
+  * arriving in doc_id order, summing per-batch stats per source equals
+  * the batch x139 report, and the registry ends with exactly the batch
+  * winners — ingest-time and audit-time dedup can never diverge. */
+class SegmentDedupStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("segment-dedup-stream-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stream stats across 3 ordered batches == batch x139; registry = winners") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("segdedup-stream").toString
+    val (registryPath, statsPath, ckpt) =
+      (s"$root/registry", s"$root/stats", s"$root/ckpt")
+    // empty schema-bearing seed partition
+    Seq.empty[(Long, Long)].toDF("h", "k")
+      .write.parquet(s"$registryPath/batch_id=-1")
+
+    val docs = Tables(spark, sf).documents
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val cut1 = docs(docs.length / 3)._1
+    val cut2 = docs(2 * docs.length / 3)._1
+
+    val src = MemoryStream[(Long, String, String)]
+    val q = SegmentDedupStream.startSegmentDedup(
+      src.toDF().toDF("doc_id", "source", "text"),
+      registryPath, statsPath, ckpt)
+    try {
+      // ascending doc_id ranges — the ordered-arrival contract
+      src.addData(docs.filter(_._1 <= cut1): _*)
+      q.processAllAvailable()
+      src.addData(docs.filter(d => d._1 > cut1 && d._1 <= cut2): _*)
+      q.processAllAvailable()
+      src.addData(docs.filter(_._1 > cut2): _*)
+      q.processAllAvailable()
+
+      val streamed = spark.read.parquet(statsPath)
+        .groupBy(col("source"))
+        .agg(sum("n_segments").as("n_segments"), sum("n_kept").as("n_kept"),
+          sum("tokens_before").as("tokens_before"),
+          sum("tokens_after").as("tokens_after"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val batch = SparkEntry.queries("x139_segment_dedup")(spark, sf)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+
+      // the registry holds exactly the batch winners (one row per
+      // distinct segment hash, at its global first occurrence)
+      val nWinners = spark.read.parquet(registryPath)
+        .filter(col("batch_id") >= 0).count()
+      val nKept = batch.values.map(_._2).sum
+      assert(nWinners === nKept)
+    } finally q.stop()
+  }
+}
