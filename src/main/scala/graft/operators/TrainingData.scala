@@ -4401,6 +4401,50 @@ object TrainingData {
       threshold = 0.4, k = 16)
   }
 
+  /** x63's kNN label vote fed by [[Dedup.ivfSearch]] lists instead of
+    * the exact all-pairs top-k — the drop-in-lists proof for the vote
+    * tail (the same demonstration x137/x138 make for the clustering and
+    * hubness tails): candidate generation ∝ corpus/k × nprobe, identical
+    * vote/argmax logic downstream, deterministic end to end → full hash
+    * oracle. At 100 TB this composition IS the labeling pipeline: lists
+    * from the IVF index, votes as one (query, label) count shuffle,
+    * winner by query-partitioned argmax. */
+  val x144 = Q(
+    "x144_knn_label_vote_ivf",
+    Some(
+      s"WITH ${duckIvfListCtes(k = 16, nprobe = 2, topK = 5)}, " +
+        "tk AS (SELECT query_id, neighbor_id FROM ivflists WHERE query_id % 10 = 0), " +
+        "votes AS (SELECT t.query_id, e.label AS cand, CAST(COUNT(*) AS BIGINT) AS n_votes " +
+        "FROM tk t JOIN embeddings e ON t.neighbor_id = e.vec_id " +
+        "GROUP BY t.query_id, e.label), " +
+        "win AS (SELECT query_id, cand, n_votes, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_votes DESC, cand ASC) AS rn " +
+        "FROM votes) " +
+        "SELECT w.query_id, q.label AS true_label, w.cand AS pred_label, " +
+        "w.n_votes, (w.cand = q.label) AS correct " +
+        "FROM win w JOIN embeddings q ON w.query_id = q.vec_id WHERE w.rn = 1"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val topk = Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
+      col("query_id") % 10 === 0, k = 16, nprobe = 2, topK = 5)
+    val labels = t.embeddings.select(col("vec_id"), col("label"))
+    val votes = topk
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("cand")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("cand"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("cand").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("cand").as("pred_label"),
+        col("n_votes"), (col("cand") === col("true_label")).as("correct"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4412,6 +4456,6 @@ object TrainingData {
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
-    x143
+    x143, x144
   )
 }
