@@ -62,7 +62,14 @@ object Bench {
       * per-query stderr line makes long runs observable. */
     def bench(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
         dir: String): Seq[(String, Double)] = {
-      val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+      val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
+        case None => 2
+        case Some(s) => s.toIntOption match {
+          case Some(n) if n >= 1 => n
+          case _ => sys.error(
+            s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$s'")
+        }
+      }
       val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
       if (warmup) qs.foreach { case (_, fn) => runOnce(fn, dir) }
       def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>

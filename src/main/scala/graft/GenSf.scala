@@ -77,9 +77,16 @@ object GenSf {
     // fixed dimensions: copy through unchanged
     Seq("region", "nation").foreach(n => write(read(n), n))
 
+    // events goes through Tables' type dispatch: testdata has shipped
+    // `ts` as both TIMESTAMP(NANOS) (vectorized reader rejects without
+    // the nanosAsLong conf) and TIMESTAMP(MICROS, NTZ) — a raw
+    // spark.read.parquet would fail at replicate time on a NANOS round.
+    // The replica is written back as plain TIMESTAMP, which the same
+    // dispatch passes through on re-read.
     val (customer, supplier, part, orders, lineitem, events, documents,
       embeddings) = (read("customer"), read("supplier"), read("part"),
-      read("orders"), read("lineitem"), read("events"), read("documents"),
+      read("orders"), read("lineitem"),
+      graft.sources.Tables(spark, baseDir).events, read("documents"),
       read("embeddings"))
 
     val custS = stride(customer, "c_custkey")

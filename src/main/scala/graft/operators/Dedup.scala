@@ -332,7 +332,7 @@ object Dedup {
 
   /** Vectors with L2 norm attached; registers `float_vec_dot` in the
     * session so each public entry point works standalone. */
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  private[graft] def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
     df.select(col(idCol), col(vecCol).as("embedding"),
       sqrt(expr(s"float_vec_dot($vecCol, $vecCol)")).as("nrm"))
@@ -496,7 +496,7 @@ object Dedup {
 
   /** Nearest-centroid assignment of every normed vector: tiny centroid
     * frame broadcast, one corpus scan. */
-  private def assignToCells(norms: DataFrame, cents: DataFrame, idCol: String): DataFrame =
+  private[graft] def assignToCells(norms: DataFrame, cents: DataFrame, idCol: String): DataFrame =
     norms
       .crossJoin(broadcast(cents))
       .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
@@ -561,6 +561,16 @@ object Dedup {
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
       lloydIters: Int = 0): DataFrame =
     ivfIndex(df, idCol, vecCol, k, lloydIters)._2
+
+  /** The centroid frame alone (`cent_id`, `ce`, `cn`) — for callers
+    * that fit the coarse quantizer once (on a seed corpus) and reuse it
+    * across later data, e.g. the ingest-time near-dup gate
+    * ([[graft.streaming.EmbeddingDedupStream]]): a fixed centroid set
+    * is what makes incremental cell assignment consistent with the
+    * batch index over the same vectors. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      lloydIters: Int = 0): DataFrame =
+    ivfIndex(df, idCol, vecCol, k, lloydIters)._1
 
   /** IVF probe search: route each query to its `nprobe` nearest cells,
     * score exactly only within those cells — the search side of the
@@ -1174,14 +1184,20 @@ object Dedup {
     * share SURFACE text, but a translated, paraphrased or re-templated
     * copy can carry near-identical embeddings with little n-gram
     * overlap, and a split that separates such a pair leaks meaning
-    * rather than text. Pairs come from the bucketed (banded-LSH) cosine
-    * path — never all-pairs — then the same guarded cluster → root-hash
-    * assignment keeps every semantic family in one split. */
+    * rather than text. Pairs come from the IVF-cell cosine path
+    * ([[embeddingNearDupsIvf]]) — never all-pairs, and never the
+    * fixed-plane LSH band join whose buckets grow ∝ n at any fixed
+    * plane count (the round-8 sf1 run measured that shape at exponent
+    * ~1.9; the cell count `k` is the explicit knob that keeps candidate
+    * work linear, k ∝ corpus/target_cell) — then the same guarded
+    * cluster → root-hash assignment keeps every semantic family in one
+    * split. Fully deterministic (seed centroids, id tiebreaks), so the
+    * whole split carries a cross-engine hash oracle (x64). */
   def semanticSafeSplit(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, k: Int = 16): DataFrame = {
     graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
-    val pairs = embeddingNearDupsBucketed(df, idCol, vecCol, threshold)
+    val pairs = embeddingNearDupsIvf(df, idCol, vecCol, threshold, k)
     val roots = connectedComponents(pairs, "vec_a", "vec_b")
     val withRoot = df
       .join(roots, df(idCol) === roots("node"), "left")

@@ -47,6 +47,43 @@ object TrainingData {
     s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ' '))) / ${w.length + 1}"
   private val duckWordCount: String => String = sparkWordCount // same SQL dialect here
 
+  /** Exact geometric length-band thresholds for fuzzy-dedup blocking
+    * (x51's prune, x142's block key): band(len) = #{b : T_b ≤ len} − 1
+    * with T_b = ⌈(10/7)^b⌉ computed in exact BigInt arithmetic. This is
+    * the SAME partition of the integers as ⌊ln(len)/ln(10/7)⌋ (for
+    * integer len, len ≥ (10/7)^b ⟺ len ≥ ⌈(10/7)^b⌉) but with no libm
+    * call anywhere — ⌊ln/ln⌋ is only ulp-accurate and a length landing
+    * within an ulp of a band boundary could band differently across
+    * engines, flipping a join key the hash oracle depends on. Char
+    * lengths are ints, so the table stops at 2³¹ (61 entries). */
+  private[operators] val lengthBandThresholds: Seq[Long] =
+    Iterator.from(0)
+      .map { b =>
+        val den = BigInt(7).pow(b)
+        (BigInt(10).pow(b) + den - 1) / den // ceil(10^b / 7^b)
+      }
+      .takeWhile(_ <= BigInt(Int.MaxValue)).map(_.toLong).toSeq
+
+  /** Spark side of the band: count thresholds ≤ len as a 61-term
+    * CASE-WHEN sum — pure integer comparisons inside whole-stage
+    * codegen (a higher-order `filter` over a literal array would read
+    * the same but its lambda can't capture the outer length column —
+    * Spark binds lambda bodies against the array element only). */
+  private def lengthBandCol(len: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val l = greatest(len, lit(1))
+    lengthBandThresholds
+      .map(t => when(l >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+      .-(lit(1L))
+      .cast("long")
+  }
+
+  /** DuckDB side of the band over a length expression `e`. */
+  private def duckLengthBand(e: String): String =
+    s"CAST(len(list_filter([${lengthBandThresholds.mkString(", ")}], " +
+      s"t -> t <= greatest($e, 1))) - 1 AS BIGINT)"
+
   // ---- dedup -----------------------------------------------------------
 
   /** Exact dedup: hash-groupBy on content; canonical row = min doc_id.
@@ -1213,15 +1250,15 @@ object TrainingData {
     }
   ) { t =>
     // geometric length band: base 1/0.7 ⇒ any pair that can pass the
-    // 0.3 relative bound spans ≤ 1 band (plan-side prune only — the
-    // float log never reaches the output, so oracle parity is untouched)
-    val bandOf = floor(log(greatest(length(col("text")), lit(1)).cast("double"))
-      / lit(math.log(1.0 / 0.7)))
+    // 0.3 relative bound spans ≤ 1 band (plan-side prune only, and
+    // computed from exact integer thresholds — see lengthBandThresholds
+    // — so the ≤1-band-span guarantee is rigorous, not ulp-dependent)
+    val bandOf = lengthBandCol(length(col("text")))
     val blocked = t.documents.select(
       col("doc_id"), col("text"),
       array_join(slice(split(col("text"), " "), 1, 2), " ").as("blk"),
       length(col("text")).as("nc"),
-      bandOf.cast("long").as("bd"))
+      bandOf.as("bd"))
     val a = blocked.select(col("doc_id").as("doc_a"), col("text").as("ta"),
       col("blk"), col("nc").as("na"), col("bd"))
     val b = blocked.select(col("doc_id").as("doc_b"), col("text").as("tb"),
@@ -1363,28 +1400,34 @@ object TrainingData {
 
   /** Semantic leakage-safe split (x64) — x52's embedding sibling:
     * paraphrased or re-templated copies share embeddings, not n-grams,
-    * so the split key is the COSINE near-dup cluster root (banded-LSH
-    * candidates → exact cosine ≥ 0.4 → guarded connected components);
-    * singletons key on their own id, and the same portable 98/1/1 hash
-    * rule assigns splits — a semantic family can never straddle
-    * train/test. */
+    * so the split key is the COSINE near-dup cluster root (IVF-cell
+    * candidates via [[Dedup.embeddingNearDupsIvf]] → exact cosine ≥ 0.4
+    * → guarded connected components); singletons key on their own id,
+    * and the same portable 98/1/1 hash rule assigns splits — a semantic
+    * family can never straddle train/test. Candidate generation
+    * deliberately matches x143, NOT the fixed-plane LSH band join:
+    * split assignment is a correctness-critical output, and the round-8
+    * sf1 run measured the fixed-plane shape at exponent ~1.9 (bucket
+    * size ∝ n at any fixed plane count) while the cell count k stays an
+    * explicit linear-work knob. The oracle replays the deterministic
+    * seed-centroid cells (the x143 tactic) into x52's recursive-CTE
+    * closure + portable-hash split. */
   val x64 = Q(
     "x64_semantic_safe_split",
     Some {
-      val bandKeys = (0 until 4).map { k =>
-        val bits = (0 until 4).map { p =>
-          s"(CASE WHEN ${duckLshDot(k * 4 + p)} >= 0 THEN ${1 << p} ELSE 0 END)"
-        }.mkString(" + ")
-        s"SELECT vec_id, $k AS band, CAST($bits AS BIGINT) AS band_key FROM embeddings"
-      }.mkString(" UNION ALL ")
+      def cos(a: String, an: String, b: String, bn: String) =
+        s"${duckDot(a, b)} / ($an * $bn)"
       s"WITH RECURSIVE $duckNorms, " +
-        s"keys AS ($bandKeys), " +
-        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
-        "FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key " +
-        "AND a.vec_id < b.vec_id), " +
-        "prs AS (SELECT vec_a, vec_b FROM cand " +
-        "JOIN norms a ON vec_a = a.vec_id JOIN norms b ON vec_b = b.vec_id " +
-        s"WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4), " +
+        "cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+        "FROM norms WHERE vec_id < 16), " +
+        "assigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
+        "SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell, " +
+        s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+        s"${cos("n.embedding", "n.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
+        "FROM norms n CROSS JOIN cents c) WHERE rn = 1), " +
+        "prs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        s"WHERE ${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= 0.4), " +
         "edges AS (SELECT vec_a AS u, vec_b AS v FROM prs " +
         "UNION SELECT vec_b, vec_a FROM prs), " +
         "reach(u, v) AS (SELECT u, v FROM edges " +
@@ -1399,7 +1442,8 @@ object TrainingData {
     }
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    Dedup.semanticSafeSplit(t.embeddings, "vec_id", "embedding", threshold = 0.4)
+    Dedup.semanticSafeSplit(t.embeddings, "vec_id", "embedding",
+      threshold = 0.4, k = 16)
   }
 
   /** kNN label vote (x63) — semi-supervised auto-labeling over the
@@ -4328,7 +4372,7 @@ object TrainingData {
     Some {
       "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
         "b AS (SELECT doc_id, text, array_to_string(w[1:2], ' ') AS blk, " +
-        "CAST(floor(ln(greatest(len(text), 1)) / ln(1.0 / 0.7)) AS BIGINT) AS bd, " +
+        s"${duckLengthBand("len(text)")} AS bd, " +
         "len(text) AS nc FROM d), " +
         "sz AS (SELECT blk, bd, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY blk, bd), " +
         "ok AS (SELECT b.* FROM b JOIN sz USING (blk, bd) WHERE sz.n <= 32) " +
@@ -4340,13 +4384,14 @@ object TrainingData {
         "WHERE CAST(levenshtein(a.text, b2.text) AS DOUBLE) / greatest(a.nc, b2.nc) <= 0.3"
     }
   ) { t =>
-    val bandOf = floor(log(greatest(length(col("text")), lit(1)).cast("double"))
-      / lit(math.log(1.0 / 0.7)))
+    // band from exact integer thresholds (lengthBandThresholds): bd is a
+    // JOIN KEY here on both engines, so it must never depend on libm
+    val bandOf = lengthBandCol(length(col("text")))
     val blocked = t.documents.select(
       col("doc_id"), col("text"),
       array_join(slice(split(col("text"), " "), 1, 2), " ").as("blk"),
       length(col("text")).as("nc"),
-      bandOf.cast("long").as("bd"))
+      bandOf.as("bd"))
     val sz = blocked.groupBy(col("blk"), col("bd")).agg(count(lit(1)).as("n"))
     val ok = blocked.join(sz, Seq("blk", "bd")).filter(col("n") <= 32)
     val a = ok.select(col("doc_id").as("doc_a"), col("text").as("ta"),

@@ -44,7 +44,9 @@ object SegmentDedupStream {
 
   /** Start the gate over a streaming frame carrying
     * (doc_id, source, text). Per-source survival stats (the x139 report
-    * schema plus batch_id) land under `statsPath/batch_id=<id>`; kept
+    * schema plus batch_id; `keep_ratio` is per-batch — re-derive the
+    * corpus ratio from summed token columns, ratios don't add) land
+    * under `statsPath/batch_id=<id>`; kept
     * segment hashes under `registryPath/batch_id=<id>` (seed any
     * pre-existing corpus under batch_id=-1 with columns (h, k)). */
   def startSegmentDedup(
@@ -75,7 +77,9 @@ object SegmentDedupStream {
           .agg(count(lit(1)).as("n_segments"),
             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
             sum(col("n_toks")).as("tokens_before"),
-            sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("tokens_after"))
+            sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("tokens_after"),
+            (sum(when(col("kept"), col("n_toks")).otherwise(0L)).cast("double")
+              / sum(col("n_toks"))).as("keep_ratio"))
           .write.mode("overwrite").parquet(s"$statsPath/batch_id=$batchId")
         judged.filter(col("kept")).select(col("h"), col("k"))
           .write.mode("overwrite").parquet(s"$registryPath/batch_id=$batchId")

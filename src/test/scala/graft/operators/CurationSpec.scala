@@ -269,15 +269,17 @@ class CurationSpec extends AnyFunSuite {
       .select("vec_a", "vec_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
-    // exact all-pairs near-dups ⊆ LSH-clustered families only up to LSH
-    // recall — but every pair the BUCKETED path finds must agree; check
-    // the stronger transitive guarantee on shared keys instead: same
-    // split_key ⇒ same split_name, and bucketed pairs share split_key
-    val bucketed = Dedup.embeddingNearDupsBucketed(emb, "vec_id", "embedding", 0.4)
+    // exact all-pairs near-dups ⊆ clustered families only up to the
+    // candidate generator's recall — but every pair the IVF-CELL path
+    // (x64's round-9 candidate generator) finds must agree; check the
+    // stronger transitive guarantee on shared keys instead: same
+    // split_key ⇒ same split_name, and cell-blocked pairs share split_key
+    val cellPairs = Dedup.embeddingNearDupsIvf(emb, "vec_id", "embedding",
+        threshold = 0.4, k = 16)
       .select("vec_a", "vec_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(bucketed.nonEmpty)
-    bucketed.foreach { case (a, b) =>
+    assert(cellPairs.nonEmpty)
+    cellPairs.foreach { case (a, b) =>
       assert(split(a)._1 === split(b)._1, s"pair ($a,$b) split across keys")
       assert(split(a)._2 === split(b)._2, s"pair ($a,$b) split across sets")
     }

@@ -523,6 +523,29 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("x64 semantic-safe split: IVF near-dup pairs never straddle a split") {
+    // the split-invariant the operator exists for, on its round-9
+    // candidate generator: every cosine-near pair surfaced by the
+    // IVF-cell path (the exact pairs that seed x64's clusters) must land
+    // in one split — and the split frame covers every vector exactly once
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val e = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val split = Dedup.semanticSafeSplit(e, "vec_id", "embedding",
+      threshold = 0.4, k = 16)
+    assert(split.count() === e.count())
+    val byId = split.select(col("vec_id"), col("split_name"))
+    val pairs = Dedup.embeddingNearDupsIvf(e, "vec_id", "embedding",
+        threshold = 0.4, k = 16)
+      .select("vec_a", "vec_b")
+    assert(pairs.count() > 0)
+    val crossing = pairs
+      .join(byId.select(col("vec_id").as("vec_a"), col("split_name").as("sa")), "vec_a")
+      .join(byId.select(col("vec_id").as("vec_b"), col("split_name").as("sb")), "vec_b")
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(crossing === 0L)
+  }
+
   test("x143 IVF-blocked near-dup: precision 1.0, pinned recall vs all-pairs x11") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings

@@ -18,6 +18,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *              GRAFT_S3_ACCESS_KEY=… GRAFT_S3_SECRET_KEY=… sbt test
   *              (hadoop-aws + aws-sdk jars must be on the classpath)
   *
+  * `docker-compose.backends.yml` at the repo root starts both services
+  * in this shape (MinIO + Postgres + bucket init) with the full
+  * invocation documented in its header — the CI profile for these
+  * smokes on any host with Docker.
+  *
   * Both paths exercise EXACTLY the code the stub suites exercise —
   * `Sinks.writeJdbcVarchar`/`readJdbc` and `Sinks.writeJson`/`readJson`
   * over an `s3a://` URI — only the URL/scheme wiring differs, which is

@@ -73,6 +73,14 @@ class SegmentDedupStreamSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
       assert(streamed === batch)
 
+      // per-batch keep_ratio is self-consistent (it's the batch's own
+      // ratio, not the corpus one — ratios don't sum across batches)
+      val badRatios = spark.read.parquet(statsPath)
+        .filter(abs(col("keep_ratio")
+          - col("tokens_after").cast("double") / col("tokens_before")) > 1e-12)
+        .count()
+      assert(badRatios === 0L)
+
       // the registry holds exactly the batch winners (one row per
       // distinct segment hash, at its global first occurrence)
       val nWinners = spark.read.parquet(registryPath)
