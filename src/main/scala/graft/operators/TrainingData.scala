@@ -4490,6 +4490,86 @@ object TrainingData {
         col("n_votes"), (col("cand") === col("true_label")).as("correct"))
   }
 
+  /** x40's benchmark-decontamination gate behind a [[PortableBloom]] filter —
+    * the membership path for when the benchmark gram set itself outgrows
+    * a raw broadcast (multi-benchmark suites reach 10⁹ grams ≈ 8 GB of
+    * raw hashes; the filter is a FIXED-size bit array). Zero false
+    * negatives by construction — every truly contaminated doc that x40
+    * flags is flagged here (BloomSpec pins the superset relation) — and
+    * the false-positive side is deterministic integer arithmetic, so
+    * both engines flag the IDENTICAL doc set and the full report stays
+    * hash-green. At 100 TB: filter build is one explode + a ≤1041-key
+    * bit_or shuffle on the eval-sized side; the corpus pays one explode
+    * + one broadcast probe join + one per-doc aggregate — same scan
+    * count as x40, with the broadcast payload corpus-size-INVARIANT. */
+  val x145 = Q(
+    "x145_bloom_decontamination",
+    Some {
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        s"g AS (SELECT DISTINCT doc_id, ${duckPolyHash("gm")} AS h FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), " +
+        "i -> array_to_string(w[i:i+7], ' '))) AS gm FROM w) t), " +
+        "bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0), " +
+        "train AS (SELECT doc_id, h FROM g WHERE doc_id % 97 <> 0), " +
+        s"${PortableBloom.duckCtes()} " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+        "CAST(SUM(hit) AS BIGINT) AS n_bloom_hits, " +
+        "CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS bloom_hit_frac, " +
+        "SUM(hit) > 0 AS bloom_contaminated " +
+        "FROM th GROUP BY doc_id"
+    }
+  ) { t =>
+    val grams = Corpus.gramHashes(t.documents, "doc_id", "text")
+    val bench = grams.filter(col("doc_id") % 97 === 0).select(col("h")).distinct()
+    val bloom = PortableBloom.build(bench, "h")
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
+    PortableBloom.hits(train, Seq("doc_id", "h"), "h", bloom)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("bloom_hit")).cast("long").as("n_bloom_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_bloom_hits"),
+        (col("n_bloom_hits").cast("double") / col("n_grams")).as("bloom_hit_frac"),
+        (col("n_bloom_hits") > 0).as("bloom_contaminated"))
+  }
+
+  /** x143 with the cell count chosen by the measured k-scaling law
+    * instead of a constant: k = max(16, ⌊√n⌋). SCALE.md's IVF analysis
+    * says cell size grows ∝ n/k, so fixed-k probe work creeps
+    * super-linear as the corpus grows; k ∝ √n holds EXPECTED CELL SIZE
+    * ∝ √n and total candidate work ∝ n·√n/k = n — this query is that
+    * policy shipped as a default rather than left as a tuning note. The
+    * corpus count is one cheap driver-side action; ⌊√n⌋ is safe as a
+    * cross-engine key because IEEE sqrt is correctly rounded (unlike ln
+    * — see lengthBandThresholds) and a non-square integer's true root
+    * is ≥ 1/(2√n) away from an integer, ~10⁶ ulps at these scales. */
+  val x146 = Q(
+    "x146_embedding_neardup_ivf_auto",
+    Some {
+      def cos(a: String, an: String, b: String, bn: String) =
+        s"${duckDot(a, b)} / ($an * $bn)"
+      s"WITH $duckNorms, " +
+        "kk AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k " +
+        "FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+        "FROM norms WHERE vec_id < (SELECT k FROM kk)), " +
+        "assigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
+        "SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell, " +
+        s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+        s"${cos("n.embedding", "n.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
+        "FROM norms n CROSS JOIN cents c) WHERE rn = 1) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cosine " +
+        "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        s"WHERE ${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= 0.4"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val n = t.embeddings.count()
+    val k = math.max(16, math.sqrt(n.toDouble).toInt)
+    Dedup.embeddingNearDupsIvf(t.embeddings, "vec_id", "embedding",
+      threshold = 0.4, k = k)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4501,6 +4581,6 @@ object TrainingData {
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
-    x143, x144
+    x143, x144, x145, x146
   )
 }
