@@ -80,6 +80,19 @@ object KScale {
       println(s"""{"k":$k,"op":"x143_pairs","sec":$tPair,"rows":${ivfPairs._2},""" +
         s""""recall":${pairRecall.map(_.toString).getOrElse("null")}}""")
 
+      val (ivfPairs2, tPair2) = timed {
+        val p = Dedup.embeddingNearDupsIvf(emb, "vec_id", "embedding", 0.4, k,
+          nassign = 2)
+          .select("vec_a", "vec_b").localCheckpoint(true)
+        (p, p.count())
+      }
+      val pairRecall2 = exact.map { case (ep, nEp, _, _, _, _) =>
+        if (nEp == 0) 1.0
+        else ivfPairs2._1.join(ep, Seq("vec_a", "vec_b"), "left_semi").count().toDouble / nEp
+      }
+      println(s"""{"k":$k,"op":"x143_pairs_nassign2","sec":$tPair2,"rows":${ivfPairs2._2},""" +
+        s""""recall":${pairRecall2.map(_.toString).getOrElse("null")}}""")
+
       val (lists5, tLists5) = timed {
         val l = Dedup.ivfSearch(emb, "vec_id", "embedding", lit(true),
           k = k, nprobe = 2, topK = 5)

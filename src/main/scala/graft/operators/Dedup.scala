@@ -884,21 +884,49 @@ object Dedup {
     * candidates at any fixed p, see x34's sf1 measurement), the cell
     * count k is an explicit knob: pick k ∝ n/target_cell_size and
     * candidate work stays LINEAR in the corpus at a fixed recall
-    * profile. Precision is 1.0 (exact rescoring); recall vs the
-    * all-pairs baseline is pinned in DedupLibrarySpec. */
+    * profile. The flat centroid ASSIGNMENT pays n·k cosines, so total
+    * cost is a·n·k + b·n²/k, minimized at k ∝ √n — the measured
+    * U-shape and the honest Θ(n^1.5) law are in SCALE.md's round-9
+    * k-scaling table (the cut past that is a two-level quantizer).
+    * Precision is 1.0 (exact rescoring); recall vs the all-pairs
+    * baseline is pinned in DedupLibrarySpec, and `nassign = 2` is the
+    * measured recall lever (0.20 → 0.53 at sf0.1, k=16). */
   def embeddingNearDupsIvf(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      k: Int = 16): DataFrame = {
-    val assigned = ivfAssign(df, idCol, vecCol, k)
+      k: Int = 16, nassign: Int = 1): DataFrame = {
+    val assigned =
+      if (nassign == 1) ivfAssign(df, idCol, vecCol, k)
+      else {
+        // multi-assignment recall lever: each vector lands in its
+        // `nassign` nearest cells, so a near-dup pair is blocked
+        // together when ANY of the nassign×nassign cell combinations
+        // coincide — candidate work scales ×nassign² in exchange (the
+        // KScale-measured trade; deterministic, so still oracle-able
+        // with `rn <= nassign` in the assignment CTE)
+        import org.apache.spark.sql.expressions.Window
+        val (cents, _) = ivfIndex(df, idCol, vecCol, k, lloydIters = 0)
+        withNorm(df, idCol, vecCol)
+          .crossJoin(broadcast(cents))
+          .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
+            (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cent_id"))))
+          .filter(col("rn") <= nassign)
+          .select(col(idCol), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      }
     val a = assigned.select(col("cell"), col(idCol).as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col(idCol).as("vec_b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("cell"))
+    val scored = a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // pairs sharing >1 cell appear once per shared cell with the
+    // identical cosine floats — distinct on the small post-filter
+    // result, never on the candidate stream
+    if (nassign == 1) scored else scored.distinct()
   }
 
   /** MinHash banded candidate pairs with exact verification — the scale

@@ -4570,6 +4570,41 @@ object TrainingData {
       threshold = 0.4, k = k)
   }
 
+  /** x143 with multi-assignment (nassign=2): every vector is blocked
+    * into its TWO nearest cells, so a near-dup pair is candidate
+    * whenever any of the 2×2 cell combinations coincide. KScale
+    * measured the trade at sf0.1: pair recall 0.20 → 0.53 at k=16
+    * (0.15 → 0.35 at k=50) for ≤4× candidate work — the standard
+    * recall lever when the corpus's near-dup pairs straddle cell
+    * boundaries (borderline-threshold pairs on near-uniform vectors are
+    * the coarse quantizer's worst case). Still fully deterministic:
+    * the oracle replays the same assignment with `rn <= 2` and a final
+    * DISTINCT (a pair sharing both cells scores the identical cosine
+    * floats twice). */
+  val x147 = Q(
+    "x147_embedding_neardup_ivf_ma",
+    Some {
+      def cos(a: String, an: String, b: String, bn: String) =
+        s"${duckDot(a, b)} / ($an * $bn)"
+      s"WITH $duckNorms, " +
+        "cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+        "FROM norms WHERE vec_id < 16), " +
+        "assigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
+        "SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell, " +
+        s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+        s"${cos("n.embedding", "n.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
+        "FROM norms n CROSS JOIN cents c) WHERE rn <= 2) " +
+        "SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cosine " +
+        "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        s"WHERE ${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= 0.4"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.embeddingNearDupsIvf(t.embeddings, "vec_id", "embedding",
+      threshold = 0.4, k = 16, nassign = 2)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4581,6 +4616,6 @@ object TrainingData {
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
-    x143, x144, x145, x146
+    x143, x144, x145, x146, x147
   )
 }

@@ -566,6 +566,32 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(recall >= 0.2, f"IVF-blocked recall $recall%.3f below pinned floor")
   }
 
+  test("x147 multi-assign near-dup: precision 1.0, recall >= and superset of single-assign") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val exact = Dedup.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.4)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Dedup.embeddingNearDupsIvf(e, "vec_id", "embedding",
+        threshold = 0.4, k = 16)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Dedup.embeddingNearDupsIvf(e, "vec_id", "embedding",
+        threshold = 0.4, k = 16, nassign = 2)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // still exact rescoring → no false pairs; each pair reported once
+    assert(multi.subsetOf(exact))
+    val multiRows = Dedup.embeddingNearDupsIvf(e, "vec_id", "embedding",
+        threshold = 0.4, k = 16, nassign = 2).count()
+    assert(multiRows === multi.size.toLong, "a pair sharing both cells was duplicated")
+    // a pair blocked together under single-assign shares its nearest
+    // cell, which both members also carry under nassign=2
+    assert(single.subsetOf(multi))
+    info(f"x147 recall vs x11: ${multi.size.toDouble / exact.size}%.3f " +
+      f"(single-assign ${single.size.toDouble / exact.size}%.3f)")
+  }
+
   test("IVF twins x137/x138 agree with the exact x59/x89 baselines within pinned bounds") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
