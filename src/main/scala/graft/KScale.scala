@@ -93,6 +93,21 @@ object KScale {
       println(s"""{"k":$k,"op":"x143_pairs_nassign2","sec":$tPair2,"rows":${ivfPairs2._2},""" +
         s""""recall":${pairRecall2.map(_.toString).getOrElse("null")}}""")
 
+      val kc = math.max(2, math.sqrt(k.toDouble).round.toInt)
+      val (ivfPairs2L, tPair2L) = timed {
+        val p = Dedup.embeddingNearDupsIvfTwoLevel(emb, "vec_id", "embedding",
+          0.4, k, kc)
+          .select("vec_a", "vec_b").localCheckpoint(true)
+        (p, p.count())
+      }
+      val pairRecall2L = exact.map { case (ep, nEp, _, _, _, _) =>
+        if (nEp == 0) 1.0
+        else ivfPairs2L._1.join(ep, Seq("vec_a", "vec_b"), "left_semi").count().toDouble / nEp
+      }
+      println(s"""{"k":$k,"kc":$kc,"op":"x148_pairs_2level","sec":$tPair2L,""" +
+        s""""rows":${ivfPairs2L._2},""" +
+        s""""recall":${pairRecall2L.map(_.toString).getOrElse("null")}}""")
+
       val (lists5, tLists5) = timed {
         val l = Dedup.ivfSearch(emb, "vec_id", "embedding", lit(true),
           k = k, nprobe = 2, topK = 5)

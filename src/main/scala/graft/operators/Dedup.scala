@@ -929,6 +929,72 @@ object Dedup {
     if (nassign == 1) scored else scored.distinct()
   }
 
+  /** Two-level (coarse → fine) deterministic IVF assignment — the cut
+    * past SCALE.md's measured a·n·k + b·n²/k law: flat assignment pays
+    * n·k centroid cosines, which at the law's optimum k ∝ √n makes the
+    * WHOLE operator Θ(n^1.5); routing each vector through `kc` coarse
+    * cells and then only the fine centroids under the chosen coarse
+    * parent pays n·(kc + k/kc) — minimized at kc ∝ √k, i.e. n·2√k.
+    * Both levels use the same deterministic seed-centroid rule (first
+    * `kc`/`k` vectors by id) and id tiebreaks, so the full route is
+    * bit-reproducible and the DuckDB oracle replays it. Routing is
+    * approximate at the fine level (the true nearest fine centroid may
+    * live under a different coarse parent) — the recall cost is
+    * measured in KScale/SCALE.md, not assumed. Vectors route only to
+    * coarse cells that own at least one fine centroid (a childless
+    * coarse would otherwise silently drop its vectors). */
+  def ivfAssignTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, kc: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norms = withNorm(df, idCol, vecCol)
+    val fine = norms.filter(col(idCol) < k).select(
+      col(idCol).as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val coarse = norms.filter(col(idCol) < kc).select(
+      col(idCol).as("co_id"), col("embedding").as("coe"), col("nrm").as("con"))
+    val fineParent = fine.crossJoin(broadcast(coarse))
+      .select(col("cent_id"), col("ce"), col("cn"), col("co_id"),
+        (expr("float_vec_dot(ce, coe)") / (col("cn") * col("con"))).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cent_id")).orderBy(col("ccos").desc, col("co_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("ce"), col("cn"), col("co_id").as("parent"))
+    val activeCoarse = coarse.join(
+      fineParent.select(col("parent")).distinct(),
+      col("co_id") === col("parent"), "left_semi")
+    val vCoarse = norms.crossJoin(broadcast(activeCoarse))
+      .select(col(idCol), col("embedding"), col("nrm"), col("co_id"),
+        (expr("float_vec_dot(embedding, coe)") / (col("nrm") * col("con"))).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("co_id"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("embedding"), col("nrm"), col("co_id").as("parent"))
+    vCoarse.join(broadcast(fineParent), Seq("parent"))
+      .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
+        (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("fcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("fcos").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+  }
+
+  /** [[embeddingNearDupsIvf]] with candidate cells from the two-level
+    * router ([[ivfAssignTwoLevel]]) — same exact within-cell rescoring
+    * tail, assignment cost n·(kc + k/kc) instead of n·k. */
+  def embeddingNearDupsIvfTwoLevel(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      k: Int, kc: Int): DataFrame = {
+    val assigned = ivfAssignTwoLevel(df, idCol, vecCol, k, kc)
+    val a = assigned.select(col("cell"), col(idCol).as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col(idCol).as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** MinHash banded candidate pairs with exact verification — the scale
     * path [[ngramJaccardPairs]] is the correctness baseline for:
     * signatures ([[minhashSignatures]]) → explode the 4 band keys →

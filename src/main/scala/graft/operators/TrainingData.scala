@@ -4605,6 +4605,53 @@ object TrainingData {
       threshold = 0.4, k = 16, nassign = 2)
   }
 
+  /** x143's candidate generation behind the TWO-LEVEL router
+    * ([[Dedup.ivfAssignTwoLevel]]): coarse→fine centroid routing cuts
+    * the flat n·k assignment term — the binding cost at SCALE.md's
+    * measured k ∝ √n optimum — to n·(kc + k/kc). k=64/kc=8 here (the
+    * shape that fits every driver SF); the KScale-measured cost/recall
+    * vs flat assignment is in SCALE.md's round-9 table. Routing is
+    * deterministic at both levels (seed centroids, id tiebreaks), so
+    * the oracle replays the full coarse→fine route and the output is
+    * hash-green. */
+  val x148 = Q(
+    "x148_embedding_neardup_ivf2",
+    Some {
+      def cos(a: String, an: String, b: String, bn: String) =
+        s"${duckDot(a, b)} / ($an * $bn)"
+      s"WITH $duckNorms, " +
+        "fcents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+        "FROM norms WHERE vec_id < 64), " +
+        "ccents AS (SELECT vec_id AS co_id, embedding AS coe, nrm AS con " +
+        "FROM norms WHERE vec_id < 8), " +
+        "fparent AS (SELECT cent_id, ce, cn, co_id AS parent FROM (" +
+        "SELECT f.cent_id, f.ce, f.cn, c.co_id, " +
+        s"row_number() OVER (PARTITION BY f.cent_id ORDER BY " +
+        s"${cos("f.ce", "f.cn", "c.coe", "c.con")} DESC, c.co_id) AS rn " +
+        "FROM fcents f CROSS JOIN ccents c) WHERE rn = 1), " +
+        "acoarse AS (SELECT co_id, coe, con FROM ccents " +
+        "WHERE co_id IN (SELECT DISTINCT parent FROM fparent)), " +
+        "vcoarse AS (SELECT vec_id, embedding, nrm, co_id AS parent FROM (" +
+        "SELECT n.vec_id, n.embedding, n.nrm, c.co_id, " +
+        s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+        s"${cos("n.embedding", "n.nrm", "c.coe", "c.con")} DESC, c.co_id) AS rn " +
+        "FROM norms n CROSS JOIN acoarse c) WHERE rn = 1), " +
+        "assigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
+        "SELECT v.vec_id, v.embedding, v.nrm, f.cent_id AS cell, " +
+        s"row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+        s"${cos("v.embedding", "v.nrm", "f.ce", "f.cn")} DESC, f.cent_id) AS rn " +
+        "FROM vcoarse v JOIN fparent f ON v.parent = f.parent) WHERE rn = 1) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cosine " +
+        "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        s"WHERE ${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= 0.4"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.embeddingNearDupsIvfTwoLevel(t.embeddings, "vec_id", "embedding",
+      threshold = 0.4, k = 64, kc = 8)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4616,6 +4663,6 @@ object TrainingData {
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
-    x143, x144, x145, x146, x147
+    x143, x144, x145, x146, x147, x148
   )
 }

@@ -592,6 +592,26 @@ class DedupLibrarySpec extends AnyFunSuite {
       f"(single-assign ${single.size.toDouble / exact.size}%.3f)")
   }
 
+  test("x148 two-level router: every vector assigned exactly once, pairs subset of exact") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val e = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val n = e.count()
+    val assigned = Dedup.ivfAssignTwoLevel(e, "vec_id", "embedding", k = 64, kc = 8)
+    // the childless-coarse guard: no vector may be dropped or doubled
+    assert(assigned.count() === n)
+    assert(assigned.select("vec_id").distinct().count() === n)
+    val exact = Dedup.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.4)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoLevel = Dedup.embeddingNearDupsIvfTwoLevel(e, "vec_id", "embedding",
+        threshold = 0.4, k = 64, kc = 8)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoLevel.subsetOf(exact))
+    info(f"x148 recall vs x11 at k=64/kc=8: ${twoLevel.size.toDouble / exact.size}%.3f " +
+      f"(${twoLevel.size}/${exact.size})")
+  }
+
   test("IVF twins x137/x138 agree with the exact x59/x89 baselines within pinned bounds") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
