@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.expr
@@ -153,6 +153,78 @@ case class HyperplaneBands(child: Expression, bands: Int, planesPerBand: Int, di
     copy(child = newChild)
 }
 
+/** Exact integer squared L2 distance between one SUBSPACE of two
+  * quantized float vectors — the product-quantization primitive
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011). Dimension `i` contributes `(⌊a_i·10⁶⌋ − ⌊b_i·10⁶⌋)²`
+  * over `i ∈ [sub·subDim, (sub+1)·subDim)`; the quantization is the
+  * same ⌊v·10⁶⌋ exact-long trick that made the IVF Lloyd step
+  * (x53) bit-reproducible cross-engine — every distance this
+  * expression emits is an exact int64, so codebook assignment
+  * (argmin) and ADC ranking are deterministic on ANY engine and the
+  * DuckDB oracle hash-matches. int64 never overflows here:
+  * |q| ≤ ~2·10⁶ for unit-scale floats, so one squared diff ≤ ~1.6·10¹³
+  * and a 64-dim total ≤ ~10¹⁵ ≪ 2⁶³.
+  *
+  * `sub` is a regular (third) child so `explode(sequence(0, m−1))`
+  * can drive all m subspaces through one codegen'd projection;
+  * `subDim` is plan-time constant. Vectors shorter than the subspace
+  * window contribute only their available dimensions (contract
+  * vectors are always exactly m·subDim-dimensional).
+  */
+case class PqSubSqDist(first: Expression, second: Expression, third: Expression,
+    subDim: Int)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_subdist"
+
+  override def nullSafeEval(a: Any, b: Any, s: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val off = s.asInstanceOf[Int] * subDim
+    val end = math.min(off + subDim, math.min(x.numElements(), y.numElements()))
+    var acc = 0L
+    var i = off
+    while (i < end) {
+      val qa = math.floor(x.getFloat(i).toDouble * 1000000.0).toLong
+      val qb = math.floor(y.getFloat(i).toDouble * 1000000.0).toLong
+      val d = qa - qb
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, s) => {
+      val off = ctx.freshName("off")
+      val end = ctx.freshName("end")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val qa = ctx.freshName("qa")
+      val qb = ctx.freshName("qb")
+      val d = ctx.freshName("d")
+      s"""
+         |int $off = $s * $subDim;
+         |int $end = java.lang.Math.min($off + $subDim,
+         |  java.lang.Math.min($a.numElements(), $b.numElements()));
+         |long $acc = 0L;
+         |for (int $i = $off; $i < $end; $i++) {
+         |  long $qa = (long) java.lang.Math.floor((double) $a.getFloat($i) * 1000000.0);
+         |  long $qb = (long) java.lang.Math.floor((double) $b.getFloat($i) * 1000000.0);
+         |  long $d = $qa - $qb;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorExpressions {
 
   /** Register `float_vec_dot` in the session's function registry (idempotent)
@@ -166,6 +238,11 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_bands",
       exprs => HyperplaneBands(exprs(0), intLit(exprs(1)), intLit(exprs(2)), intLit(exprs(3))),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_subdist",
+      exprs => PqSubSqDist(exprs(0), exprs(1), exprs(2), intLit(exprs(3))),
       "built-in"
     )
   }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Product-quantization mechanics and honesty pins. Correctness of the
+  * registered queries (x149/x150/x151) is the DuckDB hash oracle's job;
+  * this spec pins the structural contract (codes are a total m-way
+  * encoding over a ks-ary codebook, codebook vectors are fixed points),
+  * the re-rank guarantee (exact scoring of the shortlist ⇒ recall =
+  * shortlist capture, strictly above ADC-only), and the scale shape
+  * (corpus codes never join corpus vectors — the only full-vector reads
+  * are queries × shortlist).
+  */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pq-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val emb = Tables(spark, "/root/testdata/sf0.01").embeddings
+
+  private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+  test("pqCodes: total m-way encoding, codes in [0, ks), codebook fixed points") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val n = emb.count()
+    val codes = Dedup.pqCodes(emb, "vec_id", "embedding").cache()
+    // every vector gets exactly one code per subspace
+    assert(codes.count() === n * 8)
+    assert(codes.select("vec_id", "sub").distinct().count() === n * 8)
+    val range = codes.agg(min("code"), max("code")).head()
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 16L)
+    // a codebook vector's sub-distance to itself is 0, ties break to the
+    // smaller cent_id, and distinct random vectors never collide — so
+    // the first ks vectors must encode to themselves in every subspace
+    val selfCodes = codes.filter(col("vec_id") < 16)
+      .filter(col("code") =!= col("vec_id"))
+    assert(selfCodes.count() === 0L)
+  }
+
+  test("re-rank recovers exactly the shortlist ∩ exact-top-k, beating ADC-only") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val pred = col("query_id") < 10
+    def embPred = col("vec_id") < 10
+    val exact = topkSets(Dedup.pqQuantizedExactTopK(emb, "vec_id", "embedding", embPred, topK = 5))
+    val adc = topkSets(Dedup.pqSearch(emb, "vec_id", "embedding", embPred, topK = 5))
+    val rr = topkSets(Dedup.pqSearchRerank(emb, "vec_id", "embedding", embPred, topK = 5, shortlist = 50))
+    val short = topkSets(Dedup.pqSearch(emb, "vec_id", "embedding", embPred, topK = 50))
+    def recall(a: Map[Long, Set[Long]]) =
+      exact.keys.toSeq // toSeq: a Set.map would dedup equal per-query counts
+        .map(q => a.getOrElse(q, Set.empty).intersect(exact(q)).size).sum.toDouble /
+        (exact.size * 5)
+    // re-rank scoring is exact, so any exact-top-5 member that survived
+    // the shortlist MUST appear in the re-ranked top-5
+    for (q <- exact.keys)
+      assert(short(q).intersect(exact(q)).subsetOf(rr(q)),
+        s"query $q lost a shortlisted exact neighbor in re-rank")
+    // measured on sf0.01: adc ≈ 0.16, rerank ≈ 0.72 — pin conservative
+    // floors and the strict improvement the re-rank exists for
+    assert(recall(rr) >= 0.5, s"rerank recall ${recall(rr)}")
+    assert(recall(rr) > recall(adc))
+  }
+
+  test("ADC plan never touches corpus vectors: code frame joins only broadcast tables") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val plan = Dedup.pqSearch(emb, "vec_id", "embedding", col("vec_id") < 10, topK = 5)
+      .queryExecution.executedPlan.toString
+    // the distance-table join into the codes is a broadcast hash join —
+    // no shuffle of the corpus on the query side, no corpus×corpus join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
