@@ -624,9 +624,26 @@ object Dedup {
     * the corpus, then a map-side-combining `min(struct(d, cent_id))`
     * hash-agg (no window, no sort). */
   def pqCodes(df: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, subDim: Int = 8, ks: Int = 16): DataFrame = {
-    val cents = df.filter(col(idCol) < ks)
-      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("__pq_ce"))
+      m: Int = 8, subDim: Int = 8, ks: Int = 16): DataFrame =
+    pqEncode(df, idCol, vecCol, pqCodebook(df, idCol, vecCol, ks), m, subDim)
+
+  /** The deterministic seed codebook (`cent_id`, `ce`) [[pqCodes]] trains
+    * against — split out so an ingest stream ([[graft.streaming.PqStream]])
+    * can fit it ONCE on a seed corpus and encode every later arrival
+    * against the frozen frame (a moving codebook would silently re-code
+    * history; fixed is what makes incremental ≡ batch). */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+      ks: Int = 16): DataFrame =
+    df.filter(col(idCol) < ks)
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
+
+  /** Encode vectors against an EXPLICIT codebook frame (`cent_id`,
+    * `ce`) — the shared kernel of [[pqCodes]] and the streaming
+    * encoder. Per-vector work is m·|codebook| codegen'd subdistances
+    * into a map-side-combining argmin; the codebook is broadcast. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int = 8, subDim: Int = 8): DataFrame = {
+    val cents = codebook.select(col("cent_id"), col("ce").as("__pq_ce"))
     df.select(col(idCol), col(vecCol).as("__pq_vec"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .crossJoin(broadcast(cents))
