@@ -162,4 +162,59 @@ object Sinks {
           col("m_fp") === col("a_fp"), lit(false)).as("ok"),
         col("m_docs"), col("a_docs"), col("m_tokens"), col("a_tokens"))
   }
+
+  /** Small-files compaction for an append-only Hive-partitioned layout —
+    * the maintenance pass every streaming registry here needs at scale
+    * ([[graft.streaming.SegmentDedupStream]], [[graft.streaming
+    * .EmbeddingDedupStream]], [[graft.streaming.PqStream]] all append
+    * `batch_id=<id>` directories, one per micro-batch, each holding up
+    * to shuffle-partitions files: a day of 10 s batches is ~8,640
+    * directories and potentially millions of KB-sized files — metadata
+    * pressure on the namenode/listing and per-file open cost dominate
+    * scans long before data volume does).
+    *
+    * One keyed shuffle (`repartition(partitionCols)`) lands each
+    * partition value in a single task, so the rewrite yields one file
+    * per partition directory (`maxRecordsPerFile` splits oversized
+    * ones); the swap is rename-based — atomic on HDFS/POSIX, NOT on
+    * object stores (there, write to a fresh generation prefix and flip
+    * a manifest pointer instead — the [[writeCorpusShards]] manifest
+    * pattern). The layout after compaction is byte-compatible with the
+    * streaming writers: a replayed batch still overwrites its own
+    * `batch_id=<id>` directory, so idempotence survives compaction.
+    *
+    * Returns (files before, files after). */
+  def compactPartitioned(
+      spark: SparkSession, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(root)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".__compact_old")
+    fs.delete(tmp, true)
+    spark.read.parquet(path)
+      .repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(root, old), s"compaction swap failed: $root -> $old")
+    require(fs.rename(tmp, root), s"compaction swap failed: $tmp -> $root")
+    fs.delete(old, true)
+    (before, dataFiles(root))
+  }
 }
