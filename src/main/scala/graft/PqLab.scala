@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Measures the PQ family's parameter laws (SCALE.md "Product
+  * quantization"): for each (m, ks, shortlist) configuration, times
+  * [[Dedup.pqSearchRerank]] end-to-end (encode + ADC + re-rank) and
+  * scores top-5 recall against the exact quantized-metric baseline
+  * computed ONCE per run (the full 64-dim distance is independent of
+  * the subspace split, so one baseline serves every configuration).
+  * The trades being measured: ks raises per-vector encode cost
+  * (n·m·ks) and table size but refines cells; m trades code size
+  * (m·log₂ks bits) against subspace resolution; shortlist trades the
+  * exact-scored candidate count against capture. Prints one JSON line
+  * per configuration.
+  *
+  * Usage: `tools/run_main.sh graft.PqLab <sfDir>`
+  */
+object PqLab {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pqlab")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = Tables(spark, dir).embeddings
+    val pred = col("vec_id") < 10
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+    val (exact, tExact) = timed(
+      sets(Dedup.pqQuantizedExactTopK(emb, "vec_id", "embedding", pred, topK = 5)))
+    println(s"""{"metric":"pq_exact_topk","sec":$tExact,"sf":"$dir"}""")
+
+    // (m, ks, shortlist); m·subDim = 64 throughout
+    val configs = Seq(
+      (8, 16, 20), (8, 16, 50), (8, 16, 100),
+      (8, 64, 50), (16, 16, 50), (4, 16, 50))
+    for ((m, ks, sl) <- configs) {
+      val subDim = 64 / m
+      val (got, t) = timed(sets(Dedup.pqSearchRerank(
+        emb, "vec_id", "embedding", pred, topK = 5, shortlist = sl,
+        m = m, subDim = subDim, ks = ks)))
+      val recall = exact.keys.toSeq
+        .map(q => got.getOrElse(q, Set.empty).intersect(exact(q)).size).sum.toDouble /
+        (exact.size * 5)
+      val bits = m * (math.log(ks) / math.log(2)).round
+      println(s"""{"metric":"pq_rerank","m":$m,"ks":$ks,"shortlist":$sl,""" +
+        s""""code_bits":$bits,"sec":$t,"recall":$recall,"sf":"$dir"}""")
+    }
+    spark.stop()
+  }
+}
