@@ -4768,6 +4768,76 @@ object TrainingData {
       col("vec_id") < 10, topK = 5, shortlist = 50)
   }
 
+  /** Graph importance scoring — fixed-point PageRank (3 iterations,
+    * d=0.85) over the x136 co-purchase graph, the "domain authority"
+    * signal a curation pipeline uses to weight sources. ALL arithmetic
+    * is scaled integer (mass S=10¹²; every division is integer `div`,
+    * every sum a long), so iteration results are bit-reproducible under
+    * ANY partitioning and across engines — float PageRank would sum
+    * neighbor contributions in nondeterministic order. Dangling nodes
+    * (degree 0) keep teleport-only rank and redistribute nothing — a
+    * defined variant, implemented identically on both sides.
+    *
+    * Scale shape: the edge frame is Σ c(k,2) within-order pairs (x136's
+    * bound, never corpus×corpus) and each iteration is one keyed join +
+    * one keyed aggregate over it — the textbook distributed PageRank
+    * step. Iterations are a fixed constant (3); the edge/degree frames
+    * are localCheckpointed once so the three passes rescan materialized
+    * rows instead of re-deriving pairs. */
+  val x152 = Q(
+    "x152_copurchase_pagerank",
+    Some {
+      val S = "1000000000000"
+      val tele = s"(15 * ($S // (SELECT n FROM nn))) // 100"
+      def iter(prev: String, cur: String) =
+        s"c$cur AS (SELECT r.pk, r.rank // d.degree AS c FROM r$prev r " +
+          "JOIN deg d ON r.pk = d.pk), " +
+          s"i$cur AS (SELECT u.pk, SUM(c.c) AS inflow FROM und u " +
+          s"JOIN c$cur c ON u.other = c.pk GROUP BY u.pk), " +
+          s"r$cur AS (SELECT p.p_partkey AS pk, CAST($tele + " +
+          "(85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank " +
+          s"FROM part p LEFT JOIN i$cur i ON p.p_partkey = i.pk)"
+      "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb FROM op a " +
+        "JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "und AS (SELECT pa AS pk, pb AS other FROM pairs " +
+        "UNION ALL SELECT pb, pa FROM pairs), " +
+        "deg AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY pk), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part), " +
+        s"r0 AS (SELECT p_partkey AS pk, CAST($S // (SELECT n FROM nn) AS BIGINT) " +
+        "AS rank FROM part), " +
+        s"${iter("0", "1")}, ${iter("1", "2")}, ${iter("2", "3")} " +
+        "SELECT pk, rank FROM r3 ORDER BY rank DESC, pk LIMIT 20"
+    }
+  ) { t =>
+    val S = 1000000000000L
+    val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val pairs = op
+      .join(b, col("l_orderkey") === col("ok") && col("l_partkey") < col("pb"))
+      .select(col("l_partkey").as("pa"), col("pb")).distinct()
+    val und = pairs.select(col("pa").as("pk"), col("pb").as("other"))
+      .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other")))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("pk")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    val parts = t.part.select(col("p_partkey").as("pk"))
+    val n = parts.count()
+    val r0 = S / n
+    val tele = (15L * r0) / 100L
+    var ranks = parts.withColumn("rank", lit(r0))
+    for (_ <- 1 to 3) {
+      val contrib = ranks.join(deg, "pk")
+        .select(col("pk").as("cpk"), expr("rank div degree").as("c"))
+      val inflow = und.join(contrib, col("other") === col("cpk"))
+        .groupBy(col("pk")).agg(sum(col("c")).as("inflow"))
+      ranks = parts.join(inflow, Seq("pk"), "left")
+        .select(col("pk"),
+          (lit(tele) + expr("85 * coalesce(inflow, 0L) div 100")).as("rank"))
+    }
+    ranks.orderBy(col("rank").desc, col("pk")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4779,6 +4849,6 @@ object TrainingData {
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
-    x143, x144, x145, x146, x147, x148, x149, x150, x151
+    x143, x144, x145, x146, x147, x148, x149, x150, x151, x152
   )
 }
