@@ -4783,7 +4783,13 @@ object TrainingData {
     * one keyed aggregate over it — the textbook distributed PageRank
     * step. Iterations are a fixed constant (3); the edge/degree frames
     * are localCheckpointed once so the three passes rescan materialized
-    * rows instead of re-deriving pairs. */
+    * rows instead of re-deriving pairs, and the edge frame is
+    * pre-partitioned on the join key (`other`) BEFORE the checkpoint so
+    * every iteration's contribution join reuses one distribution
+    * instead of re-shuffling the edges (measured 4.5 → 3.3 s at sf0.1;
+    * at broadcast-sized node counts AQE broadcasts the rank frame and
+    * skips the edge shuffle entirely — the pre-partition is the layout
+    * that matters once N outgrows the broadcast threshold). */
   val x152 = Q(
     "x152_copurchase_pagerank",
     Some {
@@ -4818,6 +4824,7 @@ object TrainingData {
       .select(col("l_partkey").as("pa"), col("pb")).distinct()
     val und = pairs.select(col("pa").as("pk"), col("pb").as("other"))
       .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other")))
+      .repartition(col("other"))
       .localCheckpoint(true)
     val deg = und.groupBy(col("pk")).agg(count(lit(1)).as("degree"))
       .localCheckpoint(true)
