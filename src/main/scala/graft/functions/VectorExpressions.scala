@@ -225,6 +225,47 @@ case class PqSubSqDist(first: Expression, second: Expression, third: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** 64-bit Morton (Z-order) code — bit-interleave of the low 32 bits of
+  * two non-negative longs (a in even positions, b in odd). Sorting by
+  * this key clusters rows that are close in BOTH dimensions into the
+  * same files, which is what makes parquet min/max (row-group/file)
+  * pruning effective for predicates on EITHER column — the standard
+  * lakehouse multi-dimensional layout lever (see SCALE.md "Z-order
+  * layout"). Pure bit arithmetic: deterministic everywhere, codegen'd.
+  */
+case class ZValue(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "z_value"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZValue.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZValue.interleave($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZValue {
+  /** Spread the low 32 bits of v to even bit positions (the classic
+    * magic-mask sequence), then OR the b-word shifted by one. */
+  def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
 object VectorExpressions {
 
   /** Register `float_vec_dot` in the session's function registry (idempotent)
@@ -243,6 +284,11 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_subdist",
       exprs => PqSubSqDist(exprs(0), exprs(1), exprs(2), intLit(exprs(3))),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_value",
+      exprs => ZValue(exprs(0), exprs(1)),
       "built-in"
     )
   }

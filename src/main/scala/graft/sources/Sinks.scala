@@ -163,6 +163,46 @@ object Sinks {
         col("m_docs"), col("a_docs"), col("m_tokens"), col("a_tokens"))
   }
 
+  /** Z-ordered parquet layout — multi-dimensional clustering so parquet
+    * min/max (file/row-group) statistics prune effectively for
+    * predicates on EITHER of two columns at once. A single-column sort
+    * gives perfect pruning on that column and none on any other; the
+    * Morton interleave (`z_value`, graft.functions.ZValue) gives both
+    * columns locality ∝ √filesPerDim — the standard lakehouse layout
+    * lever for fact tables filtered by two independent keys (e.g.
+    * part AND supplier). One range shuffle on the z-key + within-file
+    * sort; ZOrderSpec measures per-file key spans shrinking vs a naive
+    * layout on BOTH dimensions.
+    *
+    * Each key is min/max-normalized onto a 16-bit grid BEFORE the
+    * interleave (one tiny bounds aggregate first): raw interleaving
+    * puts each key's bits at its natural magnitude, so a wide-domain
+    * key monopolizes the high interleaved bits and the file split
+    * never clusters the narrow-domain key at all — equalizing bit
+    * width is what makes the locality genuinely two-dimensional
+    * (Delta/Iceberg z-order does the same via per-column range ids). */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit = {
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
+    import org.apache.spark.sql.functions.{expr, max, min}
+    val b = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    val (aMin, aMax, bMin, bMax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def grid(c: String, lo: Long, hi: Long): String = {
+      val range = math.max(1L, hi - lo)
+      s"((CAST($c AS BIGINT) - ${lo}L) * 65535L) DIV ${range}L"
+    }
+    df.withColumn("__z",
+        expr(s"z_value(${grid(colA, aMin, aMax)}, ${grid(colB, bMin, bMax)})"))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-files compaction for an append-only Hive-partitioned layout —
     * the maintenance pass every streaming registry here needs at scale
     * ([[graft.streaming.SegmentDedupStream]], [[graft.streaming
