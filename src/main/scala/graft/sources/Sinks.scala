@@ -163,6 +163,26 @@ object Sinks {
         col("m_docs"), col("a_docs"), col("m_tokens"), col("a_tokens"))
   }
 
+  /** Parquet with column-level Bloom filters — the point-lookup
+    * complement to min/max pruning: range stats skip files for RANGE
+    * predicates on clustered keys, but an equality probe on a
+    * high-cardinality UNclustered key (a needle doc_id / user_id in a
+    * 100 TB table) matches every file's min/max span. A per-column
+    * Bloom filter in each row group answers "definitely absent" for
+    * ~nothing but a false-positive fraction of row groups, so the scan
+    * opens only the files that can contain the key. Costs write-side
+    * space/time only on the named columns. */
+  def writeWithBloomFilters(
+      df: DataFrame, path: String, bloomCols: Seq[String],
+      expectedDistinct: Long = 1000000L): Unit = {
+    val w = df.write.mode("overwrite")
+    val configured = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedDistinct.toString)
+    }
+    configured.parquet(path)
+  }
+
   /** Z-ordered parquet layout — multi-dimensional clustering so parquet
     * min/max (file/row-group) statistics prune effectively for
     * predicates on EITHER of two columns at once. A single-column sort
