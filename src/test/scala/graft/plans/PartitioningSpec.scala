@@ -98,4 +98,32 @@ class PartitioningSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footer stats") {
+    val dir = java.nio.file.Files.createTempDirectory("agg-push").toString
+    t.lineitem.select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").parquet(dir)
+    // pushdown is a DataSource-V2 feature: drop parquet from the V1 list
+    val pconfs = Seq("spark.sql.parquet.aggregatePushdown",
+      "spark.sql.sources.useV1SourceList")
+    val prev = pconfs.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      val agg = spark.read.parquet(dir)
+        .agg(count(lit(1)).as("n"), min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      val plan = agg.queryExecution.executedPlan.toString
+      // the scan carries the aggregates: row groups are never decoded —
+      // at 100 TB this answers table-level audits from metadata alone
+      assert(plan.contains("PushedAggregation"), plan)
+      val row = agg.head()
+      assert(row.getLong(0) === t.lineitem.count())
+      assert(row.getLong(1) === t.lineitem.agg(min("l_orderkey")).head().getLong(0))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
 }
