@@ -728,6 +728,81 @@ object Dedup {
       .select("query_id", "neighbor_id", "qdist")
   }
 
+  /** IVF+PQ search (FAISS's IVFADC — Jégou et al. 2011) — the composed
+    * billion-scale ANN pipeline, assembled from this library's two
+    * verified halves: coarse-route each query to its `nprobe` nearest
+    * IVF cells (deterministic cosine seeds, the x39/x53 contract), then
+    * ADC-scan ONLY those cells' PQ codes (exact int64 distance tables —
+    * corpus vectors untouched), shortlist, and exactly re-rank the
+    * shortlist under the quantized L2 metric.
+    *
+    * Why the composition is the 100 TB answer: PQ alone still scans
+    * every vector's code (linear, RAM-resident — x149); IVF alone
+    * exactly rescans nprobe/k of the raw corpus (x53). Together the
+    * probe work is (n/k)·nprobe CODE rows per query — both the memory
+    * term (32-bit codes) and the scan term (cell fraction) cut at once,
+    * which is how a 10⁹-vector index serves queries from one machine's
+    * RAM. Recall compounds the two approximations (cell routing × code
+    * quantization); the re-rank recovers everything the shortlist
+    * captured, and near-uniform synthetic vectors remain the documented
+    * worst case for both stages. Returns (`query_id`, `neighbor_id`,
+    * `qdist`). */
+  def ivfPqSearch(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
+      topK: Int, shortlist: Int = 50,
+      m: Int = 8, subDim: Int = 8, ks: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, assigned) = ivfIndex(df, idCol, vecCol, k, 0)
+    val codes = pqCodes(df, idCol, vecCol, m, subDim, ks)
+      .join(assigned.select(col(idCol), col("cell")), idCol)
+    // queryPred is over idCol (e.g. col("vec_id") < 10): applied BEFORE
+    // any rename, uniformly for routing, ADC tables, and re-rank queries
+    val queries = withNorm(df, idCol, vecCol)
+      .filter(queryPred)
+      .select(col(idCol).as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val probed = queries
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id"),
+        (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val book = pqCodebook(df, idCol, vecCol, ks)
+      .select(col("cent_id"), col("ce").as("__pq_ce"))
+    val qtab = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__pq_qe"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .crossJoin(broadcast(book))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        expr(s"pq_subdist(__pq_qe, __pq_ce, sub, $subDim)").as("d"))
+    val routed = codes.join(broadcast(probed), "cell")
+    val adc = routed
+      .join(broadcast(qtab),
+        routed("query_id") === qtab("query_id") &&
+          routed("sub") === qtab("sub") && routed("code") === qtab("cent_id"))
+      .filter(routed("query_id") =!= routed(idCol))
+      .groupBy(routed("query_id"), routed(idCol))
+      .agg(sum(qtab("d")).as("adc_dist"))
+      .select(routed("query_id"), routed(idCol).as("neighbor_id"), col("adc_dist"))
+    val sl = Ranks.topKPerGroup(adc, Seq("query_id"),
+      Seq(("adc_dist", true), ("neighbor_id", true)), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qs = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__pq_qe"))
+    val dist = (0 until m)
+      .map(s => expr(s"pq_subdist(__pq_qe, __pq_vec, $s, $subDim)"))
+      .reduce(_ + _)
+    val reranked = sl
+      .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__pq_vec")),
+        "neighbor_id")
+      .join(broadcast(qs), "query_id")
+      .select(col("query_id"), col("neighbor_id"), dist.as("qdist"))
+    Ranks.topKPerGroup(reranked, Seq("query_id"),
+      Seq(("qdist", true), ("neighbor_id", true)), topK)
+      .select("query_id", "neighbor_id", "qdist")
+  }
+
   /** Exact top-k under the SAME quantized int64 L2 metric PQ
     * approximates — the audit baseline for [[pqSearch]] (x150's recall
     * denominator). Full scan: queries broadcast against the corpus,

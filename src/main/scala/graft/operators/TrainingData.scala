@@ -4845,6 +4845,48 @@ object TrainingData {
     ranks.orderBy(col("rank").desc, col("pk")).limit(20)
   }
 
+  /** IVFADC — the composed billion-scale ANN pipeline
+    * ([[Dedup.ivfPqSearch]]): IVF cosine routing (k=16 cells, nprobe=4)
+    * × PQ ADC over the probed cells' codes × exact quantized re-rank of
+    * the 50-deep shortlist. The two halves are the verified x53 and
+    * x149/x151 machinery; the oracle composes their CTE families
+    * verbatim — iassigned/iprobed route cells, pqcodes/pqtab score
+    * them, all in exact arithmetic, so the full pipeline stays
+    * hash-green. Probe work per query is (n/k)·nprobe CODE rows (both
+    * the memory and the scan term cut at once — SCALE.md "Product
+    * quantization"); recall compounds routing × quantization and is
+    * the documented near-uniform worst case here (PqSpec measures it
+    * against the same exact baseline as x151). */
+  val x153 = Q(
+    "x153_ivfpq_topk",
+    Some {
+      s"WITH ${duckIvfListCtes(16, 4, 5)}, $duckPqCtes, " +
+        "ipadc AS (SELECT p.query_id, c.vec_id AS neighbor_id, " +
+        "CAST(SUM(t.d) AS BIGINT) AS adc_dist " +
+        "FROM pqcodes c JOIN iassigned a ON c.vec_id = a.vec_id " +
+        "JOIN iprobed p ON a.cell = p.cell " +
+        "JOIN pqtab t ON t.query_id = p.query_id AND t.sub = c.sub " +
+        "AND t.cent_id = c.code " +
+        "WHERE c.vec_id <> p.query_id GROUP BY 1, 2), " +
+        "ipsl AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn " +
+        "FROM ipadc) t WHERE rn <= 50), " +
+        "iprd AS (SELECT s.query_id, s.neighbor_id, " +
+        "CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS qdist " +
+        "FROM ipsl s JOIN pqd a ON a.vec_id = s.query_id " +
+        "JOIN pqd b ON b.vec_id = s.neighbor_id AND b.i = a.i GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, qdist FROM (" +
+        "SELECT query_id, neighbor_id, qdist, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY qdist, neighbor_id) AS rn " +
+        "FROM iprd) t WHERE rn <= 5"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.ivfPqSearch(t.embeddings, "vec_id", "embedding",
+      col("vec_id") < 10, k = 16, nprobe = 4, topK = 5, shortlist = 50)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4856,6 +4898,6 @@ object TrainingData {
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
-    x143, x144, x145, x146, x147, x148, x149, x150, x151, x152
+    x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153
   )
 }
