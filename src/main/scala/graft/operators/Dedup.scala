@@ -751,15 +751,35 @@ object Dedup {
       queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
       topK: Int, shortlist: Int = 50,
       m: Int = 8, subDim: Int = 8, ks: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (cents, assigned) = ivfIndex(df, idCol, vecCol, k, 0)
     val codes = pqCodes(df, idCol, vecCol, m, subDim, ks)
       .join(assigned.select(col(idCol), col("cell")), idCol)
+      .select(col(idCol).as("vid"), col("sub"), col("code"), col("cell"))
+    val book = pqCodebook(df, idCol, vecCol, ks)
     // queryPred is over idCol (e.g. col("vec_id") < 10): applied BEFORE
     // any rename, uniformly for routing, ADC tables, and re-rank queries
-    val queries = withNorm(df, idCol, vecCol)
-      .filter(queryPred)
-      .select(col(idCol).as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val qraw = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val vectors = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    ivfPqAnswer(qraw, cents, book, codes, vectors,
+      nprobe, topK, shortlist, m, subDim)
+  }
+
+  /** Answer-side core of [[ivfPqSearch]], split out so a serving stream
+    * ([[graft.streaming.IvfPqServeStream]]) can run arriving query
+    * batches against a STANDING index (the same cents/book/codes/
+    * vectors frames, persisted once at index-build time). `qraw` =
+    * (query_id, qvec); `codes` = (vid, sub, code, cell); `vectors` =
+    * (vid, vec). Query-sized frames are broadcast; the only big frame
+    * touched is the code registry, through the cell equi-join. */
+  private[graft] def ivfPqAnswer(
+      qraw: DataFrame, cents: DataFrame, book: DataFrame,
+      codes: DataFrame, vectors: DataFrame,
+      nprobe: Int, topK: Int, shortlist: Int,
+      m: Int, subDim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = qraw.select(col("query_id"), col("qvec").as("qe"),
+      sqrt(expr("float_vec_dot(qvec, qvec)")).as("qn"))
     val probed = queries
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("cent_id"),
@@ -768,12 +788,11 @@ object Dedup {
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id"))))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("cent_id").as("cell"))
-    val book = pqCodebook(df, idCol, vecCol, ks)
-      .select(col("cent_id"), col("ce").as("__pq_ce"))
-    val qtab = df.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__pq_qe"),
+    val bookR = book.select(col("cent_id"), col("ce").as("__pq_ce"))
+    val qtab = qraw
+      .select(col("query_id"), col("qvec").as("__pq_qe"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .crossJoin(broadcast(book))
+      .crossJoin(broadcast(bookR))
       .select(col("query_id"), col("sub"), col("cent_id"),
         expr(s"pq_subdist(__pq_qe, __pq_ce, sub, $subDim)").as("d"))
     val routed = codes.join(broadcast(probed), "cell")
@@ -781,20 +800,19 @@ object Dedup {
       .join(broadcast(qtab),
         routed("query_id") === qtab("query_id") &&
           routed("sub") === qtab("sub") && routed("code") === qtab("cent_id"))
-      .filter(routed("query_id") =!= routed(idCol))
-      .groupBy(routed("query_id"), routed(idCol))
+      .filter(routed("query_id") =!= routed("vid"))
+      .groupBy(routed("query_id"), routed("vid"))
       .agg(sum(qtab("d")).as("adc_dist"))
-      .select(routed("query_id"), routed(idCol).as("neighbor_id"), col("adc_dist"))
+      .select(routed("query_id"), routed("vid").as("neighbor_id"), col("adc_dist"))
     val sl = Ranks.topKPerGroup(adc, Seq("query_id"),
       Seq(("adc_dist", true), ("neighbor_id", true)), shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val qs = df.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__pq_qe"))
+    val qs = qraw.select(col("query_id"), col("qvec").as("__pq_qe"))
     val dist = (0 until m)
       .map(s => expr(s"pq_subdist(__pq_qe, __pq_vec, $s, $subDim)"))
       .reduce(_ + _)
     val reranked = sl
-      .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__pq_vec")),
+      .join(vectors.select(col("vid").as("neighbor_id"), col("vec").as("__pq_vec")),
         "neighbor_id")
       .join(broadcast(qs), "query_id")
       .select(col("query_id"), col("neighbor_id"), dist.as("qdist"))

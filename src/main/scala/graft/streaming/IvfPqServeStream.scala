@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** Serving-mode twin of x153's IVFADC search — queries arrive as a
+  * stream and are answered per micro-batch against a STANDING index
+  * built once by [[buildIndex]]: centroids + PQ codebook (broadcast-
+  * sized), the cell-tagged code registry, and the raw vectors (touched
+  * only for the shortlist re-rank). This closes the ANN lifecycle the
+  * streaming layer already covers for dedup: [[PqStream]] encodes at
+  * ingest, this serves at query time — per-batch cost is
+  * (n/k)·nprobe code rows per query plus an O(queries·shortlist)
+  * vector fetch, independent of the query stream's history.
+  *
+  * Stream ≡ batch exactly (IvfPqServeStreamSpec): an answer depends
+  * only on the query vector and the frozen index — never on batch
+  * boundaries — so per-batch answers over any partition of a query set
+  * equal batch [[Dedup.ivfPqSearch]] over the same corpus and
+  * parameters. Answers land under `answersPath/batch_id=<id>`
+  * (overwrite mode — the idempotent-replay layout shared by every
+  * registry stream here).
+  */
+object IvfPqServeStream {
+
+  /** Build and persist the standing index for `corpus` under
+    * `indexDir`: `cents` (cent_id, ce, cn), `book` (cent_id, ce),
+    * `codes` (vid, sub, code, cell), `vectors` (vid, vec). Run once
+    * per index release; [[startServe]] only ever reads these. */
+  def buildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      k: Int, m: Int = 8, subDim: Int = 8, ks: Int = 16): Unit = {
+    graft.functions.VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val cents = Dedup.ivfCentroids(corpus, idCol, vecCol, k)
+    cents.write.mode("overwrite").parquet(s"$indexDir/cents")
+    Dedup.pqCodebook(corpus, idCol, vecCol, ks)
+      .write.mode("overwrite").parquet(s"$indexDir/book")
+    Dedup.pqCodes(corpus, idCol, vecCol, m, subDim, ks)
+      .join(Dedup.ivfAssign(corpus, idCol, vecCol, k)
+        .select(col(idCol), col("cell")), idCol)
+      .select(col(idCol).as("vid"), col("sub"), col("code"), col("cell"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .write.mode("overwrite").parquet(s"$indexDir/vectors")
+  }
+
+  /** Start serving over a streaming frame carrying (`query_id`,
+    * `qvec`). Per-batch answer rows (query_id, neighbor_id, qdist —
+    * the x153 schema) land under `answersPath/batch_id=<id>`. */
+  def startServe(
+      queryStream: DataFrame,
+      indexDir: String,
+      answersPath: String,
+      checkpoint: String,
+      nprobe: Int, topK: Int, shortlist: Int = 50,
+      m: Int = 8, subDim: Int = 8): StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.VectorExpressions.ensureRegistered(spark)
+        def part(name: String): DataFrame = spark.read.parquet(s"$indexDir/$name")
+        Dedup.ivfPqAnswer(
+            batch.toDF(), part("cents"), part("book"), part("codes"),
+            part("vectors"), nprobe, topK, shortlist, m, subDim)
+          .write.mode("overwrite").parquet(s"$answersPath/batch_id=$batchId")
+      }
+      .start()
+}
