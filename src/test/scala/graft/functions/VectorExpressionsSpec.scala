@@ -87,4 +87,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(native === hof)
     }
   }
+
+  test("pq_subdist is identical to the portable HOF quantize-and-sum form") {
+    VectorExpressions.ensureRegistered(spark)
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.filter(col("ida") < 10).join(b, col("ida") < col("idb"))
+      .select(col("ea"), col("eb"),
+        explode(sequence(lit(0), lit(7))).as("sub"))
+    // reference: slice the subspace, quantize each side to floor(v*1e6)
+    // longs, sum squared diffs — the exact arithmetic the codegen claims
+    val hof =
+      "aggregate(zip_with(" +
+        "transform(slice(ea, sub * 8 + 1, 8), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), " +
+        "transform(slice(eb, sub * 8 + 1, 8), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), " +
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    val both = pairs.select(
+      expr(hof).as("ref"),
+      expr("pq_subdist(ea, eb, sub, 8)").as("native")).collect()
+    assert(both.length >= 80 * 8)
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("z_value interleave matches a bit-by-bit reference") {
+    VectorExpressions.ensureRegistered(spark)
+    def ref(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val rows = spark.range(0, 200)
+      .selectExpr("id * 2654435761 % 4294967296 AS a", "id * 40503 % 4294967296 AS b")
+      .selectExpr("a", "b", "z_value(a, b) AS z").collect()
+    rows.foreach(r => assert(r.getLong(2) === ref(r.getLong(0), r.getLong(1))))
+  }
 }
