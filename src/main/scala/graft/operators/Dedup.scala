@@ -654,6 +654,22 @@ object Dedup {
       .select(col(idCol), col("sub"), col("mn.cent_id").as("code"))
   }
 
+  /** The packed storage form of [[pqCodes]]: all m codes bit-packed
+    * into ONE long per vector (`packed_code` = Σ code_s << (4·s) at the
+    * 8×16 default) — the literal "32 bits per vector" the PQ memory
+    * claim rests on, made a physical column: the code registry is n
+    * rows × one BIGINT, shuffles and registries carry 8 bytes/vector,
+    * and any code is recovered with one shift+mask. Pure integer
+    * arithmetic, so the packing is oracle-exact (x154). Requires
+    * ks ≤ 16 and m ≤ 15 so the packed word fits a non-negative long. */
+  def pqCodesPacked(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, subDim: Int = 8, ks: Int = 16): DataFrame = {
+    require(ks <= 16 && m <= 15, "packed form needs ks <= 16 and m <= 15")
+    pqCodes(df, idCol, vecCol, m, subDim, ks)
+      .groupBy(col(idCol))
+      .agg(sum(expr("shiftleft(code, CAST(sub AS INT) * 4)")).as("packed_code"))
+  }
+
   /** PQ asymmetric-distance (ADC) top-k search: queries keep their full
     * vectors, the corpus is represented ONLY by its codes, and each
     * query×vector distance is the sum over subspaces of the

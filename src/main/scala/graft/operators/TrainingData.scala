@@ -4887,6 +4887,23 @@ object TrainingData {
       col("vec_id") < 10, k = 16, nprobe = 4, topK = 5, shortlist = 50)
   }
 
+  /** Packed PQ codes — the physical registry row behind the PQ memory
+    * claim: one BIGINT per vector carrying all 8 codebook ids (4 bits
+    * each). 8 bytes/vector vs 256 B raw embeddings; the ADC structures
+    * x149/x153 scan are THIS column unpacked with shift+mask. Pure
+    * integer packing, hash-exact cross-engine. */
+  val x154 = Q(
+    "x154_pq_packed_codes",
+    Some(
+      s"WITH $duckPqCtes " +
+        "SELECT vec_id, CAST(SUM(code << (CAST(sub AS INT) * 4)) AS BIGINT) " +
+        "AS packed_code FROM pqcodes GROUP BY vec_id"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.pqCodesPacked(t.embeddings, "vec_id", "embedding")
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4898,6 +4915,6 @@ object TrainingData {
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
-    x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153
+    x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154
   )
 }

@@ -71,6 +71,21 @@ class PqSpec extends AnyFunSuite {
     assert(recall(rr) > recall(adc))
   }
 
+  test("packed codes unpack back to exactly pqCodes (8 bytes carries all 8 ids)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val packed = Dedup.pqCodesPacked(emb, "vec_id", "embedding")
+    val unpacked = packed.select(col("vec_id"),
+        explode(sequence(lit(0), lit(7))).as("sub"),
+        col("packed_code"))
+      .select(col("vec_id"), col("sub"),
+        expr("shiftright(packed_code, CAST(sub AS INT) * 4) & 15").as("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val codes = Dedup.pqCodes(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(unpacked === codes)
+    assert(packed.count() === emb.count()) // one 8-byte row per vector
+  }
+
   test("IVFADC: routed shortlists beat full-corpus ADC shortlists (purity effect)") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val pred = col("vec_id") < 10
