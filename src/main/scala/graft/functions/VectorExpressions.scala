@@ -162,9 +162,17 @@ case class HyperplaneBands(child: Expression, bands: Int, planesPerBand: Int, di
   * (x53) bit-reproducible cross-engine — every distance this
   * expression emits is an exact int64, so codebook assignment
   * (argmin) and ADC ranking are deterministic on ANY engine and the
-  * DuckDB oracle hash-matches. int64 never overflows here:
-  * |q| ≤ ~2·10⁶ for unit-scale floats, so one squared diff ≤ ~1.6·10¹³
-  * and a 64-dim total ≤ ~10¹⁵ ≪ 2⁶³.
+  * DuckDB oracle hash-matches.
+  *
+  * INPUT-MAGNITUDE CONTRACT: the no-overflow argument assumes roughly
+  * unit-scale inputs — |q| ≤ ~2·10⁶ for |v| ≤ ~2, so one squared diff
+  * ≤ ~1.6·10¹³ and a 64-dim total ≤ ~10¹⁵ ≪ 2⁶³. The int64 subspace
+  * sum wraps SILENTLY once element magnitudes exceed ~5·10² (an
+  * 8-dim subspace of ±537 elements crosses 2⁶³ — and DuckDB's HUGEINT
+  * accumulation would NOT wrap the same way, so an overflow shows up
+  * as an oracle divergence, not just a wrong ranking). Embeddings here
+  * are unit-ish by construction (the corpus contract); normalize or
+  * rescale anything wider before encoding.
   *
   * `sub` is a regular (third) child so `explode(sequence(0, m−1))`
   * can drive all m subspaces through one codegen'd projection;
@@ -281,6 +289,11 @@ object VectorExpressions {
       exprs => HyperplaneBands(exprs(0), intLit(exprs(1)), intLit(exprs(2)), intLit(exprs(3))),
       "built-in"
     )
+    // pq_subdist(a, b, sub, subDim): exact int64 subspace sq-L2 under
+    // ⌊v·10⁶⌋ quantization. Inputs must be roughly unit-scale floats
+    // (|v| ≲ 5·10², see PqSubSqDist's INPUT-MAGNITUDE CONTRACT) — the
+    // int64 sum wraps silently beyond that, diverging from any
+    // wider-accumulator engine.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_subdist",
       exprs => PqSubSqDist(exprs(0), exprs(1), exprs(2), intLit(exprs(3))),

@@ -637,6 +637,60 @@ object Dedup {
     df.filter(col(idCol) < ks)
       .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
 
+  /** TRAINED product-quantization codebook: the seed codebook refined
+    * by `iters` rounds of per-subspace Lloyd — encode every vector
+    * ([[pqEncode]]), then replace entry c's subspace s by the quantized
+    * mean of the subvectors that chose code c in subspace s. This is
+    * how production PQ indexes are actually fit (Jégou et al. 2011 §III
+    * trains each subquantizer by k-means); the seed book is the
+    * deterministic worst case PqLab measures against, and on clustered
+    * corpora the trained book moves entries onto the density modes,
+    * which is where PQ's recall comes from.
+    *
+    * Determinism is the x53 contract verbatim: means are computed on
+    * ⌊v·10⁶⌋ exact longs (order-independent integer sums, one
+    * fixed-order double divide, one float cast), so the trained book —
+    * and everything encoded against it — is bit-reproducible
+    * cross-engine and carries a full hash oracle (x155). A (code,
+    * subspace) cell that attracts no vectors keeps its seed entry
+    * (the coalesce), so the book never loses entries; each seed vector
+    * encodes to its own code at distance 0, making true emptiness a
+    * tie-break corner rather than the common case.
+    *
+    * Scale shape per round: one [[pqEncode]] pass (n·m·ks codegen'd
+    * rows), one posexplode to n·d rows joined to codes on (id, sub) —
+    * a co-keyed shuffle — and one (code, dim)-grouped aggregate whose
+    * output is ks·d rows: linear in the corpus, tiny out. */
+  def pqCodebookLloyd(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 1, m: Int = 8, subDim: Int = 8, ks: Int = 16): DataFrame = {
+    var book = pqCodebook(df, idCol, vecCol, ks)
+    for (_ <- 0 until iters) {
+      val codes = pqEncode(df, idCol, vecCol, book, m, subDim)
+      val dims = df
+        .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .withColumn("sub", expr(s"pos div $subDim"))
+        .join(codes, Seq(idCol, "sub"))
+      val means = dims
+        .groupBy(col("code"), col("pos"))
+        .agg((sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+            .cast("double") /
+          (count(lit(1)).cast("double") * lit(1000000.0))).as("mv"))
+      val seedDims = book
+        .select(col("cent_id"), posexplode(col("ce")).as(Seq("pos", "sv")))
+      book = seedDims
+        .join(means,
+          seedDims("cent_id") === means("code") && seedDims("pos") === means("pos"),
+          "left")
+        .select(seedDims("cent_id"), seedDims("pos"),
+          coalesce(col("mv").cast("float"), col("sv")).as("cv"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("ce"))
+    }
+    book
+  }
+
   /** Encode vectors against an EXPLICIT codebook frame (`cent_id`,
     * `ce`) — the shared kernel of [[pqCodes]] and the streaming
     * encoder. Per-vector work is m·|codebook| codegen'd subdistances
@@ -687,13 +741,18 @@ object Dedup {
     * bounded-heap top-k ([[Ranks.topKPerGroup]]). At 1000 executors
     * the corpus codes partition freely; nothing global but the tiny
     * table broadcast. Returns (`query_id`, `neighbor_id`,
-    * `adc_dist`). */
+    * `adc_dist`). `book` overrides the deterministic seed codebook —
+    * pass [[pqCodebookLloyd]]'s output to search against a TRAINED
+    * book (corpus encode and query distance tables both derive from
+    * the same frame, so they stay consistent by construction). */
   def pqSearch(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, topK: Int,
-      m: Int = 8, subDim: Int = 8, ks: Int = 16): DataFrame = {
-    val codes = pqCodes(df, idCol, vecCol, m, subDim, ks)
-    val cents = df.filter(col(idCol) < ks)
-      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("__pq_ce"))
+      m: Int = 8, subDim: Int = 8, ks: Int = 16,
+      book: Option[DataFrame] = None): DataFrame = {
+    val theBook = book.getOrElse(pqCodebook(df, idCol, vecCol, ks))
+    val codes = pqEncode(df, idCol, vecCol, theBook, m, subDim)
+    val cents = theBook
+      .select(col("cent_id"), col("ce").as("__pq_ce"))
     val qtab = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__pq_qe"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
@@ -726,8 +785,9 @@ object Dedup {
     * storage tier is read O(queries), not O(corpus). */
   def pqSearchRerank(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, topK: Int, shortlist: Int = 50,
-      m: Int = 8, subDim: Int = 8, ks: Int = 16): DataFrame = {
-    val sl = pqSearch(df, idCol, vecCol, queryPred, shortlist, m, subDim, ks)
+      m: Int = 8, subDim: Int = 8, ks: Int = 16,
+      book: Option[DataFrame] = None): DataFrame = {
+    val sl = pqSearch(df, idCol, vecCol, queryPred, shortlist, m, subDim, ks, book)
       .select(col("query_id"), col("neighbor_id"))
     val qs = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__pq_qe"))
@@ -778,7 +838,7 @@ object Dedup {
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val vectors = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     ivfPqAnswer(qraw, cents, book, codes, vectors,
-      nprobe, topK, shortlist, m, subDim)
+      nprobe, topK, shortlist, m, subDim, excludeSelf = true)
   }
 
   /** Answer-side core of [[ivfPqSearch]], split out so a serving stream
@@ -787,12 +847,19 @@ object Dedup {
     * vectors frames, persisted once at index-build time). `qraw` =
     * (query_id, qvec); `codes` = (vid, sub, code, cell); `vectors` =
     * (vid, vec). Query-sized frames are broadcast; the only big frame
-    * touched is the code registry, through the cell equi-join. */
+    * touched is the code registry, through the cell equi-join.
+    *
+    * `excludeSelf` drops candidates whose `vid` equals the `query_id` —
+    * correct ONLY when queries are corpus members sharing the corpus id
+    * space (the x153 batch path, where a query must not return itself).
+    * Serving streams carry EXTERNAL query ids, where an accidental
+    * numeric collision with an unrelated corpus vid must NOT lose that
+    * neighbor — [[graft.streaming.IvfPqServeStream]] passes false. */
   private[graft] def ivfPqAnswer(
       qraw: DataFrame, cents: DataFrame, book: DataFrame,
       codes: DataFrame, vectors: DataFrame,
       nprobe: Int, topK: Int, shortlist: Int,
-      m: Int, subDim: Int): DataFrame = {
+      m: Int, subDim: Int, excludeSelf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val queries = qraw.select(col("query_id"), col("qvec").as("qe"),
       sqrt(expr("float_vec_dot(qvec, qvec)")).as("qn"))
@@ -816,7 +883,7 @@ object Dedup {
       .join(broadcast(qtab),
         routed("query_id") === qtab("query_id") &&
           routed("sub") === qtab("sub") && routed("code") === qtab("cent_id"))
-      .filter(routed("query_id") =!= routed("vid"))
+      .filter(if (excludeSelf) routed("query_id") =!= routed("vid") else lit(true))
       .groupBy(routed("query_id"), routed("vid"))
       .agg(sum(qtab("d")).as("adc_dist"))
       .select(routed("query_id"), routed("vid").as("neighbor_id"), col("adc_dist"))

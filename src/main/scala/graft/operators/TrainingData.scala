@@ -4098,16 +4098,37 @@ object TrainingData {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_parts"))
   }
 
+  /** The registered IVF cell-count policy, k = max(16, ⌊√n⌋) — the
+    * x146 form, now the DEFAULT for every IVF-backed registered query
+    * (x137/x138/x144/x153): SCALE.md's measured k-law (KScale, round
+    * 9) shows fixed k=16 paying 6× in candidate work at sf1 with
+    * exponent > 1.2, while k ∝ √n holds per-cell size ∝ √n and probe
+    * work ∝ n^1.5/k = n. The corpus count is one cheap driver-side
+    * action; ⌊√n⌋ is cross-engine-safe (IEEE sqrt is correctly
+    * rounded; a non-square's true root sits ~10⁶ ulps from an
+    * integer at these scales). */
+  private def ivfAutoK(t: Tables): Int =
+    math.max(16, math.sqrt(t.embeddings.count().toDouble).toInt)
+
+  /** Oracle twin of [[ivfAutoK]] — a scalar CTE both engines derive
+    * from the same count, so the cell-count policy itself is replayed,
+    * never hard-coded into the SQL text. */
+  private val duckAutoKCte: String =
+    "kk AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k " +
+      "FROM embeddings)"
+
   /** DuckDB CTE chain replaying `Dedup.ivfSearch` (deterministic seed
-    * centroids, no Lloyd) over ALL queries — shared by the IVF-backed
-    * twins x137/x138. Yields `ivflists(query_id, neighbor_id, cosine)`.
-    * Prefix with `WITH` (or `WITH RECURSIVE`) at the call site. */
-  private def duckIvfListCtes(k: Int, nprobe: Int, topK: Int): String = {
+    * centroids, no Lloyd) over ALL queries at the [[ivfAutoK]] policy
+    * cell count — shared by the IVF-backed twins x137/x138/x144 and
+    * the IVFADC routing in x153. Yields `ivflists(query_id,
+    * neighbor_id, cosine)`. Prefix with `WITH` (or `WITH RECURSIVE`)
+    * at the call site. */
+  private def duckIvfListCtes(nprobe: Int, topK: Int): String = {
     def cos(a: String, an: String, b: String, bn: String) =
       s"${duckDot(a, b)} / ($an * $bn)"
-    s"$duckNorms, " +
+    s"$duckNorms, $duckAutoKCte, " +
       s"icents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
-      s"FROM norms WHERE vec_id < $k), " +
+      s"FROM norms WHERE vec_id < (SELECT k FROM kk)), " +
       "iassigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
       "SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell, " +
       s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
@@ -4129,9 +4150,11 @@ object TrainingData {
   }
 
   /** x59's semantic clustering on the IVF scale path: candidate top-3
-    * lists come from [[Dedup.ivfSearch]] (per-query work ∝ corpus/k ×
-    * nprobe instead of the full corpus — the 100 TB answer SCALE.md
-    * promises for kNN clustering), then the SAME mutuality + guarded
+    * lists come from [[Dedup.ivfSearch]] at the [[ivfAutoK]] policy
+    * cell count (per-query work ∝ corpus/k × nprobe = √n·nprobe at
+    * k = ⌊√n⌋ instead of the full corpus — the 100 TB answer SCALE.md
+    * promises for kNN clustering; fixed k=16 measured 6× dearer at sf1
+    * in the round-9 KScale table), then the SAME mutuality + guarded
     * connected-components tail as the exact baseline
     * ([[Dedup.mutualEdgesFromTopK]] makes the tail literally shared
     * code). Fully deterministic (seed centroids, id tiebreaks), so the
@@ -4140,7 +4163,7 @@ object TrainingData {
   val x137 = Q(
     "x137_semantic_clusters_ivf",
     Some(
-      s"WITH RECURSIVE ${duckIvfListCtes(k = 16, nprobe = 2, topK = 3)}, " +
+      s"WITH RECURSIVE ${duckIvfListCtes(nprobe = 2, topK = 3)}, " +
         "tk AS (SELECT query_id AS qa, neighbor_id AS qb FROM ivflists), " +
         "mut AS (SELECT t.qa AS u, t.qb AS v FROM tk t " +
         "JOIN tk r ON t.qa = r.qb AND t.qb = r.qa WHERE t.qa < t.qb), " +
@@ -4154,7 +4177,7 @@ object TrainingData {
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     val lists = Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
-      lit(true), k = 16, nprobe = 2, topK = 3)
+      lit(true), k = ivfAutoK(t), nprobe = 2, topK = 3)
     val edges = Dedup.mutualEdgesFromTopK(lists)
     val cc = Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
     val out = cc
@@ -4168,7 +4191,8 @@ object TrainingData {
   /** x89's hubness audit on the IVF scale path: the in-degree
     * distribution of the [[Dedup.ivfSearch]] top-5 graph instead of the
     * exact all-pairs one — same count shuffle + dimension left join +
-    * histogram tail, with candidate generation ∝ corpus/k × nprobe.
+    * histogram tail, with candidate generation ∝ corpus/k × nprobe at
+    * the [[ivfAutoK]] policy k (linear total work at k = ⌊√n⌋).
     * Hubs this audit exists to catch are precisely the vectors an IVF
     * list still over-cites, so the approximate graph preserves the
     * fat-tail signal (DedupLibrarySpec pins list recall and that the
@@ -4176,7 +4200,7 @@ object TrainingData {
   val x138 = Q(
     "x138_ann_hubness_ivf",
     Some(
-      s"WITH ${duckIvfListCtes(k = 16, nprobe = 2, topK = 5)}, " +
+      s"WITH ${duckIvfListCtes(nprobe = 2, topK = 5)}, " +
         "deg AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS cnt " +
         "FROM ivflists GROUP BY neighbor_id), " +
         "ind AS (SELECT e.vec_id, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS in_degree " +
@@ -4186,7 +4210,7 @@ object TrainingData {
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     val lists = Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
-      lit(true), k = 16, nprobe = 2, topK = 5)
+      lit(true), k = ivfAutoK(t), nprobe = 2, topK = 5)
     val deg = lists.groupBy(col("neighbor_id")).agg(count(lit(1)).as("cnt"))
     t.embeddings.select(col("vec_id"))
       .join(deg, col("vec_id") === col("neighbor_id"), "left")
@@ -4449,7 +4473,8 @@ object TrainingData {
   /** x63's kNN label vote fed by [[Dedup.ivfSearch]] lists instead of
     * the exact all-pairs top-k — the drop-in-lists proof for the vote
     * tail (the same demonstration x137/x138 make for the clustering and
-    * hubness tails): candidate generation ∝ corpus/k × nprobe, identical
+    * hubness tails): candidate generation ∝ corpus/k × nprobe at the
+    * [[ivfAutoK]] policy cell count, identical
     * vote/argmax logic downstream, deterministic end to end → full hash
     * oracle. At 100 TB this composition IS the labeling pipeline: lists
     * from the IVF index, votes as one (query, label) count shuffle,
@@ -4457,7 +4482,7 @@ object TrainingData {
   val x144 = Q(
     "x144_knn_label_vote_ivf",
     Some(
-      s"WITH ${duckIvfListCtes(k = 16, nprobe = 2, topK = 5)}, " +
+      s"WITH ${duckIvfListCtes(nprobe = 2, topK = 5)}, " +
         "tk AS (SELECT query_id, neighbor_id FROM ivflists WHERE query_id % 10 = 0), " +
         "votes AS (SELECT t.query_id, e.label AS cand, CAST(COUNT(*) AS BIGINT) AS n_votes " +
         "FROM tk t JOIN embeddings e ON t.neighbor_id = e.vec_id " +
@@ -4472,7 +4497,7 @@ object TrainingData {
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     val topk = Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
-      col("query_id") % 10 === 0, k = 16, nprobe = 2, topK = 5)
+      col("query_id") % 10 === 0, k = ivfAutoK(t), nprobe = 2, topK = 5)
     val labels = t.embeddings.select(col("vec_id"), col("label"))
     val votes = topk
       .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("cand")),
@@ -4564,10 +4589,8 @@ object TrainingData {
     }
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val n = t.embeddings.count()
-    val k = math.max(16, math.sqrt(n.toDouble).toInt)
     Dedup.embeddingNearDupsIvf(t.embeddings, "vec_id", "embedding",
-      threshold = 0.4, k = k)
+      threshold = 0.4, k = ivfAutoK(t))
   }
 
   /** x143 with multi-assignment (nassign=2): every vector is blocked
@@ -4846,7 +4869,8 @@ object TrainingData {
   }
 
   /** IVFADC — the composed billion-scale ANN pipeline
-    * ([[Dedup.ivfPqSearch]]): IVF cosine routing (k=16 cells, nprobe=4)
+    * ([[Dedup.ivfPqSearch]]): IVF cosine routing ([[ivfAutoK]] policy
+    * cells, nprobe=4)
     * × PQ ADC over the probed cells' codes × exact quantized re-rank of
     * the 50-deep shortlist. The two halves are the verified x53 and
     * x149/x151 machinery; the oracle composes their CTE families
@@ -4860,7 +4884,7 @@ object TrainingData {
   val x153 = Q(
     "x153_ivfpq_topk",
     Some {
-      s"WITH ${duckIvfListCtes(16, 4, 5)}, $duckPqCtes, " +
+      s"WITH ${duckIvfListCtes(nprobe = 4, topK = 5)}, $duckPqCtes, " +
         "ipadc AS (SELECT p.query_id, c.vec_id AS neighbor_id, " +
         "CAST(SUM(t.d) AS BIGINT) AS adc_dist " +
         "FROM pqcodes c JOIN iassigned a ON c.vec_id = a.vec_id " +
@@ -4884,7 +4908,7 @@ object TrainingData {
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     Dedup.ivfPqSearch(t.embeddings, "vec_id", "embedding",
-      col("vec_id") < 10, k = 16, nprobe = 4, topK = 5, shortlist = 50)
+      col("vec_id") < 10, k = ivfAutoK(t), nprobe = 4, topK = 5, shortlist = 50)
   }
 
   /** Packed PQ codes — the physical registry row behind the PQ memory
@@ -4904,6 +4928,125 @@ object TrainingData {
     Dedup.pqCodesPacked(t.embeddings, "vec_id", "embedding")
   }
 
+  /** PQ codes under a TRAINED codebook ([[Dedup.pqCodebookLloyd]], one
+    * per-subspace Lloyd round): entry c's subspace s becomes the
+    * quantized mean of the subvectors that chose it, then the corpus is
+    * re-encoded — the codebook fit every production PQ index performs
+    * (Jégou et al. 2011 train subquantizers by k-means; the seed book
+    * x149-x154 use is the deterministic *initialization*). Training is
+    * the x53 Lloyd contract applied per subspace — exact-long means,
+    * one float cast — so the refined book and the re-encode are
+    * bit-reproducible and the full train→encode pipeline carries a
+    * hash oracle; empty (code, subspace) cells keep their seed entry
+    * (both engines coalesce). PqLab's seed-vs-trained rows quantify
+    * the recall this buys on clustered corpora (GenSf `--clustered`),
+    * where the seed book is provably mis-centered. */
+  val x155 = Q(
+    "x155_pq_trained_codes",
+    Some(
+      s"WITH $duckPqCtes, " +
+        "tmean AS (SELECT c.code, d.i, CAST(SUM(d.v) AS DOUBLE) / " +
+        "(CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mv " +
+        "FROM pqd d JOIN pqcodes c ON d.vec_id = c.vec_id AND d.sub = c.sub " +
+        "GROUP BY 1, 2), " +
+        "tbook AS (SELECT g.cent_id, g.i, g.sub, " +
+        "COALESCE(CAST(floor(CAST(CAST(t.mv AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT), " +
+        "g.cv) AS tv " +
+        "FROM pqc g LEFT JOIN tmean t ON g.cent_id = t.code AND g.i = t.i), " +
+        "tsd AS (SELECT d.vec_id, b.cent_id, d.sub, " +
+        "CAST(SUM((d.v - b.tv) * (d.v - b.tv)) AS BIGINT) AS d " +
+        "FROM pqd d JOIN tbook b ON d.i = b.i GROUP BY 1, 2, 3) " +
+        "SELECT vec_id, sub, code FROM (" +
+        "SELECT vec_id, sub, cent_id AS code, " +
+        "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn " +
+        "FROM tsd) t WHERE rn = 1"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val book = Dedup.pqCodebookLloyd(t.embeddings, "vec_id", "embedding", iters = 1)
+    Dedup.pqEncode(t.embeddings, "vec_id", "embedding", book)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+  }
+
+  /** Label propagation over the co-purchase graph — x152's iterative
+    * fixed-point template generalized from PageRank to community
+    * detection (Raghavan et al. 2007, synchronous variant): every part
+    * starts in its own community (label = own key), and each of 3
+    * rounds relabels a part to the most frequent label among its
+    * co-purchase neighbors (ties → smallest label, so the fixed point
+    * is deterministic and the oracle replays it exactly). Output is the
+    * community-size histogram — the clustering readout behind
+    * curriculum bucketing and topic-balanced sampling of a linked
+    * corpus. Edges carry a MIN-SUPPORT threshold (co-purchased in ≥ 2
+    * distinct orders — the association-rule support cut): on random
+    * baskets single co-occurrences are the quadratic noise floor, and
+    * pruning them both exposes genuine structure (sf0.1: 1.196M raw
+    * edges → 3.6k strong ones, 18.9k communities instead of total
+    * collapse) and shrinks the iterated frame by 300× before any
+    * propagation runs — at 100 TB the support filter is what keeps the
+    * per-round join proportional to SIGNAL, not to pair noise.
+    *
+    * Scale shape — the x152 discipline verbatim: the edge frame is
+    * built once (bounded per-order self-join, ≤C(7,2) pairs/order),
+    * pre-partitioned on the probe key and localCheckpointed so each
+    * round reuses the shuffle instead of replaying the lineage; one
+    * round = one keyed join + one (pk, lbl) count (map-side combined) +
+    * one per-pk argmax as `min(struct(-cnt, lbl))` — an AGGREGATE, not
+    * a window: it combines map-side and never materializes a per-key
+    * sort, unlike the oracle's row_number replay. Labels are keys
+    * (integers), so every step is exact and engine-portable — the same
+    * reason x152 runs integer fixed-point instead of float ranks. */
+  val x156 = Q(
+    "x156_label_propagation",
+    Some {
+      def iter(prev: String, cur: String) =
+        s"n$cur AS (SELECT u.pk, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt " +
+          s"FROM und u JOIN l$prev l ON u.other = l.pk GROUP BY u.pk, l.lbl), " +
+          s"w$cur AS (SELECT pk, lbl FROM (SELECT pk, lbl, " +
+          "row_number() OVER (PARTITION BY pk ORDER BY cnt DESC, lbl ASC) AS rn " +
+          s"FROM n$cur) t WHERE rn = 1), " +
+          s"l$cur AS (SELECT p.p_partkey AS pk, COALESCE(w.lbl, p.p_partkey) AS lbl " +
+          s"FROM part p LEFT JOIN w$cur w ON p.p_partkey = w.pk)"
+      "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM op a " +
+        "JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
+        "und AS (SELECT pa AS pk, pb AS other FROM pairs " +
+        "UNION ALL SELECT pb, pa FROM pairs), " +
+        "l0 AS (SELECT p_partkey AS pk, p_partkey AS lbl FROM part), " +
+        s"${iter("0", "1")}, ${iter("1", "2")}, ${iter("2", "3")} " +
+        "SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_parts " +
+        "FROM l3 GROUP BY lbl"
+    }
+  ) { t =>
+    val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val pairs = op
+      .join(b, col("l_orderkey") === col("ok") && col("l_partkey") < col("pb"))
+      .groupBy(col("l_partkey").as("pa"), col("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("pa"), col("pb"))
+    val und = pairs.select(col("pa").as("pk"), col("pb").as("other"))
+      .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other")))
+      .repartition(col("other"))
+      .localCheckpoint(true)
+    val parts = t.part.select(col("p_partkey").as("pk"))
+    var labels = parts.withColumn("lbl", col("pk"))
+    for (_ <- 1 to 3) {
+      val nb = und
+        .join(labels.select(col("pk").as("other"), col("lbl")), "other")
+        .groupBy(col("pk"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val win = nb.groupBy(col("pk"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("w"))
+        .select(col("pk"), col("w.l").as("newlbl"))
+      labels = parts.join(win, Seq("pk"), "left")
+        .select(col("pk"), coalesce(col("newlbl"), col("pk")).as("lbl"))
+    }
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_parts"))
+      .select(col("lbl").as("community"), col("n_parts"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -4915,6 +5058,7 @@ object TrainingData {
     x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
-    x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154
+    x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
+    x155, x156
   )
 }

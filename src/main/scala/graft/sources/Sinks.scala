@@ -209,11 +209,39 @@ object Sinks {
     val b = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    // empty input or an all-null key column: no bounds → no meaningful
+    // z-key; write the frame as-is instead of NPEing on the bounds row
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (aMin, aMax, bMin, bMax) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    // 16-bit range id, overflow-safe across the full int64 key domain.
+    // Narrow spans (the overwhelmingly common case) keep the exact
+    // multiply-then-divide normalization — it stretches a small domain
+    // onto the full 16-bit grid, which is what equalizes bit width
+    // between the two keys (the whole point of the interleave); the
+    // product (c-lo)·65535 stays under 2^63 whenever span ≤ 2^63/65535
+    // ≈ 1.4e14. Beyond that the old form overflowed int64 silently, so
+    // the wide regime divides each side by the bucket width BEFORE
+    // subtracting (span computed in BigInt — a mixed-sign domain can
+    // exceed int64 itself); width ≈ span/2^16 keeps the id on the full
+    // grid, and DIV truncates toward zero identically in Spark and on
+    // the Scala side (loQ), so the id stays monotone in the key. Stray
+    // NULL keys coalesce to the low bucket; LEAST/GREATEST clamp the
+    // ±1 edge buckets wide-regime truncation can produce.
     def grid(c: String, lo: Long, hi: Long): String = {
-      val range = math.max(1L, hi - lo)
-      s"((CAST($c AS BIGINT) - ${lo}L) * 65535L) DIV ${range}L"
+      val span = BigInt(hi) - BigInt(lo)
+      val cc = s"COALESCE(CAST($c AS BIGINT), ${lo}L)"
+      if (span <= Long.MaxValue / 65535L - 1) {
+        val s = math.max(1L, span.toLong)
+        s"(($cc - ${lo}L) * 65535L) DIV ${s}L"
+      } else {
+        val width = ((span >> 16) + 1).toLong
+        val loQ = lo / width
+        s"LEAST(65535L, GREATEST(0L, $cc DIV ${width}L - ${loQ}L))"
+      }
     }
     df.withColumn("__z",
         expr(s"z_value(${grid(colA, aMin, aMax)}, ${grid(colB, bMin, bMax)})"))
@@ -243,14 +271,40 @@ object Sinks {
     * streaming writers: a replayed batch still overwrites its own
     * `batch_id=<id>` directory, so idempotence survives compaction.
     *
+    * Crash/concurrency contract:
+    *   - The swap is RECOVERABLE: the previous generation is kept at
+    *     `<path>.__compact_old` until the new root is verified in
+    *     place; a crash between the two renames leaves `old` intact and
+    *     [[recoverCompaction]] (run here on entry, and safe to run at
+    *     every startup) restores it — no window where the canonical
+    *     path's data is gone for good.
+    *   - Concurrent appends that create a NEW first-level partition
+    *     directory (the streaming registries' `batch_id=<id>` layout —
+    *     micro-batch ids are monotone, each lands a fresh directory)
+    *     are SALVAGED: directories that appear under the old generation
+    *     after the compaction read are moved into the new root before
+    *     `old` is deleted, so a micro-batch landing mid-compaction is
+    *     never silently dropped.
+    *   - Appends INTO an already-existing partition directory during
+    *     the swap are NOT protected (they ride the old generation into
+    *     the salvage diff only if their directory is new) — stop such
+    *     writers first. The registry streams here never do this: a
+    *     replayed batch overwrites its own directory, which the salvage
+    *     pass also preserves.
+    *
     * Returns (files before, files after). */
   def compactPartitioned(
       spark: SparkSession, path: String, partitionCols: Seq[String],
-      maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
+      maxRecordsPerFile: Long = 5000000L,
+      // test seam: runs between the rewrite and the swap — the window
+      // the salvage pass protects; CompactionSpec injects a concurrent
+      // micro-batch here deterministically instead of racing threads
+      onBeforeSwap: () => Unit = () => ()): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
+    recoverCompaction(spark, path)
     def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
       val it = fs.listFiles(p, true)
       var n = 0L
@@ -261,20 +315,66 @@ object Sinks {
       }
       n
     }
+    def topDirs(p: org.apache.hadoop.fs.Path): Set[String] =
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
     val before = dataFiles(root)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".__compact_old")
     fs.delete(tmp, true)
+    // snapshot the partition-directory set the compaction read covers;
+    // anything beyond this set at swap time arrived concurrently
+    val snapshot = topDirs(root)
     spark.read.parquet(path)
       .repartition(partitionCols.map(col): _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(tmp.toString)
+    onBeforeSwap()
     fs.delete(old, true)
     require(fs.rename(root, old), s"compaction swap failed: $root -> $old")
+    // crash here: root is gone but old is intact -> recoverCompaction
     require(fs.rename(tmp, root), s"compaction swap failed: $tmp -> $root")
+    // salvage micro-batch directories that landed after the read
+    (topDirs(old) -- snapshot).foreach { d =>
+      require(fs.rename(new org.apache.hadoop.fs.Path(old, d),
+        new org.apache.hadoop.fs.Path(root, d)),
+        s"compaction salvage failed: $old/$d -> $root/$d")
+    }
+    // delete the old generation ONLY once the new root is verified
+    require(fs.exists(root) && fs.listStatus(root).nonEmpty,
+      s"compaction verification failed: $root missing or empty; " +
+        s"previous generation preserved at $old")
     fs.delete(old, true)
     (before, dataFiles(root))
+  }
+
+  /** Startup recovery for [[compactPartitioned]]: if a crash between
+    * the two swap renames left the canonical `path` missing while the
+    * previous generation survives at `<path>.__compact_old`, restore
+    * it (rename back). Idempotent and cheap — safe to call every time
+    * a registry is opened; a dangling `old` NEXT TO a healthy root is
+    * a completed-but-unconfirmed swap and is simply cleaned up after
+    * salvaging any unmerged late partition directories. */
+  def recoverCompaction(spark: SparkSession, path: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val old = new org.apache.hadoop.fs.Path(path + ".__compact_old")
+    if (!fs.exists(old)) return
+    if (!fs.exists(root)) {
+      require(fs.rename(old, root), s"compaction recovery failed: $old -> $root")
+    } else {
+      def topDirs(p: org.apache.hadoop.fs.Path): Set[String] =
+        fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      (topDirs(old) -- topDirs(root)).foreach { d =>
+        require(fs.rename(new org.apache.hadoop.fs.Path(old, d),
+          new org.apache.hadoop.fs.Path(root, d)),
+          s"compaction recovery salvage failed: $old/$d -> $root/$d")
+      }
+      fs.delete(old, true)
+    }
   }
 }

@@ -63,9 +63,14 @@ object IvfPqServeStream {
         val spark = batch.sparkSession
         graft.functions.VectorExpressions.ensureRegistered(spark)
         def part(name: String): DataFrame = spark.read.parquet(s"$indexDir/$name")
+        // excludeSelf = false: serving query ids are EXTERNAL — a
+        // numeric collision with an unrelated corpus vid must not
+        // silently drop that true neighbor (the x153 batch path, whose
+        // queries ARE corpus members, keeps the exclusion).
         Dedup.ivfPqAnswer(
             batch.toDF(), part("cents"), part("book"), part("codes"),
-            part("vectors"), nprobe, topK, shortlist, m, subDim)
+            part("vectors"), nprobe, topK, shortlist, m, subDim,
+            excludeSelf = false)
           .write.mode("overwrite").parquet(s"$answersPath/batch_id=$batchId")
       }
       .start()

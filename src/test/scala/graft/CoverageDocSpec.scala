@@ -38,6 +38,28 @@ class CoverageDocSpec extends AnyFunSuite {
         s"(renamed or removed?): ${stale.mkString(", ")}")
   }
 
+  /** README's stated counts drifted once (187 left behind at 188 —
+    * round-9 verdict); derive them from the registry instead of
+    * trusting the prose. README must say "<N> registered" where N =
+    * the registry size, and its check_oracle PASS line must read
+    * "<M>/<M>" where M = the oracle count (registry minus the
+    * documented no-oracle rows). */
+  test("README.md query counts match the registry") {
+    val readme = {
+      val src = Source.fromFile("README.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val n = SparkEntry.queries.size
+    val m = SparkEntry.oracleSql.size
+    val stated = "(\\d+) registered".r.findFirstMatchIn(readme).map(_.group(1).toInt)
+    assert(stated.contains(n),
+      s"README says '${stated.orNull} registered' but the registry has $n queries")
+    val pass = "PASS: (\\d+)/(\\d+)".r.findFirstMatchIn(readme)
+      .map(mm => (mm.group(1).toInt, mm.group(2).toInt))
+    assert(pass.contains((m, m)),
+      s"README's check_oracle line says ${pass.orNull} but the oracle set has $m entries")
+  }
+
   test("every oracle key is a registered query with non-empty SQL") {
     val keys = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(keys))

@@ -73,4 +73,31 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zp < np * 0.5, s"partkey span $zp !< ${np * 0.5}")
     assert(zs < ns * 0.5, s"suppkey span $zs !< ${ns * 0.5}")
   }
+
+  test("guards: empty frame, all-null key, and extreme-domain keys") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("zorder-guards").toString
+
+    // empty input: bounds row is null — write must succeed, not NPE
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    Sinks.writeZOrdered(empty, s"$root/empty", "a", "b", 4)
+    assert(spark.read.parquet(s"$root/empty").count() === 0)
+
+    // all-null key column: same degenerate-bounds path
+    val nullKey = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+      .withColumn("a", lit(null).cast("long"))
+    Sinks.writeZOrdered(nullKey, s"$root/nullkey", "a", "b", 4)
+    assert(spark.read.parquet(s"$root/nullkey").count() === 2)
+
+    // a key domain wider than 2^63/65535 (the old multiply overflowed
+    // int64 here silently): write succeeds and rows round-trip
+    val wide = Seq(
+      (Long.MinValue + 1, 1L), (-1L, 2L), (0L, 3L), (Long.MaxValue, 4L)
+    ).toDF("a", "b")
+    Sinks.writeZOrdered(wide, s"$root/wide", "a", "b", 2)
+    val back = spark.read.parquet(s"$root/wide")
+      .as[(Long, Long)].collect().toSet
+    assert(back === Set((Long.MinValue + 1, 1L), (-1L, 2L), (0L, 3L),
+      (Long.MaxValue, 4L)))
+  }
 }

@@ -55,10 +55,25 @@ class IvfPqServeStreamSpec extends AnyFunSuite {
         .select("query_id", "neighbor_id", "qdist").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val streamed = canon(spark.read.parquet(s"$root/answers"))
-      val batch = canon(Dedup.ivfPqSearch(emb, "vec_id", "embedding",
-        col("vec_id") < 10, k = 16, nprobe = 4, topK = 5, shortlist = 50))
+      // batch twin under the SERVING contract (excludeSelf=false —
+      // serving ids are external, so an id collision with a corpus vid
+      // must not drop that neighbor): same standing index frames.
+      def part2(name: String) = spark.read.parquet(s"$root/index/$name")
+      val qraw = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val batch = canon(Dedup.ivfPqAnswer(qraw, part2("cents"), part2("book"),
+        part2("codes"), part2("vectors"), nprobe = 4, topK = 5,
+        shortlist = 50, m = 8, subDim = 8, excludeSelf = false))
       assert(streamed === batch)
       assert(streamed.nonEmpty)
+      // the collision pin: these query ids DO collide with corpus vids
+      // (they are corpus members), and serving still returns the
+      // colliding vector (distance 0) instead of silently dropping it
+      assert(queries.forall { case (qid, _) => streamed((qid, qid, 0L)) })
+      // ...while the batch corpus-member path keeps self-exclusion
+      val excl = canon(Dedup.ivfPqSearch(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 16, nprobe = 4, topK = 5, shortlist = 50))
+      assert(excl.forall { case (qid, nid, _) => qid != nid })
     } finally q.stop()
   }
 }
