@@ -30,15 +30,28 @@ import org.apache.spark.sql.functions._
   * All perturbations are pure column arithmetic (xxhash64-seeded) —
   * bit-reproducible on any partitioning, no RNG state anywhere.
   *
-  * Usage: `runMain graft.GenSf <baseDir> <outDir> <factor>`.
+  * Usage: `runMain graft.GenSf <baseDir> <outDir> <factor> [--clustered]`
+  * (the flag regenerates `embeddings.embedding` as a 32-cluster mixture
+  * — the realistic-corpus twin of the default near-uniform vectors).
   * Do not point queries' CORRECTNESS runs here — this directory is for
   * relative timing only (the DuckDB oracle gate stays on driver data).
   */
 object GenSf {
 
   def main(args: Array[String]): Unit = {
-    val Array(baseDir, outDir, factorStr) = args
-    val factor = factorStr.toInt
+    val (baseDir, outDir, factor) = (args(0), args(1), args(2).toInt)
+    // --clustered: regenerate the embedding COLUMN as a mixture of 32
+    // tight deterministic clusters (centers ±1-scale from xxhash on
+    // (cluster, dim), ±0.05 jitter from xxhash on (vec_id, dim))
+    // instead of replicating the base's near-uniform vectors. The
+    // uniform corpus is the pinned WORST case for every quantizer
+    // (PqLab's round-9 recall numbers are worst-case-on-worst-case);
+    // real embedding corpora cluster, and this mode is the timing/
+    // recall twin for that regime — in particular the corpus where
+    // trained PQ codebooks (pqCodebookLloyd) separate from seed books.
+    // Same replication/id-shift discipline otherwise; timing-only, like
+    // every GenSf output.
+    val clustered = args.length > 3 && args(3) == "--clustered"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -125,16 +138,26 @@ object GenSf {
         .withColumn("n_chars", length(col("text")).cast("long")),
       "documents")
 
-    // embeddings: deterministic jitter on copy>0 components
-    val jittered = replicate(embeddings, Map("vec_id" -> vecS))
-      .withColumn("embedding",
-        when(col("__copy") === 0, col("embedding")).otherwise(
-          zip_with(
-            col("embedding"),
-            transform(col("embedding"), (_, i) => i),
-            (v, i) => (v + (pmod(xxhash64(col("vec_id"), i), lit(10000))
-              .cast("double") - lit(5000.0)) * lit(1e-6)).cast("float"))))
-    write(jittered, "embeddings")
+    // embeddings: deterministic jitter on copy>0 components (default),
+    // or full clustered regeneration (--clustered; see main's scaladoc)
+    val reps2 = replicate(embeddings, Map("vec_id" -> vecS))
+    val outEmb =
+      if (clustered)
+        reps2.withColumn("embedding",
+          transform(col("embedding"), (_, i) =>
+            ((pmod(xxhash64(pmod(col("vec_id"), lit(32L)), i), lit(2001))
+                .cast("double") - lit(1000.0)) / lit(1000.0) +
+              (pmod(xxhash64(col("vec_id"), i), lit(101))
+                .cast("double") - lit(50.0)) / lit(1000.0)).cast("float")))
+      else
+        reps2.withColumn("embedding",
+          when(col("__copy") === 0, col("embedding")).otherwise(
+            zip_with(
+              col("embedding"),
+              transform(col("embedding"), (_, i) => i),
+              (v, i) => (v + (pmod(xxhash64(col("vec_id"), i), lit(10000))
+                .cast("double") - lit(5000.0)) * lit(1e-6)).cast("float"))))
+    write(outEmb, "embeddings")
 
     spark.stop()
   }

@@ -68,6 +68,59 @@ object PqLab {
       println(s"""{"metric":"pq_rerank","m":$m,"ks":$ks,"shortlist":$sl,""" +
         s""""code_bits":$bits,"sec":$t,"recall":$recall,"sf":"$dir"}""")
     }
+
+    // codebook-source comparison (seed vs Lloyd-trained) at the default
+    // 8×16 shape: ADC-only top-5 recall is the sharpest codebook-quality
+    // readout (re-rank recall is shortlist-dominated — the round-9
+    // finding); total encode distortion is the quantity Lloyd provably
+    // never increases. Run against a `GenSf --clustered` directory for
+    // the realistic-corpus numbers; the driver's near-uniform vectors
+    // are the quantizer's pinned worst case.
+    def recallOf(got: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq
+        .map(q => got.getOrElse(q, Set.empty).intersect(exact(q)).size).sum.toDouble /
+        (exact.size * 5)
+    def adcRecall(book: Option[org.apache.spark.sql.DataFrame]): (Double, Double) = {
+      val (got, t) = timed(sets(
+        Dedup.pqSearch(emb, "vec_id", "embedding", pred, topK = 5, book = book)))
+      (recallOf(got), t)
+    }
+    // re-rank recall is the PRODUCTION metric — on clustered corpora
+    // ADC-only top-5 is tie-limited within a cluster (all members share
+    // codes), so shortlist capture + exact re-rank is where codebook
+    // quality actually lands
+    def rerankRecall(book: Option[org.apache.spark.sql.DataFrame]): Double =
+      recallOf(sets(Dedup.pqSearchRerank(
+        emb, "vec_id", "embedding", pred, topK = 5, shortlist = 50, book = book)))
+    def distortion(book: org.apache.spark.sql.DataFrame): Long =
+      Dedup.pqEncode(emb, "vec_id", "embedding", book)
+        .join(book.select(col("cent_id").as("code"), col("ce")), "code")
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(expr("pq_subdist(embedding, ce, sub, 8)").as("d"))
+        .agg(sum("d")).head().getLong(0)
+    // ks ∈ {16, 64}: on tight clusters ks is the RESOLUTION lever (a
+    // 16-entry book can't subdivide 32 clusters, and the subspace
+    // count m can't either — splitting dimensions splits every cluster
+    // the same way), so the trained-vs-seed comparison runs at both
+    // the default and the resolving codebook size
+    for (ks <- Seq(16, 64)) {
+      def row(source: String, iters: Int, tTrain: Double,
+          book: org.apache.spark.sql.DataFrame): Unit = {
+        val (r, t) = adcRecall(Some(book))
+        println(s"""{"metric":"pq_codebook","source":"$source","ks":$ks,""" +
+          s""""iters":$iters,"train_sec":$tTrain,"sec":$t,"adc_recall":$r,""" +
+          s""""rerank_recall":${rerankRecall(Some(book))},""" +
+          s""""distortion":${distortion(book)},"sf":"$dir"}""")
+      }
+      row("seed", 0, 0.0,
+        Dedup.pqCodebook(emb, "vec_id", "embedding", ks).localCheckpoint(true))
+      for (iters <- Seq(1, 2)) {
+        val (book, tTrain) = timed(
+          Dedup.pqCodebookLloyd(emb, "vec_id", "embedding", iters, ks = ks)
+            .localCheckpoint(true))
+        row("lloyd", iters, tTrain, book)
+      }
+    }
     spark.stop()
   }
 }

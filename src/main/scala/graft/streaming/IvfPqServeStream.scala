@@ -49,29 +49,51 @@ object IvfPqServeStream {
 
   /** Start serving over a streaming frame carrying (`query_id`,
     * `qvec`). Per-batch answer rows (query_id, neighbor_id, qdist —
-    * the x153 schema) land under `answersPath/batch_id=<id>`. */
+    * the x153 schema) land under `answersPath/batch_id=<id>`.
+    *
+    * The standing index is loaded and PINNED once here — per-batch
+    * re-reads of the index parquet were the measured fixed cost of
+    * every micro-batch (ServeLab, round 10: footer reads + re-planning
+    * dominated small-batch latency). `cents`/`book` are broadcast-sized
+    * by construction; `codes` is the RAM-resident piece of the IVFADC
+    * memory story (8 bytes/vector packed-equivalent — caching it IS the
+    * design); `vectors` is touched only for `queries × shortlist` rows
+    * per batch and spills to disk harmlessly under MEMORY_AND_DISK at
+    * scales where it outgrows executor storage. The cache lives with
+    * the session; stopping the query releases it on the next eviction
+    * (or unpersist the frames explicitly when decommissioning an index
+    * release). */
   def startServe(
       queryStream: DataFrame,
       indexDir: String,
       answersPath: String,
       checkpoint: String,
       nprobe: Int, topK: Int, shortlist: Int = 50,
-      m: Int = 8, subDim: Int = 8): StreamingQuery =
+      m: Int = 8, subDim: Int = 8): StreamingQuery = {
+    val spark = queryStream.sparkSession
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    def pin(name: String): DataFrame = {
+      val df = spark.read.parquet(s"$indexDir/$name")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize once, before the first batch arrives
+      df
+    }
+    val (cents, book, codes, vectors) =
+      (pin("cents"), pin("book"), pin("codes"), pin("vectors"))
     queryStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        graft.functions.VectorExpressions.ensureRegistered(spark)
-        def part(name: String): DataFrame = spark.read.parquet(s"$indexDir/$name")
+        graft.functions.VectorExpressions.ensureRegistered(batch.sparkSession)
         // excludeSelf = false: serving query ids are EXTERNAL — a
         // numeric collision with an unrelated corpus vid must not
         // silently drop that true neighbor (the x153 batch path, whose
         // queries ARE corpus members, keeps the exclusion).
         Dedup.ivfPqAnswer(
-            batch.toDF(), part("cents"), part("book"), part("codes"),
-            part("vectors"), nprobe, topK, shortlist, m, subDim,
+            batch.toDF(), cents, book, codes, vectors,
+            nprobe, topK, shortlist, m, subDim,
             excludeSelf = false)
           .write.mode("overwrite").parquet(s"$answersPath/batch_id=$batchId")
       }
       .start()
+  }
 }

@@ -106,6 +106,66 @@ class PqSpec extends AnyFunSuite {
       s"routing should not collapse recall: ${recall(ivfpq)} vs ${recall(full)}")
   }
 
+  test("trained codebook: Lloyd never increases distortion; recall holds on clustered vectors") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // clustered corpus with a deliberately MIS-CENTERED seed book: the
+    // first 16 vectors (the seed codebook) all sit in cluster 0, the
+    // rest spread over 8 well-separated clusters — the configuration
+    // codebook training exists for. Deterministic integer-mix centers
+    // (±1 scale) + ±0.05 jitter.
+    def mix(a: Long, b: Long): Long = {
+      var x = a * 0x9E3779B97F4A7C15L + (b + 1) * 0xC2B2AE3D27D4EB4FL
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 29); x
+    }
+    val rows = (0 until 400).map { id =>
+      val c = if (id < 16) 0 else id % 8
+      val vec = (0 until 64).map { i =>
+        val center = (Math.floorMod(mix(c, i), 2001) - 1000) / 1000.0f
+        val jit = (Math.floorMod(mix(id + 1000L, i), 101) - 50) / 1000.0f
+        center + jit
+      }.toArray
+      (id.toLong, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .cache()
+
+    def distortion(book: org.apache.spark.sql.DataFrame): Long =
+      Dedup.pqEncode(df, "vec_id", "embedding", book)
+        .join(book.select(col("cent_id").as("code"), col("ce")), "code")
+        .join(df, "vec_id")
+        .select(expr("pq_subdist(embedding, ce, sub, 8)").as("d"))
+        .agg(sum("d")).head().getLong(0)
+    val seed = Dedup.pqCodebook(df, "vec_id", "embedding")
+    val t1 = Dedup.pqCodebookLloyd(df, "vec_id", "embedding", iters = 1)
+    val t2 = Dedup.pqCodebookLloyd(df, "vec_id", "embedding", iters = 2)
+    val (d0, d1, d2) = (distortion(seed), distortion(t1), distortion(t2))
+    // k-means monotonicity (mean step then argmin step both only
+    // decrease the objective; the ≤1e-6 quantized-mean perturbation is
+    // orders below the clustered-corpus distortion gap)
+    assert(d1 <= d0, s"1-iter distortion $d1 !<= seed $d0")
+    assert(d2 <= d1, s"2-iter distortion $d2 !<= 1-iter $d1")
+    // and on this mis-seeded corpus the improvement is material
+    assert(d1 < d0 * 9 / 10, s"expected a real distortion drop: $d1 vs $d0")
+
+    // ADC-only recall against the exact quantized metric: training must
+    // not regress it (and on clustered corpora it is what lifts it —
+    // PqLab records the measured values)
+    val pred = col("vec_id") >= 16 && col("vec_id") < 26
+    val exact = topkSets(
+      Dedup.pqQuantizedExactTopK(df, "vec_id", "embedding", pred, topK = 5))
+    def adcRecall(book: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = topkSets(
+        Dedup.pqSearch(df, "vec_id", "embedding", pred, topK = 5, book = book))
+      exact.keys.toSeq
+        .map(q => got.getOrElse(q, Set.empty).intersect(exact(q)).size).sum.toDouble /
+        (exact.size * 5)
+    }
+    val (rs, rt) = (adcRecall(Some(seed)), adcRecall(Some(t1)))
+    assert(rt >= rs - 0.1, s"trained recall $rt collapsed vs seed $rs")
+  }
+
   test("ADC plan never touches corpus vectors: code frame joins only broadcast tables") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val plan = Dedup.pqSearch(emb, "vec_id", "embedding", col("vec_id") < 10, topK = 5)
