@@ -826,18 +826,19 @@ object Dedup {
   def ivfPqSearch(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
       topK: Int, shortlist: Int = 50,
-      m: Int = 8, subDim: Int = 8, ks: Int = 16): DataFrame = {
+      m: Int = 8, subDim: Int = 8, ks: Int = 16,
+      book: Option[DataFrame] = None): DataFrame = {
     val (cents, assigned) = ivfIndex(df, idCol, vecCol, k, 0)
-    val codes = pqCodes(df, idCol, vecCol, m, subDim, ks)
+    val theBook = book.getOrElse(pqCodebook(df, idCol, vecCol, ks))
+    val codes = pqEncode(df, idCol, vecCol, theBook, m, subDim)
       .join(assigned.select(col(idCol), col("cell")), idCol)
       .select(col(idCol).as("vid"), col("sub"), col("code"), col("cell"))
-    val book = pqCodebook(df, idCol, vecCol, ks)
     // queryPred is over idCol (e.g. col("vec_id") < 10): applied BEFORE
     // any rename, uniformly for routing, ADC tables, and re-rank queries
     val qraw = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val vectors = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    ivfPqAnswer(qraw, cents, book, codes, vectors,
+    ivfPqAnswer(qraw, cents, theBook, codes, vectors,
       nprobe, topK, shortlist, m, subDim, excludeSelf = true)
   }
 

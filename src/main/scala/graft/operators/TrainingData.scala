@@ -4941,25 +4941,35 @@ object TrainingData {
     * (both engines coalesce). PqLab's seed-vs-trained rows quantify
     * the recall this buys on clustered corpora (GenSf `--clustered`),
     * where the seed book is provably mis-centered. */
+  /** Trained-codebook CTEs (oracle side), replicating
+    * [[Dedup.pqCodebookLloyd]] (one iteration) exactly on top of
+    * `duckPqCtes`: per-(code, dim) exact-long means over the seed
+    * assignment, float-cast then requantized (the same
+    * long→double→float→⌊·10⁶⌋ round-trip the Spark side performs),
+    * seed-coalesced empty cells, then the re-encode distances `tsd`
+    * and trained codes `tcodes`. Shared by x155 and x158. */
+  private val duckTrainedPqCtes: String =
+    "tmean AS (SELECT c.code, d.i, CAST(SUM(d.v) AS DOUBLE) / " +
+      "(CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mv " +
+      "FROM pqd d JOIN pqcodes c ON d.vec_id = c.vec_id AND d.sub = c.sub " +
+      "GROUP BY 1, 2), " +
+      "tbook AS (SELECT g.cent_id, g.i, g.sub, " +
+      "COALESCE(CAST(floor(CAST(CAST(t.mv AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT), " +
+      "g.cv) AS tv " +
+      "FROM pqc g LEFT JOIN tmean t ON g.cent_id = t.code AND g.i = t.i), " +
+      "tsd AS (SELECT d.vec_id, b.cent_id, d.sub, " +
+      "CAST(SUM((d.v - b.tv) * (d.v - b.tv)) AS BIGINT) AS d " +
+      "FROM pqd d JOIN tbook b ON d.i = b.i GROUP BY 1, 2, 3), " +
+      "tcodes AS (SELECT vec_id, sub, cent_id AS code FROM (" +
+      "SELECT vec_id, sub, cent_id, " +
+      "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn " +
+      "FROM tsd) t WHERE rn = 1)"
+
   val x155 = Q(
     "x155_pq_trained_codes",
     Some(
-      s"WITH $duckPqCtes, " +
-        "tmean AS (SELECT c.code, d.i, CAST(SUM(d.v) AS DOUBLE) / " +
-        "(CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mv " +
-        "FROM pqd d JOIN pqcodes c ON d.vec_id = c.vec_id AND d.sub = c.sub " +
-        "GROUP BY 1, 2), " +
-        "tbook AS (SELECT g.cent_id, g.i, g.sub, " +
-        "COALESCE(CAST(floor(CAST(CAST(t.mv AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT), " +
-        "g.cv) AS tv " +
-        "FROM pqc g LEFT JOIN tmean t ON g.cent_id = t.code AND g.i = t.i), " +
-        "tsd AS (SELECT d.vec_id, b.cent_id, d.sub, " +
-        "CAST(SUM((d.v - b.tv) * (d.v - b.tv)) AS BIGINT) AS d " +
-        "FROM pqd d JOIN tbook b ON d.i = b.i GROUP BY 1, 2, 3) " +
-        "SELECT vec_id, sub, code FROM (" +
-        "SELECT vec_id, sub, cent_id AS code, " +
-        "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn " +
-        "FROM tsd) t WHERE rn = 1"
+      s"WITH $duckPqCtes, $duckTrainedPqCtes " +
+        "SELECT vec_id, sub, code FROM tcodes"
     )
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
@@ -5047,6 +5057,128 @@ object TrainingData {
       .select(col("lbl").as("community"), col("n_parts"))
   }
 
+  /** WEIGHTED PageRank — x152 with edge mass proportional to
+    * co-purchase support (number of distinct orders containing both
+    * parts) instead of uniform 1/degree: the authority signal when
+    * link strength matters (repeat co-citation ≫ one shared basket —
+    * the weighting every production citation/source-authority graph
+    * uses). Same fixed-point integer template, third instantiation
+    * (x152 uniform rank flow, x156 label votes, here weighted flow):
+    * contribution of v to u = rank(v)·w(v,u) div W(v) with W(v) the
+    * out-weight sum — exact longs throughout (rank ≤ S=10¹², support
+    * ≤ order count, product ≪ 2⁶³), floor losses deterministic and
+    * identical cross-engine, so 3 iterations later the top-20 is
+    * hash-exact. Scale shape identical to x152: bounded within-order
+    * pair generation, edge+weight frame pre-partitioned on the probe
+    * key and localCheckpointed once, per-iteration one keyed join +
+    * one keyed aggregate. */
+  val x157 = Q(
+    "x157_weighted_pagerank",
+    Some {
+      val S = "1000000000000"
+      val tele = s"(15 * ($S // (SELECT n FROM nn))) // 100"
+      def iter(prev: String, cur: String) =
+        s"c$cur AS (SELECT u.other, (r.rank * u.w) // d.wsum AS c FROM und u " +
+          s"JOIN r$prev r ON u.pk = r.pk JOIN wd d ON u.pk = d.pk), " +
+          s"i$cur AS (SELECT other AS pk, SUM(c) AS inflow FROM c$cur GROUP BY other), " +
+          s"r$cur AS (SELECT p.p_partkey AS pk, CAST($tele + " +
+          "(85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank " +
+          s"FROM part p LEFT JOIN i$cur i ON p.p_partkey = i.pk)"
+      "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, " +
+        "CAST(COUNT(*) AS BIGINT) AS w FROM op a " +
+        "JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2), " +
+        "und AS (SELECT pa AS pk, pb AS other, w FROM pairs " +
+        "UNION ALL SELECT pb, pa, w FROM pairs), " +
+        "wd AS (SELECT pk, CAST(SUM(w) AS BIGINT) AS wsum FROM und GROUP BY pk), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part), " +
+        s"r0 AS (SELECT p_partkey AS pk, CAST($S // (SELECT n FROM nn) AS BIGINT) " +
+        "AS rank FROM part), " +
+        s"${iter("0", "1")}, ${iter("1", "2")}, ${iter("2", "3")} " +
+        "SELECT pk, rank FROM r3 ORDER BY rank DESC, pk LIMIT 20"
+    }
+  ) { t =>
+    val S = 1000000000000L
+    val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val pairs = op
+      .join(b, col("l_orderkey") === col("ok") && col("l_partkey") < col("pb"))
+      .groupBy(col("l_partkey").as("pa"), col("pb"))
+      .agg(count(lit(1)).as("w"))
+    val und = pairs.select(col("pa").as("pk"), col("pb").as("other"), col("w"))
+      .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other"), col("w")))
+      .repartition(col("pk"))
+      .localCheckpoint(true)
+    val wd = und.groupBy(col("pk")).agg(sum(col("w")).as("wsum"))
+      .localCheckpoint(true)
+    val parts = t.part.select(col("p_partkey").as("pk"))
+    val n = parts.count()
+    val r0 = S / n
+    val tele = (15L * r0) / 100L
+    var ranks = parts.withColumn("rank", lit(r0))
+    for (_ <- 1 to 3) {
+      val contrib = und
+        .join(ranks.select(col("pk"), col("rank")), "pk")
+        .join(wd, "pk")
+        .select(col("other"), expr("rank * w div wsum").as("c"))
+      val inflow = contrib.groupBy(col("other")).agg(sum(col("c")).as("inflow"))
+      ranks = parts.join(inflow, parts("pk") === inflow("other"), "left")
+        .select(col("pk"),
+          (lit(tele) + expr("85 * coalesce(inflow, 0L) div 100")).as("rank"))
+    }
+    ranks.orderBy(col("rank").desc, col("pk")).limit(20)
+  }
+
+  /** IVFADC with a TRAINED codebook — the full production ANN pipeline
+    * composed from verified parts: auto-k IVF routing (x146 policy) ×
+    * one-Lloyd-round PQ codebook (x155's `pqCodebookLloyd`) × ADC over
+    * the probed cells' TRAINED codes × exact quantized re-rank.
+    * This is the deployment configuration `IvfPqServeStream.buildIndex
+    * (trainIters = 1)` persists, registered as a batch query so the
+    * whole train→route→scan→re-rank composition carries a hash oracle:
+    * the DuckDB side composes the IVF list CTEs, the seed-PQ CTEs, and
+    * the trained-book CTEs verbatim — every stage exact int64 or
+    * replayed float round-trip, so the five-stage pipeline is
+    * bit-identical cross-engine. Scale shape is x153's ((n/k)·nprobe
+    * CODE rows per query) with x155's one-off linear training cost in
+    * front; recall deltas vs the seed book are PqLab's measured table
+    * (SCALE.md round 10). */
+  val x158 = Q(
+    "x158_ivfpq_trained_topk",
+    Some {
+      s"WITH ${duckIvfListCtes(nprobe = 4, topK = 5)}, $duckPqCtes, " +
+        s"$duckTrainedPqCtes, " +
+        "tqtab AS (SELECT vec_id AS query_id, cent_id, sub, d FROM tsd " +
+        "WHERE vec_id < 10), " +
+        "tadc AS (SELECT p.query_id, c.vec_id AS neighbor_id, " +
+        "CAST(SUM(t.d) AS BIGINT) AS adc_dist " +
+        "FROM tcodes c JOIN iassigned a ON c.vec_id = a.vec_id " +
+        "JOIN iprobed p ON a.cell = p.cell " +
+        "JOIN tqtab t ON t.query_id = p.query_id AND t.sub = c.sub " +
+        "AND t.cent_id = c.code " +
+        "WHERE c.vec_id <> p.query_id GROUP BY 1, 2), " +
+        "tsl AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn " +
+        "FROM tadc) t WHERE rn <= 50), " +
+        "trd AS (SELECT s.query_id, s.neighbor_id, " +
+        "CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS qdist " +
+        "FROM tsl s JOIN pqd a ON a.vec_id = s.query_id " +
+        "JOIN pqd b ON b.vec_id = s.neighbor_id AND b.i = a.i GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, qdist FROM (" +
+        "SELECT query_id, neighbor_id, qdist, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY qdist, neighbor_id) AS rn " +
+        "FROM trd) t WHERE rn <= 5"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val book = Dedup.pqCodebookLloyd(t.embeddings, "vec_id", "embedding", iters = 1)
+    Dedup.ivfPqSearch(t.embeddings, "vec_id", "embedding",
+      col("vec_id") < 10, k = ivfAutoK(t), nprobe = 4, topK = 5,
+      shortlist = 50, book = Some(book))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5059,6 +5191,6 @@ object TrainingData {
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
-    x155, x156
+    x155, x156, x157, x158
   )
 }

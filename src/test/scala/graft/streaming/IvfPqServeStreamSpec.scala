@@ -76,4 +76,53 @@ class IvfPqServeStreamSpec extends AnyFunSuite {
       assert(excl.forall { case (qid, nid, _) => qid != nid })
     } finally q.stop()
   }
+
+  test("trained-codebook index: serve ≡ batch answer core against the same frames") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+
+    val root = Files.createTempDirectory("ivfpq-serve-tr").toString
+    val emb = Tables(spark, sf).embeddings
+    IvfPqServeStream.buildIndex(emb, "vec_id", "embedding",
+      s"$root/index", k = 16, trainIters = 1)
+    // the persisted codes must be encodings against the persisted
+    // TRAINED book (not the seed book)
+    val book = spark.read.parquet(s"$root/index/book")
+    val expectCodes = Dedup.pqEncode(emb, "vec_id", "embedding", book)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val gotCodes = spark.read.parquet(s"$root/index/codes")
+      .select("vid", "sub", "code")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotCodes === expectCodes)
+    val seedCodes = Dedup.pqCodes(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotCodes !== seedCodes, "training should change some codes")
+
+    val queries = emb.filter(col("vec_id") < 6)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = IvfPqServeStream.startServe(
+      src.toDF().toDF("query_id", "qvec").select(
+        col("query_id"), col("qvec").cast("array<float>")),
+      s"$root/index", s"$root/answers", s"$root/ckpt",
+      nprobe = 4, topK = 5)
+    try {
+      src.addData(queries.toSeq: _*)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "neighbor_id", "qdist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def part(name: String) = spark.read.parquet(s"$root/index/$name")
+      val qraw = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val batch = canon(Dedup.ivfPqAnswer(qraw, part("cents"), part("book"),
+        part("codes"), part("vectors"), nprobe = 4, topK = 5,
+        shortlist = 50, m = 8, subDim = 8, excludeSelf = false))
+      assert(canon(spark.read.parquet(s"$root/answers")) === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
