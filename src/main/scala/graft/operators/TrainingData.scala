@@ -1409,17 +1409,20 @@ object TrainingData {
     * split assignment is a correctness-critical output, and the round-8
     * sf1 run measured the fixed-plane shape at exponent ~1.9 (bucket
     * size ∝ n at any fixed plane count) while the cell count k stays an
-    * explicit linear-work knob. The oracle replays the deterministic
-    * seed-centroid cells (the x143 tactic) into x52's recursive-CTE
-    * closure + portable-hash split. */
+    * explicit linear-work knob — set by the [[ivfAutoK]] policy since
+    * round 10, because the within-cell self-join here is exactly the
+    * n·(n/k) shape the k-law was measured on. The oracle replays the
+    * deterministic seed-centroid cells (the x143 tactic) at the same
+    * policy k into x52's recursive-CTE closure + portable-hash
+    * split. */
   val x64 = Q(
     "x64_semantic_safe_split",
     Some {
       def cos(a: String, an: String, b: String, bn: String) =
         s"${duckDot(a, b)} / ($an * $bn)"
-      s"WITH RECURSIVE $duckNorms, " +
+      s"WITH RECURSIVE $duckNorms, $duckAutoKCte, " +
         "cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
-        "FROM norms WHERE vec_id < 16), " +
+        "FROM norms WHERE vec_id < (SELECT k FROM kk)), " +
         "assigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
         "SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell, " +
         s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
@@ -1443,7 +1446,7 @@ object TrainingData {
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     Dedup.semanticSafeSplit(t.embeddings, "vec_id", "embedding",
-      threshold = 0.4, k = 16)
+      threshold = 0.4, k = ivfAutoK(t))
   }
 
   /** kNN label vote (x63) — semi-supervised auto-labeling over the
@@ -4113,7 +4116,9 @@ object TrainingData {
   /** Oracle twin of [[ivfAutoK]] — a scalar CTE both engines derive
     * from the same count, so the cell-count policy itself is replayed,
     * never hard-coded into the SQL text. */
-  private val duckAutoKCte: String =
+  // def, not val: referenced by x64 ABOVE this point in the object
+  // body — a val would still be null during that earlier initializer
+  private def duckAutoKCte: String =
     "kk AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k " +
       "FROM embeddings)"
 
