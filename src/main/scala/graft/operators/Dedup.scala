@@ -495,16 +495,22 @@ object Dedup {
   }
 
   /** Nearest-centroid assignment of every normed vector: tiny centroid
-    * frame broadcast, one corpus scan. */
+    * frame broadcast, one corpus scan. The per-vector argmax runs
+    * through [[Ranks.topKPerGroup]]'s bounded heap (k=1), NOT a raw
+    * row_number window: the window form shuffles all n·k scored rows
+    * (each carrying the embedding array) before sorting, and at the
+    * auto-k policy (k = ⌊√n⌋) that n·√n·256 B exchange IS the flat
+    * assignment cost the round-10 scaling pass measured as the
+    * sparse-query premium. The heap prune caps the exchange at one row
+    * per (partition, vector) — n rows total, k-invariant — with
+    * bit-identical output (the exact window re-runs on survivors). */
   private[graft] def assignToCells(norms: DataFrame, cents: DataFrame, idCol: String): DataFrame =
-    norms
-      .crossJoin(broadcast(cents))
-      .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
-        (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cent_id"))))
-      .filter(col("rn") === 1)
+    Ranks.topKPerGroup(
+      norms
+        .crossJoin(broadcast(cents))
+        .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
+          (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos")),
+      Seq(idCol), Seq(("ccos", false), ("cent_id", true)), 1)
       .select(col(idCol), col("embedding"), col("nrm"), col("cent_id").as("cell"))
 
   /** Shared IVF index build: deterministic seed centroids (first `k`
@@ -585,22 +591,26 @@ object Dedup {
     val queries = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       .filter(queryPred)
-    val probed = queries
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qe"), col("qn"), col("cent_id"),
-        (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id"))))
-      .filter(col("rn") <= nprobe)
+    // both selections run through the bounded heap, not raw windows:
+    // probe routing scores queries·k rows (all-corpus-queries workloads
+    // like x137/x138 make that n·k) and the candidate stream below is
+    // queries·(n/k)·nprobe rows — the two largest frames in the IVF
+    // family; the heap caps each exchange at nprobe/topK rows per
+    // (partition, query) with bit-identical output
+    val probed = Ranks.topKPerGroup(
+      queries
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"), col("qe"), col("qn"), col("cent_id"),
+          (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos")),
+      Seq("query_id"), Seq(("ccos", false), ("cent_id", true)), nprobe)
       .select(col("query_id"), col("qe"), col("qn"), col("cent_id").as("cell"))
-    probed
-      .join(assigned, "cell")
-      .filter(col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        (expr("float_vec_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cosine"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rn") <= topK)
+    Ranks.topKPerGroup(
+      probed
+        .join(assigned, "cell")
+        .filter(col("query_id") =!= col(idCol))
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          (expr("float_vec_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cosine")),
+      Seq("query_id"), Seq(("cosine", false), ("neighbor_id", true)), topK)
       .select("query_id", "neighbor_id", "cosine")
   }
 
@@ -864,13 +874,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val queries = qraw.select(col("query_id"), col("qvec").as("qe"),
       sqrt(expr("float_vec_dot(qvec, qvec)")).as("qn"))
-    val probed = queries
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("cent_id"),
-        (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id"))))
-      .filter(col("rn") <= nprobe)
+    // bounded-heap probe routing (serving batches can be large)
+    val probed = Ranks.topKPerGroup(
+      queries
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"), col("cent_id"),
+          (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos")),
+      Seq("query_id"), Seq(("ccos", false), ("cent_id", true)), nprobe)
       .select(col("query_id"), col("cent_id").as("cell"))
     val bookR = book.select(col("cent_id"), col("ce").as("__pq_ce"))
     val qtab = qraw
@@ -1227,15 +1237,13 @@ object Dedup {
         // coincide — candidate work scales ×nassign² in exchange (the
         // KScale-measured trade; deterministic, so still oracle-able
         // with `rn <= nassign` in the assignment CTE)
-        import org.apache.spark.sql.expressions.Window
         val (cents, _) = ivfIndex(df, idCol, vecCol, k, lloydIters = 0)
-        withNorm(df, idCol, vecCol)
-          .crossJoin(broadcast(cents))
-          .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
-            (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cent_id"))))
-          .filter(col("rn") <= nassign)
+        Ranks.topKPerGroup(
+          withNorm(df, idCol, vecCol)
+            .crossJoin(broadcast(cents))
+            .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
+              (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos")),
+          Seq(idCol), Seq(("ccos", false), ("cent_id", true)), nassign)
           .select(col(idCol), col("embedding"), col("nrm"), col("cent_id").as("cell"))
       }
     val a = assigned.select(col("cell"), col(idCol).as("vec_a"),
@@ -1285,19 +1293,19 @@ object Dedup {
     val activeCoarse = coarse.join(
       fineParent.select(col("parent")).distinct(),
       col("co_id") === col("parent"), "left_semi")
-    val vCoarse = norms.crossJoin(broadcast(activeCoarse))
-      .select(col(idCol), col("embedding"), col("nrm"), col("co_id"),
-        (expr("float_vec_dot(embedding, coe)") / (col("nrm") * col("con"))).as("ccos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("co_id"))))
-      .filter(col("rn") === 1)
+    // the two n-scale argmaxes route through the bounded heap (the
+    // k·kc fineParent frame above stays a window — it is k rows)
+    val vCoarse = Ranks.topKPerGroup(
+      norms.crossJoin(broadcast(activeCoarse))
+        .select(col(idCol), col("embedding"), col("nrm"), col("co_id"),
+          (expr("float_vec_dot(embedding, coe)") / (col("nrm") * col("con"))).as("ccos")),
+      Seq(idCol), Seq(("ccos", false), ("co_id", true)), 1)
       .select(col(idCol), col("embedding"), col("nrm"), col("co_id").as("parent"))
-    vCoarse.join(broadcast(fineParent), Seq("parent"))
-      .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
-        (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("fcos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("fcos").desc, col("cent_id"))))
-      .filter(col("rn") === 1)
+    Ranks.topKPerGroup(
+      vCoarse.join(broadcast(fineParent), Seq("parent"))
+        .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
+          (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("fcos")),
+      Seq(idCol), Seq(("fcos", false), ("cent_id", true)), 1)
       .select(col(idCol), col("embedding"), col("nrm"), col("cent_id").as("cell"))
   }
 
