@@ -271,11 +271,15 @@ class CurationSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     // exact all-pairs near-dups ⊆ clustered families only up to the
     // candidate generator's recall — but every pair the IVF-CELL path
-    // (x64's round-9 candidate generator) finds must agree; check the
+    // (x64's candidate generator) finds must agree; check the
     // stronger transitive guarantee on shared keys instead: same
-    // split_key ⇒ same split_name, and cell-blocked pairs share split_key
+    // split_key ⇒ same split_name, and cell-blocked pairs share
+    // split_key. The generator runs at the registered auto-k policy
+    // (k = max(16, ⌊√n⌋) since round 10), so the pin derives the SAME
+    // k — a fixed k here would compare different cell boundaries.
+    val kPolicy = math.max(16, math.sqrt(emb.count().toDouble).toInt)
     val cellPairs = Dedup.embeddingNearDupsIvf(emb, "vec_id", "embedding",
-        threshold = 0.4, k = 16)
+        threshold = 0.4, k = kPolicy)
       .select("vec_a", "vec_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cellPairs.nonEmpty)
