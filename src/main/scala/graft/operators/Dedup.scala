@@ -837,19 +837,47 @@ object Dedup {
       queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
       topK: Int, shortlist: Int = 50,
       m: Int = 8, subDim: Int = 8, ks: Int = 16,
-      book: Option[DataFrame] = None): DataFrame = {
-    val (cents, assigned) = ivfIndex(df, idCol, vecCol, k, 0)
+      book: Option[DataFrame] = None,
+      kc: Option[Int] = None): DataFrame = {
     val theBook = book.getOrElse(pqCodebook(df, idCol, vecCol, ks))
-    val codes = pqEncode(df, idCol, vecCol, theBook, m, subDim)
-      .join(assigned.select(col(idCol), col("cell")), idCol)
-      .select(col(idCol).as("vid"), col("sub"), col("code"), col("cell"))
     // queryPred is over idCol (e.g. col("vec_id") < 10): applied BEFORE
     // any rename, uniformly for routing, ADC tables, and re-rank queries
     val qraw = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val vectors = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    ivfPqAnswer(qraw, cents, theBook, codes, vectors,
-      nprobe, topK, shortlist, m, subDim, excludeSelf = true)
+    kc match {
+      case None =>
+        val (cents, assigned) = ivfIndex(df, idCol, vecCol, k, 0)
+        val codes = pqEncode(df, idCol, vecCol, theBook, m, subDim)
+          .join(assigned.select(col(idCol), col("cell")), idCol)
+          .select(col(idCol).as("vid"), col("sub"), col("code"), col("cell"))
+        ivfPqAnswer(qraw, cents, theBook, codes, vectors,
+          nprobe, topK, shortlist, m, subDim, excludeSelf = true)
+      case Some(kcv) =>
+        // TWO-LEVEL routing (the 100 TB default — see ivfSearchTwoLevel):
+        // corpus and queries route coarse→fine through the same frames
+        val (fineParent, activeCoarse, assigned) =
+          ivfIndexTwoLevel(df, idCol, vecCol, k, kcv)
+        val codes = pqEncode(df, idCol, vecCol, theBook, m, subDim)
+          .join(assigned.select(col(idCol), col("cell")), idCol)
+          .select(col(idCol).as("vid"), col("sub"), col("code"), col("cell"))
+        val queries = qraw.select(col("query_id"), col("qvec").as("qe"),
+          sqrt(expr("float_vec_dot(qvec, qvec)")).as("qn"))
+        val qCoarse = Ranks.topKPerGroup(
+          queries.crossJoin(broadcast(activeCoarse))
+            .select(col("query_id"), col("qe"), col("qn"), col("co_id"),
+              (expr("float_vec_dot(qe, coe)") / (col("qn") * col("con"))).as("ccos")),
+          Seq("query_id"), Seq(("ccos", false), ("co_id", true)), 1)
+          .select(col("query_id"), col("qe"), col("qn"), col("co_id").as("parent"))
+        val probed = Ranks.topKPerGroup(
+          qCoarse.join(broadcast(fineParent), Seq("parent"))
+            .select(col("query_id"), col("cent_id"),
+              (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("fcos")),
+          Seq("query_id"), Seq(("fcos", false), ("cent_id", true)), nprobe)
+          .select(col("query_id"), col("cent_id").as("cell"))
+        ivfPqAdcRerank(qraw, theBook, codes, probed, vectors,
+          topK, shortlist, m, subDim, excludeSelf = true)
+    }
   }
 
   /** Answer-side core of [[ivfPqSearch]], split out so a serving stream
@@ -871,7 +899,6 @@ object Dedup {
       codes: DataFrame, vectors: DataFrame,
       nprobe: Int, topK: Int, shortlist: Int,
       m: Int, subDim: Int, excludeSelf: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val queries = qraw.select(col("query_id"), col("qvec").as("qe"),
       sqrt(expr("float_vec_dot(qvec, qvec)")).as("qn"))
     // bounded-heap probe routing (serving batches can be large)
@@ -882,6 +909,18 @@ object Dedup {
           (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos")),
       Seq("query_id"), Seq(("ccos", false), ("cent_id", true)), nprobe)
       .select(col("query_id"), col("cent_id").as("cell"))
+    ivfPqAdcRerank(qraw, book, codes, probed, vectors,
+      topK, shortlist, m, subDim, excludeSelf)
+  }
+
+  /** ADC + exact-re-rank tail shared by [[ivfPqAnswer]] (flat probe
+    * routing) and the two-level routed [[ivfPqSearch]]: `probed` =
+    * (query_id, cell), everything downstream is routing-agnostic. */
+  private def ivfPqAdcRerank(
+      qraw: DataFrame, book: DataFrame, codes: DataFrame,
+      probed: DataFrame, vectors: DataFrame,
+      topK: Int, shortlist: Int, m: Int, subDim: Int,
+      excludeSelf: Boolean): DataFrame = {
     val bookR = book.select(col("cent_id"), col("ce").as("__pq_ce"))
     val qtab = qraw
       .select(col("query_id"), col("qvec").as("__pq_qe"),
@@ -1276,7 +1315,19 @@ object Dedup {
     * coarse cells that own at least one fine centroid (a childless
     * coarse would otherwise silently drop its vectors). */
   def ivfAssignTwoLevel(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, kc: Int): DataFrame = {
+      k: Int, kc: Int): DataFrame =
+    ivfIndexTwoLevel(df, idCol, vecCol, k, kc)._3
+
+  /** Shared two-level index build: (fineParent, activeCoarse,
+    * assignment). `fineParent` = (cent_id, ce, cn, parent) — every fine
+    * centroid under its nearest coarse; `activeCoarse` = (co_id, coe,
+    * con) coarse centroids owning ≥ 1 fine child; `assigned` = the
+    * corpus routed coarse→fine. Split out so [[ivfSearchTwoLevel]] can
+    * route QUERIES through the identical frames the corpus was indexed
+    * with — routing and cell contents can never disagree. */
+  private def ivfIndexTwoLevel(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, kc: Int
+  ): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val norms = withNorm(df, idCol, vecCol)
     val fine = norms.filter(col(idCol) < k).select(
@@ -1301,12 +1352,57 @@ object Dedup {
           (expr("float_vec_dot(embedding, coe)") / (col("nrm") * col("con"))).as("ccos")),
       Seq(idCol), Seq(("ccos", false), ("co_id", true)), 1)
       .select(col(idCol), col("embedding"), col("nrm"), col("co_id").as("parent"))
-    Ranks.topKPerGroup(
+    val assigned = Ranks.topKPerGroup(
       vCoarse.join(broadcast(fineParent), Seq("parent"))
         .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
           (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("fcos")),
       Seq(idCol), Seq(("fcos", false), ("cent_id", true)), 1)
       .select(col(idCol), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    (fineParent, activeCoarse, assigned)
+  }
+
+  /** [[ivfSearch]] with TWO-LEVEL routing on both sides — the 100 TB
+    * form of the IVF list queries (x137/x138/x144 since round 10): the
+    * round-10 three-point scaling curve measured flat assignment's
+    * n·k term going super-linear in the 10→30× segment (exp 1.5–2.1 at
+    * auto-k, exactly the Θ(n^1.5) the k-law predicts) while the
+    * two-level pair query held exp 0.50. Corpus vectors route
+    * coarse→fine (n·(kc + k/kc) cosines); each query routes to its one
+    * coarse parent, then its `nprobe` nearest fine cells UNDER that
+    * parent (a parent owning fewer than nprobe children probes them
+    * all — deterministic on both engines). The fine-level routing is
+    * approximate exactly as in [[ivfAssignTwoLevel]]; recall vs flat
+    * routing is measured in SCALE.md, not assumed. */
+  def ivfSearchTwoLevel(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int, kc: Int, nprobe: Int, topK: Int
+  ): DataFrame = {
+    val (fineParent, activeCoarse, assigned) =
+      ivfIndexTwoLevel(df, idCol, vecCol, k, kc)
+    val queries = withNorm(df, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .filter(queryPred)
+    val qCoarse = Ranks.topKPerGroup(
+      queries.crossJoin(broadcast(activeCoarse))
+        .select(col("query_id"), col("qe"), col("qn"), col("co_id"),
+          (expr("float_vec_dot(qe, coe)") / (col("qn") * col("con"))).as("ccos")),
+      Seq("query_id"), Seq(("ccos", false), ("co_id", true)), 1)
+      .select(col("query_id"), col("qe"), col("qn"), col("co_id").as("parent"))
+    val probed = Ranks.topKPerGroup(
+      qCoarse.join(broadcast(fineParent), Seq("parent"))
+        .select(col("query_id"), col("qe"), col("qn"), col("cent_id"),
+          (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("fcos")),
+      Seq("query_id"), Seq(("fcos", false), ("cent_id", true)), nprobe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cent_id").as("cell"))
+    Ranks.topKPerGroup(
+      probed
+        .join(assigned, "cell")
+        .filter(col("query_id") =!= col(idCol))
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          (expr("float_vec_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cosine")),
+      Seq("query_id"), Seq(("cosine", false), ("neighbor_id", true)), topK)
+      .select("query_id", "neighbor_id", "cosine")
   }
 
   /** [[embeddingNearDupsIvf]] with candidate cells from the two-level

@@ -4113,6 +4113,13 @@ object TrainingData {
   private def ivfAutoK(t: Tables): Int =
     math.max(16, math.sqrt(t.embeddings.count().toDouble).toInt)
 
+  /** Coarse-level cell count for two-level routing: kc = max(4, ⌊√k⌋)
+    * minimizes the n·(kc + k/kc) assignment term at kc ∝ √k (SCALE.md
+    * "k-law re-measured"). Derived from [[ivfAutoK]]'s k, replayed by
+    * the oracle from the same count. */
+  private def ivfAutoKc(t: Tables): Int =
+    math.max(4, math.sqrt(ivfAutoK(t).toDouble).toInt)
+
   /** Oracle twin of [[ivfAutoK]] — a scalar CTE both engines derive
     * from the same count, so the cell-count policy itself is replayed,
     * never hard-coded into the SQL text. */
@@ -4122,29 +4129,49 @@ object TrainingData {
     "kk AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k " +
       "FROM embeddings)"
 
-  /** DuckDB CTE chain replaying `Dedup.ivfSearch` (deterministic seed
-    * centroids, no Lloyd) over ALL queries at the [[ivfAutoK]] policy
-    * cell count — shared by the IVF-backed twins x137/x138/x144 and
-    * the IVFADC routing in x153. Yields `ivflists(query_id,
-    * neighbor_id, cosine)`. Prefix with `WITH` (or `WITH RECURSIVE`)
-    * at the call site. */
+  /** DuckDB CTE chain replaying `Dedup.ivfSearchTwoLevel` (deterministic
+    * seed centroids both levels, no Lloyd) over ALL queries at the
+    * [[ivfAutoK]]/[[ivfAutoKc]] policy — shared by the IVF-backed twins
+    * x137/x138/x144 and the IVFADC routing in x153/x158. Since round 10
+    * the routing is TWO-LEVEL (coarse→fine) on both the corpus and the
+    * query side: the three-point scaling curve measured flat
+    * assignment's n·k term super-linear in the 10→30× segment, exactly
+    * the Θ(n^1.5) the k-law names, while two-level routing held
+    * exp ~0.5. Yields `iassigned`, `iprobed`, and
+    * `ivflists(query_id, neighbor_id, cosine)`. Prefix with `WITH`
+    * (or `WITH RECURSIVE`) at the call site. */
   private def duckIvfListCtes(nprobe: Int, topK: Int): String = {
     def cos(a: String, an: String, b: String, bn: String) =
       s"${duckDot(a, b)} / ($an * $bn)"
     s"$duckNorms, $duckAutoKCte, " +
-      s"icents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+      "kc2 AS (SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(k AS DOUBLE))) AS BIGINT)) AS kc FROM kk), " +
+      s"ifcents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
       s"FROM norms WHERE vec_id < (SELECT k FROM kk)), " +
-      "iassigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
-      "SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell, " +
+      s"iccents AS (SELECT vec_id AS co_id, embedding AS coe, nrm AS con " +
+      s"FROM norms WHERE vec_id < (SELECT kc FROM kc2)), " +
+      "ifparent AS (SELECT cent_id, ce, cn, co_id AS parent FROM (" +
+      "SELECT f.cent_id, f.ce, f.cn, c.co_id, " +
+      s"row_number() OVER (PARTITION BY f.cent_id ORDER BY " +
+      s"${cos("f.ce", "f.cn", "c.coe", "c.con")} DESC, c.co_id) AS rn " +
+      "FROM ifcents f CROSS JOIN iccents c) WHERE rn = 1), " +
+      "iacoarse AS (SELECT co_id, coe, con FROM iccents " +
+      "WHERE co_id IN (SELECT DISTINCT parent FROM ifparent)), " +
+      "ivcoarse AS (SELECT vec_id, embedding, nrm, parent FROM (" +
+      "SELECT n.vec_id, n.embedding, n.nrm, c.co_id AS parent, " +
       s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
-      s"${cos("n.embedding", "n.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
-      "FROM norms n CROSS JOIN icents c) WHERE rn = 1), " +
+      s"${cos("n.embedding", "n.nrm", "c.coe", "c.con")} DESC, c.co_id) AS rn " +
+      "FROM norms n CROSS JOIN iacoarse c) WHERE rn = 1), " +
+      "iassigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
+      "SELECT v.vec_id, v.embedding, v.nrm, f.cent_id AS cell, " +
+      s"row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+      s"${cos("v.embedding", "v.nrm", "f.ce", "f.cn")} DESC, f.cent_id) AS rn " +
+      "FROM ivcoarse v JOIN ifparent f ON v.parent = f.parent) WHERE rn = 1), " +
       "iprobed AS (SELECT query_id, qe, qn, cell FROM (" +
-      "SELECT q.vec_id AS query_id, q.embedding AS qe, q.nrm AS qn, " +
-      "c.cent_id AS cell, " +
-      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      s"${cos("q.embedding", "q.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
-      "FROM norms q CROSS JOIN icents c) WHERE rn <= " + nprobe + "), " +
+      "SELECT v.vec_id AS query_id, v.embedding AS qe, v.nrm AS qn, " +
+      "f.cent_id AS cell, " +
+      s"row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+      s"${cos("v.embedding", "v.nrm", "f.ce", "f.cn")} DESC, f.cent_id) AS rn " +
+      "FROM ivcoarse v JOIN ifparent f ON v.parent = f.parent) WHERE rn <= " + nprobe + "), " +
       "ivflists AS (SELECT query_id, neighbor_id, cosine FROM (" +
       "SELECT p.query_id, a.vec_id AS neighbor_id, " +
       s"${cos("p.qe", "p.qn", "a.embedding", "a.nrm")} AS cosine, " +
@@ -4181,8 +4208,8 @@ object TrainingData {
     )
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val lists = Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
-      lit(true), k = ivfAutoK(t), nprobe = 2, topK = 3)
+    val lists = Dedup.ivfSearchTwoLevel(t.embeddings, "vec_id", "embedding",
+      lit(true), k = ivfAutoK(t), kc = ivfAutoKc(t), nprobe = 2, topK = 3)
     val edges = Dedup.mutualEdgesFromTopK(lists)
     val cc = Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
     val out = cc
@@ -4214,8 +4241,8 @@ object TrainingData {
     )
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val lists = Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
-      lit(true), k = ivfAutoK(t), nprobe = 2, topK = 5)
+    val lists = Dedup.ivfSearchTwoLevel(t.embeddings, "vec_id", "embedding",
+      lit(true), k = ivfAutoK(t), kc = ivfAutoKc(t), nprobe = 2, topK = 5)
     val deg = lists.groupBy(col("neighbor_id")).agg(count(lit(1)).as("cnt"))
     t.embeddings.select(col("vec_id"))
       .join(deg, col("vec_id") === col("neighbor_id"), "left")
@@ -4501,8 +4528,9 @@ object TrainingData {
     )
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val topk = Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
-      col("query_id") % 10 === 0, k = ivfAutoK(t), nprobe = 2, topK = 5)
+    val topk = Dedup.ivfSearchTwoLevel(t.embeddings, "vec_id", "embedding",
+      col("query_id") % 10 === 0, k = ivfAutoK(t), kc = ivfAutoKc(t),
+      nprobe = 2, topK = 5)
     val labels = t.embeddings.select(col("vec_id"), col("label"))
     val votes = topk
       .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("cand")),
@@ -4913,7 +4941,8 @@ object TrainingData {
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     Dedup.ivfPqSearch(t.embeddings, "vec_id", "embedding",
-      col("vec_id") < 10, k = ivfAutoK(t), nprobe = 4, topK = 5, shortlist = 50)
+      col("vec_id") < 10, k = ivfAutoK(t), nprobe = 4, topK = 5,
+      shortlist = 50, kc = Some(ivfAutoKc(t)))
   }
 
   /** Packed PQ codes — the physical registry row behind the PQ memory
@@ -5181,7 +5210,7 @@ object TrainingData {
     val book = Dedup.pqCodebookLloyd(t.embeddings, "vec_id", "embedding", iters = 1)
     Dedup.ivfPqSearch(t.embeddings, "vec_id", "embedding",
       col("vec_id") < 10, k = ivfAutoK(t), nprobe = 4, topK = 5,
-      shortlist = 50, book = Some(book))
+      shortlist = 50, book = Some(book), kc = Some(ivfAutoKc(t)))
   }
 
   val all: Seq[Q] = Seq(
