@@ -5213,6 +5213,180 @@ object TrainingData {
       shortlist = 50, book = Some(book), kc = Some(ivfAutoKc(t)))
   }
 
+  // ---- scalar quantization (SQ8) --------------------------------------
+
+  /** Oracle-side SQ8 CTEs shared by x159/x160: per-dim quantized values
+    * (`sqq`), per-dim corpus bounds (`sqb`), and the 8-bit codes
+    * (`sqc`) — the exact integer replay of [[Dedup.sqBounds]] /
+    * [[Dedup.sqEncode]]. `(q−lo)·255 // span` and Spark's `div` agree
+    * because both operands are non-negative. */
+  private val duckSqCtes: String =
+    "sqq AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, " +
+      "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q " +
+      "FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd), " +
+      "sqb AS (SELECT pos, MIN(q) AS lo, MAX(q) AS hi, " +
+      "MAX(q) - MIN(q) AS span FROM sqq GROUP BY pos), " +
+      "sqc AS (SELECT s.vec_id, s.pos, CASE WHEN b.span = 0 " +
+      "THEN CAST(0 AS BIGINT) " +
+      "ELSE CAST(((s.q - b.lo) * 255) // b.span AS BIGINT) END AS code " +
+      "FROM sqq s JOIN sqb b ON s.pos = b.pos)"
+
+  /** SQ8 scalar-quantization codes — the 8× memory rung of the ANN
+    * ladder (1 byte/dim vs the raw float's 4), next to PQ's 64× coarse
+    * rung (x149): every dimension quantized onto its own 256-step
+    * uniform grid between the corpus min/max of that dimension. The
+    * train step is ONE min/max aggregate (no codebook fit), encode is a
+    * broadcast join of the 64-row bounds frame against n·d codegen
+    * rows, and the error is bounded per-dim at span/255 — which is why
+    * SQ8 serves near-exact recall where PQ needs a re-rank stage
+    * (SqSpec pins both claims). All arithmetic exact int64 on the
+    * ⌊v·10⁶⌋ grid → full hash oracle. */
+  val x159 = Q(
+    "x159_sq8_codes",
+    Some(s"WITH $duckSqCtes SELECT vec_id, pos, code FROM sqc")
+  ) { t =>
+    Dedup.sqEncode(t.embeddings, "vec_id", "embedding",
+      Dedup.sqBounds(t.embeddings, "vec_id", "embedding"))
+  }
+
+  /** SQ8 asymmetric top-5: exact query values against the decoded
+    * corpus codes (`lo + code·span // 255`) — the asymmetric-distance
+    * form that never quantizes the query side. Same broadcast-join +
+    * summing-hash-agg + bounded-heap shape as PQ's ADC (x149) but over
+    * n·d rows instead of n·m: 8× the scan compute for near-exact
+    * ranking with no re-rank stage — the measured middle point of the
+    * compute/memory/recall triangle (PQ 64×/coarse ← SQ8 8×/near-exact
+    * → raw 1×/exact). At 100 TB SQ8 composes with IVF routing exactly
+    * as PQ does in x153: route first, decode-scan only the probed
+    * cells. */
+  val x160 = Q(
+    "x160_sq8_topk",
+    Some(
+      s"WITH $duckSqCtes, " +
+        "sqd AS (SELECT c.vec_id, c.pos, " +
+        "CAST(b.lo + (c.code * b.span) // 255 AS BIGINT) AS dv " +
+        "FROM sqc c JOIN sqb b ON c.pos = b.pos), " +
+        "sqt AS (SELECT vec_id AS query_id, pos, q FROM sqq WHERE vec_id < 10), " +
+        "sdist AS (SELECT t.query_id, d.vec_id AS neighbor_id, " +
+        "CAST(SUM((t.q - d.dv) * (t.q - d.dv)) AS BIGINT) AS sq_dist " +
+        "FROM sqd d JOIN sqt t ON d.pos = t.pos " +
+        "WHERE d.vec_id <> t.query_id GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, sq_dist FROM (" +
+        "SELECT query_id, neighbor_id, sq_dist, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS rn " +
+        "FROM sdist) t WHERE rn <= 5"
+    )
+  ) { t =>
+    Dedup.sqSearch(t.embeddings, "vec_id", "embedding",
+      col("vec_id") < 10, topK = 5)
+  }
+
+  /** Hashing-trick linear quality classifier — the fastText-style
+    * model-based filter every production pretraining pipeline runs
+    * after the heuristic gates (x65's rule bitmask): tokens hash into
+    * 4096 weight buckets (`poly_hash(w) % 4096` — the feature-hashing
+    * trick, Weinberger et al. 2009), each bucket carries an integer
+    * weight, and a document's score is the sum of its token-occurrence
+    * weights with `keep = score ≥ 0` as the decision. The weight table
+    * here is a deterministic pseudo-model (`(bucket·2654435761) % 2001
+    * − 1000` ∈ [−1000, 1000]) so the oracle replays it exactly; a
+    * TRAINED model drops in by replacing that expression with a
+    * 4096-entry broadcast lookup — same plan, same cost.
+    *
+    * Scale shape — the reason hashed linear models are THE 100 TB
+    * classifier: completely join-free (the weight is computed inline
+    * from the hash; even the trained form is a dictionary-sized
+    * broadcast), one explode + one map-side-combining per-doc hash-agg,
+    * zero shuffles beyond the doc-keyed combine, all codegen. Score
+    * stays exact int64 (|score| ≤ 1000·n_tokens), and no division
+    * anywhere means no floor-vs-truncation portability edge. */
+  val x161 = Q(
+    "x161_hashed_quality_classifier",
+    Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        s"CAST(SUM(((${duckPolyHash("w")} % 4096) * 2654435761) % 2001 - 1000) " +
+        "AS BIGINT) AS score FROM tok GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, score, (score >= 0) AS keep FROM sc"
+    )
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        expr("(poly_hash(w) % 4096) * CAST(2654435761 AS BIGINT) % 2001 - 1000")
+          .as("wgt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") >= 0).as("keep"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
+    * customer→part purchase graph — the FOURTH instantiation of the
+    * integer fixed-point graph template (x152 PageRank, x156 label
+    * propagation, x157 weighted PageRank): authority(part) = Σ
+    * hub(customer) over in-edges, hub(customer) = Σ authority(part)
+    * over out-edges, alternating, each half-step renormalized. The
+    * mutual-reinforcement readout PageRank can't give: parts bought by
+    * BROAD customers rank above parts bought often by one.
+    *
+    * Determinism/portability: normalization is an integer downscale by
+    * `max(x) div S` (never `x·S div max` — the product would overflow
+    * int64 once Σ exceeds ~9·10⁶·S), so every value stays ≤ ~2S=2·10¹²
+    * after each half-step and all arithmetic is exact int64 with
+    * identical floor semantics in both engines (all values
+    * non-negative). Contract: deg_max·2S < 2⁶³ — at 10⁹-node scale
+    * drop S a decade per decade of max degree.
+    *
+    * Scale shape: the distinct edge frame is built once (one
+    * orders⋈lineitem join, DISTINCT-combined) and localCheckpointed;
+    * each half-step is one keyed join + one map-side-combined SUM —
+    * alternating join keys (p, then c), so one shuffle per half-step is
+    * irreducible; the scalar max is a 1-row aggregate broadcast
+    * (crossJoin of a bounded frame). */
+  val x162 = Q(
+    "x162_hits_authority",
+    Some {
+      val S = "1000000000000"
+      def nrm(src: String, key: String, v: String) =
+        s"$v // GREATEST(CAST(1 AS BIGINT), (SELECT MAX($v) FROM $src) // $S)"
+      "WITH ed AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
+        s"a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) * $S AS a FROM ed GROUP BY p), " +
+        s"a1n AS (SELECT p, ${nrm("a1", "p", "a")} AS a FROM a1), " +
+        "h1 AS (SELECT e.c, CAST(SUM(n.a) AS BIGINT) AS h FROM ed e " +
+        "JOIN a1n n ON e.p = n.p GROUP BY e.c), " +
+        s"h1n AS (SELECT c, ${nrm("h1", "c", "h")} AS h FROM h1), " +
+        "a2 AS (SELECT e.p, CAST(SUM(n.h) AS BIGINT) AS a FROM ed e " +
+        "JOIN h1n n ON e.c = n.c GROUP BY e.p), " +
+        s"a2n AS (SELECT p, ${nrm("a2", "p", "a")} AS a FROM a2) " +
+        "SELECT p AS part, a AS authority FROM a2n ORDER BY a DESC, p LIMIT 20"
+    }
+  ) { t =>
+    val S = 1000000000000L
+    def nrm(df: DataFrame, key: String, v: String): DataFrame = {
+      val mx = df.agg(max(col(v)).as("__mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col(key),
+          expr(s"$v div greatest(CAST(1 AS BIGINT), __mx div ${S}L)").as(v))
+    }
+    val ed = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    val a1 = nrm(ed.groupBy(col("p")).agg((count(lit(1)) * S).as("a")), "p", "a")
+    val h1 = nrm(ed.join(a1, "p").groupBy(col("c")).agg(sum(col("a")).as("h")),
+      "c", "h")
+    val a2 = nrm(ed.join(h1, "c").groupBy(col("p")).agg(sum(col("h")).as("a")),
+      "p", "a")
+    a2.orderBy(col("a").desc, col("p")).limit(20)
+      .select(col("p").as("part"), col("a").as("authority"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5225,6 +5399,6 @@ object TrainingData {
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
-    x155, x156, x157, x158
+    x155, x156, x157, x158, x159, x160, x161, x162
   )
 }
