@@ -987,4 +987,28 @@ object Corpus {
       .withColumn("waste_frac",
         col("tokens_lost").cast("double") /
           (col("tokens_kept") + col("tokens_lost")))
+
+  /** Hashing-trick linear classifier score (the x161 operator as a
+    * library function, shared with [[graft.streaming.ClassifierStream]]):
+    * tokens hash into 4096 weight buckets via the portable `poly_hash`,
+    * the document's score is the exact int64 sum of its token-occurrence
+    * weights, `keep = score ≥ 0`. The weight table is a deterministic
+    * pseudo-model expression — swapping in a TRAINED model is a
+    * 4096-entry broadcast lookup in the same plan. All signals are
+    * WITHIN-document (one token-explode + per-doc hash-agg), so the
+    * classifier is stateless across documents: batch and micro-batch
+    * runs produce identical verdicts by construction. Returns (`idCol`,
+    * `n_tokens`, `score`, `keep`). */
+  def hashedClassifierScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .select(col(idCol),
+        expr("(poly_hash(__w) % 4096) * CAST(2654435761 AS BIGINT) % 2001 - 1000")
+          .as("__wgt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__wgt")).as("score"))
+      .select(col(idCol), col("n_tokens"), col("score"),
+        (col("score") >= 0).as("keep"))
+  }
 }

@@ -940,23 +940,82 @@ object Dedup {
         val codes = pqEncode(df, idCol, vecCol, theBook, m, subDim)
           .join(assigned.select(col(idCol), col("cell")), idCol)
           .select(col(idCol).as("vid"), col("sub"), col("code"), col("cell"))
-        val queries = qraw.select(col("query_id"), col("qvec").as("qe"),
-          sqrt(expr("float_vec_dot(qvec, qvec)")).as("qn"))
-        val qCoarse = Ranks.topKPerGroup(
-          queries.crossJoin(broadcast(activeCoarse))
-            .select(col("query_id"), col("qe"), col("qn"), col("co_id"),
-              (expr("float_vec_dot(qe, coe)") / (col("qn") * col("con"))).as("ccos")),
-          Seq("query_id"), Seq(("ccos", false), ("co_id", true)), 1)
-          .select(col("query_id"), col("qe"), col("qn"), col("co_id").as("parent"))
-        val probed = Ranks.topKPerGroup(
-          qCoarse.join(broadcast(fineParent), Seq("parent"))
-            .select(col("query_id"), col("cent_id"),
-              (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("fcos")),
-          Seq("query_id"), Seq(("fcos", false), ("cent_id", true)), nprobe)
-          .select(col("query_id"), col("cent_id").as("cell"))
+        val probed =
+          routeQueriesTwoLevel(qraw, fineParent, activeCoarse, nprobe)
         ivfPqAdcRerank(qraw, theBook, codes, probed, vectors,
           topK, shortlist, m, subDim, excludeSelf = true)
     }
+  }
+
+  /** Coarse→fine query routing against a two-level IVF index
+    * ([[ivfIndexTwoLevel]]'s frames): nearest active coarse cell first,
+    * then `nprobe` nearest fine cells WITHIN that parent — per query
+    * kc + k/kc cosines instead of flat k, the assignment law the k-law
+    * measurement pinned. Both selections run through the bounded heap.
+    * `qraw` = (query_id, qvec); returns (query_id, cell). Shared by
+    * [[ivfPqSearch]] (PQ codes) and [[ivfSqSearch]] (SQ8 codes) — the
+    * routing tier is agnostic to which quantizer scans the cells. */
+  private def routeQueriesTwoLevel(qraw: DataFrame, fineParent: DataFrame,
+      activeCoarse: DataFrame, nprobe: Int): DataFrame = {
+    val queries = qraw.select(col("query_id"), col("qvec").as("qe"),
+      sqrt(expr("float_vec_dot(qvec, qvec)")).as("qn"))
+    val qCoarse = Ranks.topKPerGroup(
+      queries.crossJoin(broadcast(activeCoarse))
+        .select(col("query_id"), col("qe"), col("qn"), col("co_id"),
+          (expr("float_vec_dot(qe, coe)") / (col("qn") * col("con"))).as("ccos")),
+      Seq("query_id"), Seq(("ccos", false), ("co_id", true)), 1)
+      .select(col("query_id"), col("qe"), col("qn"), col("co_id").as("parent"))
+    Ranks.topKPerGroup(
+      qCoarse.join(broadcast(fineParent), Seq("parent"))
+        .select(col("query_id"), col("cent_id"),
+          (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("fcos")),
+      Seq("query_id"), Seq(("fcos", false), ("cent_id", true)), nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+  }
+
+  /** IVF+SQ8 search — the composed scale form of [[sqSearch]], exactly
+    * as IVFADC ([[ivfPqSearch]]) is the composed form of PQ's flat ADC
+    * scan: two-level coarse→fine routing picks `nprobe` cells per
+    * query, and ONLY those cells' SQ8 codes are decoded and scored
+    * asymmetrically (exact query values vs decoded grid points, exact
+    * int64). Probe work is (n/k)·nprobe·d decoded rows per query.
+    *
+    * Where IVFADC needs a re-rank stage to recover PQ's coarse-code
+    * recall, IVF+SQ8 needs none — the residual error is the per-dim
+    * decode rounding (≤ span/255), so the cell routing is the ONLY
+    * recall approximation in the plan. The memory trade vs IVFADC:
+    * 8× compression instead of 64×, for a shorter pipeline and
+    * near-exact in-cell ranking — the configuration FAISS ships as
+    * IVF,SQ8 between IVF,Flat and IVF,PQ. Returns (`query_id`,
+    * `neighbor_id`, `sq_dist`). */
+  def ivfSqSearch(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
+      topK: Int, kc: Int): DataFrame = {
+    val bounds = sqBounds(df, idCol, vecCol)
+    val (fineParent, activeCoarse, assigned) =
+      ivfIndexTwoLevel(df, idCol, vecCol, k, kc)
+    val dec = sqEncode(df, idCol, vecCol, bounds)
+      .join(broadcast(bounds), Seq("pos"))
+      .select(col(idCol).as("vid"), col("pos"),
+        (col("lo") + expr("code * span div 255")).as("dv"))
+      .join(assigned.select(col(idCol).as("vid"), col("cell")), "vid")
+    val qraw = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val probed = routeQueriesTwoLevel(qraw, fineParent, activeCoarse, nprobe)
+    val qd = qraw
+      .select(col("query_id"), posexplode(col("qvec")).as(Seq("pos", "v")))
+      .select(col("query_id"), col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("q"))
+    val dist = dec
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vid"))
+      .join(broadcast(qd), Seq("query_id", "pos"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum((col("q") - col("dv")) * (col("q") - col("dv"))).as("sq_dist"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("sq_dist"))
+    Ranks.topKPerGroup(dist, Seq("query_id"),
+      Seq(("sq_dist", true), ("neighbor_id", true)), topK)
+      .select("query_id", "neighbor_id", "sq_dist")
   }
 
   /** Answer-side core of [[ivfPqSearch]], split out so a serving stream

@@ -5311,16 +5311,7 @@ object TrainingData {
         "SELECT doc_id, n_tokens, score, (score >= 0) AS keep FROM sc"
     )
   ) { t =>
-    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
-    t.documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"),
-        expr("(poly_hash(w) % 4096) * CAST(2654435761 AS BIGINT) % 2001 - 1000")
-          .as("wgt"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("score"))
-      .select(col("doc_id"), col("n_tokens"), col("score"),
-        (col("score") >= 0).as("keep"))
+    Corpus.hashedClassifierScore(t.documents, "doc_id", "text")
   }
 
   /** HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
@@ -5387,6 +5378,41 @@ object TrainingData {
       .select(col("p").as("part"), col("a").as("authority"))
   }
 
+  /** IVF+SQ8 top-5 — the quantization ladder's middle composition,
+    * registered alongside IVFADC (x153/x158): two-level auto-k routing
+    * (identical frames and policy) into an SQ8 decode-scan of only the
+    * probed cells. No re-rank stage — SQ8's per-dim decode error is the
+    * only in-cell approximation — so the plan is two stages shorter
+    * than IVFADC at 8× (vs 64×) compression: the IVF,SQ8 point FAISS
+    * places between IVF,Flat and IVF,PQ. Probe work (n/k)·nprobe·d
+    * decoded rows per query; all distances exact int64 → full hash
+    * oracle through routing AND scan. */
+  val x163 = Q(
+    "x163_ivfsq_topk",
+    Some {
+      s"WITH ${duckIvfListCtes(nprobe = 4, topK = 5)}, $duckSqCtes, " +
+        "ssd AS (SELECT c.vec_id, c.pos, " +
+        "CAST(b.lo + (c.code * b.span) // 255 AS BIGINT) AS dv " +
+        "FROM sqc c JOIN sqb b ON c.pos = b.pos), " +
+        "ssqt AS (SELECT vec_id AS query_id, pos, q FROM sqq WHERE vec_id < 10), " +
+        "sdist AS (SELECT p.query_id, d.vec_id AS neighbor_id, " +
+        "CAST(SUM((t.q - d.dv) * (t.q - d.dv)) AS BIGINT) AS sq_dist " +
+        "FROM ssd d JOIN iassigned a ON d.vec_id = a.vec_id " +
+        "JOIN iprobed p ON a.cell = p.cell " +
+        "JOIN ssqt t ON t.query_id = p.query_id AND t.pos = d.pos " +
+        "WHERE d.vec_id <> p.query_id GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, sq_dist FROM (" +
+        "SELECT query_id, neighbor_id, sq_dist, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS rn " +
+        "FROM sdist) t WHERE rn <= 5"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.ivfSqSearch(t.embeddings, "vec_id", "embedding",
+      col("vec_id") < 10, k = ivfAutoK(t), nprobe = 4, topK = 5,
+      kc = ivfAutoKc(t))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5399,6 +5425,6 @@ object TrainingData {
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
-    x155, x156, x157, x158, x159, x160, x161, x162
+    x155, x156, x157, x158, x159, x160, x161, x162, x163
   )
 }

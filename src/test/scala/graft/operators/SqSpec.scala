@@ -67,4 +67,23 @@ class SqSpec extends AnyFunSuite {
       s"SQ8 recall ${recall(sq)} below PQ ADC ${recall(adc)}")
     assert(recall(sq) >= 0.9, s"SQ8 recall ${recall(sq)}")
   }
+
+  test("IVF+SQ8: cell routing is the only recall loss vs flat SQ8") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val embPred = col("vec_id") < 10
+    val n = emb.count()
+    val k = math.max(16, math.sqrt(n.toDouble).toInt)
+    val kc = math.max(4, math.sqrt(k.toDouble).toInt)
+    val flat = topkSets(Dedup.sqSearch(emb, "vec_id", "embedding", embPred, topK = 5))
+    val routed = topkSets(Dedup.ivfSqSearch(emb, "vec_id", "embedding",
+      embPred, k = k, nprobe = 4, topK = 5, kc = kc))
+    // within probed cells the scan is the same decode-scan, so every
+    // routed answer must also be a flat-SQ8 answer or rank below one
+    // only because its cell was not probed — overlap is the routing
+    // capture rate; pin the IVFADC-comparable floor
+    val overlap = flat.keys.toSeq
+      .map(q => routed.getOrElse(q, Set.empty).intersect(flat(q)).size).sum.toDouble /
+      (flat.size * 5)
+    assert(overlap >= 0.5, s"IVF+SQ8 routing capture $overlap")
+  }
 }
