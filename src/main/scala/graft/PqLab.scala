@@ -121,6 +121,22 @@ object PqLab {
         row("lloyd", iters, tTrain, book)
       }
     }
+
+    // SQ8's point on the same recall/time axes — the 8×-compression
+    // scalar quantizer (512-bit codes vs PQ's 32): flat decode-scan
+    // (the x160 shape, expected ~exact recall at ~n·d scan cost) and
+    // IVF-routed (the x163 shape, where cell capture is the only loss).
+    val (sqGot, tSq) = timed(sets(
+      Dedup.sqSearch(emb, "vec_id", "embedding", pred, topK = 5)))
+    println(s"""{"metric":"sq8_flat","code_bits":512,"sec":$tSq,""" +
+      s""""recall":${recallOf(sqGot)},"sf":"$dir"}""")
+    val n = emb.count()
+    val k = math.max(16, math.sqrt(n.toDouble).toInt)
+    val kc = math.max(4, math.sqrt(k.toDouble).toInt)
+    val (ivfGot, tIvf) = timed(sets(Dedup.ivfSqSearch(
+      emb, "vec_id", "embedding", pred, k = k, nprobe = 4, topK = 5, kc = kc)))
+    println(s"""{"metric":"sq8_ivf","k":$k,"nprobe":4,"sec":$tIvf,""" +
+      s""""recall":${recallOf(ivfGot)},"sf":"$dir"}""")
     spark.stop()
   }
 }
