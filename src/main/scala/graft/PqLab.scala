@@ -137,6 +137,10 @@ object PqLab {
       emb, "vec_id", "embedding", pred, k = k, nprobe = 4, topK = 5, kc = kc)))
     println(s"""{"metric":"sq8_ivf","k":$k,"nprobe":4,"sec":$tIvf,""" +
       s""""recall":${recallOf(ivfGot)},"sf":"$dir"}""")
+    val (rrGot, tRr) = timed(sets(Dedup.sqSearchRerank(
+      emb, "vec_id", "embedding", pred, topK = 5, shortlist = 50)))
+    println(s"""{"metric":"sq8_rerank","shortlist":50,"sec":$tRr,""" +
+      s""""recall":${recallOf(rrGot)},"sf":"$dir"}""")
     spark.stop()
   }
 }

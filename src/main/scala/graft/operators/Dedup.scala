@@ -893,6 +893,38 @@ object Dedup {
       .select("query_id", "neighbor_id", "sq_dist")
   }
 
+  /** SQ8 search with exact re-ranking — built because the quantizer lab
+    * measured the need (SCALE.md "SQ8 on the quantizer recall/time
+    * axes"): on distance-concentrated corpora the rank-5/rank-6 margin
+    * falls below SQ8's decode rounding and NO pure-code ranking can
+    * recover it (flat SQ8 0.72 vs PQ+rerank 1.00 at sf1), so the fix is
+    * the same pipeline shape PQ uses — decode-scan to a
+    * `shortlist`-sized candidate set, then exactly score ONLY those
+    * candidates' full vectors under the quantized L2 metric
+    * ([[pqSearchRerank]]'s tail, verbatim economics: the expensive
+    * vector store is read O(queries·shortlist), never scanned). Final
+    * recall = the SQ8 shortlist's capture rate, which the lab measured
+    * strictly above PQ's at equal shortlist on both corpus regimes. */
+  def sqSearchRerank(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, topK: Int,
+      shortlist: Int = 50): DataFrame = {
+    val sl = sqSearch(df, idCol, vecCol, queryPred, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qs = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__sq_qe"))
+    val dist = (0 until 8)
+      .map(s => expr(s"pq_subdist(__sq_qe, __sq_ve, $s, 8)"))
+      .reduce(_ + _)
+    val reranked = sl
+      .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__sq_ve")),
+        "neighbor_id")
+      .join(broadcast(qs), "query_id")
+      .select(col("query_id"), col("neighbor_id"), dist.as("qdist"))
+    Ranks.topKPerGroup(reranked, Seq("query_id"),
+      Seq(("qdist", true), ("neighbor_id", true)), topK)
+      .select("query_id", "neighbor_id", "qdist")
+  }
+
   /** IVF+PQ search (FAISS's IVFADC — Jégou et al. 2011) — the composed
     * billion-scale ANN pipeline, assembled from this library's two
     * verified halves: coarse-route each query to its `nprobe` nearest

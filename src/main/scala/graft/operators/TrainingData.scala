@@ -5413,6 +5413,49 @@ object TrainingData {
       kc = ivfAutoKc(t))
   }
 
+  /** SQ8 shortlist → exact re-rank top-5 — registered in the SAME round
+    * whose lab measurement exposed the need: PqLab's SQ8 rows showed
+    * flat SQ8 at 0.72 recall where PQ+rerank reached 1.00 on
+    * distance-concentrated uniform vectors (SCALE.md), because the
+    * rank-5/rank-6 margin falls below the decode rounding there. This
+    * query is the named fix: the x160 decode-scan feeding a
+    * 50-candidate shortlist into the exact quantized re-rank tail
+    * (x151's economics — the vector store is read O(queries·shortlist),
+    * never scanned). Recall becomes the shortlist capture rate, which
+    * the lab measured above PQ's at equal shortlist on both corpus
+    * regimes. */
+  val x164 = Q(
+    "x164_sq8_rerank_topk",
+    Some(
+      s"WITH $duckSqCtes, " +
+        "rsd AS (SELECT c.vec_id, c.pos, " +
+        "CAST(b.lo + (c.code * b.span) // 255 AS BIGINT) AS dv " +
+        "FROM sqc c JOIN sqb b ON c.pos = b.pos), " +
+        "rsqt AS (SELECT vec_id AS query_id, pos, q FROM sqq WHERE vec_id < 10), " +
+        "rdist AS (SELECT t.query_id, d.vec_id AS neighbor_id, " +
+        "CAST(SUM((t.q - d.dv) * (t.q - d.dv)) AS BIGINT) AS sq_dist " +
+        "FROM rsd d JOIN rsqt t ON d.pos = t.pos " +
+        "WHERE d.vec_id <> t.query_id GROUP BY 1, 2), " +
+        "rsl AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS rn " +
+        "FROM rdist) t WHERE rn <= 50), " +
+        "rrd AS (SELECT s.query_id, s.neighbor_id, " +
+        "CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS qdist " +
+        "FROM rsl s JOIN sqq a ON a.vec_id = s.query_id " +
+        "JOIN sqq b ON b.vec_id = s.neighbor_id AND b.pos = a.pos " +
+        "GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, qdist FROM (" +
+        "SELECT query_id, neighbor_id, qdist, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY qdist, neighbor_id) AS rn " +
+        "FROM rrd) t WHERE rn <= 5"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.sqSearchRerank(t.embeddings, "vec_id", "embedding",
+      col("vec_id") < 10, topK = 5, shortlist = 50)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5425,6 +5468,6 @@ object TrainingData {
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
-    x155, x156, x157, x158, x159, x160, x161, x162, x163
+    x155, x156, x157, x158, x159, x160, x161, x162, x163, x164
   )
 }

@@ -86,4 +86,23 @@ class SqSpec extends AnyFunSuite {
       (flat.size * 5)
     assert(overlap >= 0.5, s"IVF+SQ8 routing capture $overlap")
   }
+
+  test("SQ8 re-rank recovers exactly the shortlist ∩ exact-top-5") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val embPred = col("vec_id") < 10
+    val exact = topkSets(
+      Dedup.pqQuantizedExactTopK(emb, "vec_id", "embedding", embPred, topK = 5))
+    val short = topkSets(Dedup.sqSearch(emb, "vec_id", "embedding", embPred, topK = 50))
+    val rr = topkSets(
+      Dedup.sqSearchRerank(emb, "vec_id", "embedding", embPred, topK = 5))
+    // re-rank scoring is exact, so any exact-top-5 member that survived
+    // the SQ8 shortlist MUST appear in the re-ranked top-5
+    for (q <- exact.keys)
+      assert(short(q).intersect(exact(q)).subsetOf(rr(q)),
+        s"query $q lost a shortlisted exact neighbor in re-rank")
+    val recall = exact.keys.toSeq
+      .map(q => rr.getOrElse(q, Set.empty).intersect(exact(q)).size).sum.toDouble /
+      (exact.size * 5)
+    assert(recall >= 0.9, s"SQ8 rerank recall $recall")
+  }
 }
