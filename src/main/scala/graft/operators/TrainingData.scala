@@ -5534,6 +5534,41 @@ object TrainingData {
     nEdges.crossJoin(broadcast(nWedges)).crossJoin(broadcast(nTri))
   }
 
+  /** Classifier calibration by source — the drift audit every deployed
+    * quality model needs next to its gate (x161): per source, document
+    * and kept-document counts, token volume, and the exact int64 score
+    * sum. A source whose keep-rate or mean score moves between
+    * snapshots is the first sign the model no longer matches the
+    * distribution (or the source changed under it) — and because every
+    * column is an exact integer, snapshot-to-snapshot deltas are
+    * bit-meaningful, never float noise. Scale shape: the x161 score
+    * pass (join-free, map-side-combined per doc), one co-keyed join
+    * back to the doc→source map, one GROUP BY source whose output is
+    * sources-sized. */
+  val x166 = Q(
+    "x166_classifier_source_audit",
+    Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        s"CAST(SUM(((${duckPolyHash("w")} % 4096) * 2654435761) % 2001 - 1000) " +
+        "AS BIGINT) AS score FROM tok GROUP BY doc_id) " +
+        "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN s.score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(s.score) AS BIGINT) AS score_sum " +
+        "FROM sc s JOIN documents d ON s.doc_id = d.doc_id GROUP BY d.source"
+    )
+  ) { t =>
+    Corpus.hashedClassifierScore(t.documents, "doc_id", "text")
+      .join(t.documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("score")).as("score_sum"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5546,6 +5581,7 @@ object TrainingData {
     x123, x124, x125, x126, x127, x128, x129, x130,
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
-    x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165
+    x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
+    x166
   )
 }
