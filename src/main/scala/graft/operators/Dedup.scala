@@ -832,7 +832,15 @@ object Dedup {
 
   /** SQ8 encode: each dimension quantized independently onto its own
     * 256-step uniform grid — `code = (q − lo)·255 div span` (0 when the
-    * dimension is constant). The physical registry row is 1 byte per
+    * dimension is constant), SATURATED to [0, 255]: a value outside
+    * `bounds` clamps to the grid edge (FAISS's ScalarQuantizer
+    * behavior — bounds are train-time facts, add-time data clamps),
+    * which is a no-op when bounds come from the encoded corpus itself
+    * (the x159 batch case, so the oracle needs no clamp) and is what
+    * makes encoding SAFE against a frozen seed-bounds frame in the
+    * ingest stream ([[graft.streaming.SqStream]]), where an arrival
+    * outside the seed range must not wrap into a foreign code.
+    * The physical registry row is 1 byte per
     * dimension: 8× under the raw float vector, vs PQ's 64× — but the
     * reconstruction error is bounded per-dimension by span/255 ≈ 0.4%
     * of the value range, so SQ8 distances rank nearly exactly where PQ's
@@ -853,7 +861,8 @@ object Dedup {
       .join(broadcast(bounds), Seq("pos"))
       .select(col(idCol), col("pos"),
         when(col("span") === 0L, 0L)
-          .otherwise(expr("(q - lo) * 255 div span")).as("code"))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            expr("(q - lo) * 255 div span")))).as("code"))
 
   /** SQ8 asymmetric top-k search: queries keep exact quantized values,
     * the corpus is its 1-byte-per-dim codes; each candidate dimension is

@@ -5363,6 +5363,14 @@ object TrainingData {
         .select(col(key),
           expr(s"$v div greatest(CAST(1 AS BIGINT), __mx div ${S}L)").as(v))
     }
+    // checkpointed in the DISTINCT's own output partitioning — both
+    // measured alternatives lost at sf1: repartition(p) before the
+    // checkpoint (reusable by two of the three downstream keys) 24 s →
+    // 32 s, and dual p- and c-partitioned checkpoints 24 s → 38 s; on
+    // this bipartite frame the extra 6M-row materialization exchange
+    // costs more than the per-half-step exchanges it removes (unlike
+    // x152/x157, whose single join key makes the pre-partition free to
+    // reuse every round)
     val ed = t.orders.select(col("o_orderkey"), col("o_custkey"))
       .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
