@@ -5577,6 +5577,73 @@ object TrainingData {
         sum(col("score")).as("score_sum"))
   }
 
+  /** Count-Min sketch heavy-hitter estimation (Cormode–Muthukrishnan
+    * 2005): the token stream folds into a FIXED 3×1024-cell sketch —
+    * depth-3 salted-hash rows, each cell the occurrence total of tokens
+    * landing there — and a word's estimate is the MIN over its three
+    * cells, always ≥ the true count (collisions only add). Output: the
+    * top-20 true words with true and estimated counts side by side, so
+    * the overestimate the width buys at this vocabulary size is itself
+    * an oracle-checked fact.
+    *
+    * Why this is a 100 TB primitive where the exact word-count table
+    * (x05's shape) is not: the sketch is a bounded, MERGEABLE summary —
+    * per-partition partial cells combine by plain SUM (one map-side-
+    * combined hash-agg over 3n narrow rows; 3·1024 cells out regardless
+    * of corpus size), so frequency estimation over an unbounded stream
+    * costs constant state where the exact table grows with the
+    * vocabulary. Salted `poly_hash` rows replay exactly in the oracle;
+    * everything is int64. */
+  val x167 = Q(
+    "x167_countmin_heavyhitters",
+    Some {
+      def bucket(prefix: String, w: String) =
+        s"(${duckPolyHash(s"$prefix || $w")} % 1024)"
+      "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "rows3 AS (SELECT unnest(range(0, 3)) AS r), " +
+        "cells AS (SELECT r, CAST(CASE r " +
+        s"WHEN 0 THEN ${bucket("'0'", "w")} " +
+        s"WHEN 1 THEN ${bucket("'1'", "w")} " +
+        s"ELSE ${bucket("'2'", "w")} END AS BIGINT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS total " +
+        "FROM tok CROSS JOIN rows3 GROUP BY 1, 2), " +
+        "cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_cnt " +
+        "FROM tok GROUP BY w), " +
+        "top AS (SELECT w, true_cnt FROM cnt " +
+        "ORDER BY true_cnt DESC, w LIMIT 20), " +
+        "probes AS (SELECT t.w, t.true_cnt, c.r, CAST(CASE c.r " +
+        s"WHEN 0 THEN ${bucket("'0'", "t.w")} " +
+        s"WHEN 1 THEN ${bucket("'1'", "t.w")} " +
+        s"ELSE ${bucket("'2'", "t.w")} END AS BIGINT) AS bucket " +
+        "FROM top t CROSS JOIN rows3 c) " +
+        "SELECT p.w AS word, p.true_cnt, " +
+        "CAST(MIN(cl.total) AS BIGINT) AS est_cnt " +
+        "FROM probes p JOIN cells cl ON p.r = cl.r AND p.bucket = cl.bucket " +
+        "GROUP BY 1, 2"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val tok = t.documents
+      .select(explode(split(col("text"), " ")).as("w"))
+    val withR = tok.select(col("w"),
+      explode(sequence(lit(0), lit(2))).as("r"))
+      .select(col("r").cast("long").as("r"),
+        expr("poly_hash(concat(cast(r AS string), w)) % 1024").as("bucket"))
+    val cells = withR.groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("total"))
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("w")).limit(20)
+    val probes = top
+      .select(col("w"), col("true_cnt"),
+        explode(sequence(lit(0), lit(2))).as("r"))
+      .select(col("w"), col("true_cnt"), col("r").cast("long").as("r"),
+        expr("poly_hash(concat(cast(r AS string), w)) % 1024").as("bucket"))
+    broadcast(probes).join(cells, Seq("r", "bucket"))
+      .groupBy(col("w"), col("true_cnt"))
+      .agg(min(col("total")).as("est_cnt"))
+      .select(col("w").as("word"), col("true_cnt"), col("est_cnt"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5590,6 +5657,6 @@ object TrainingData {
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
-    x166
+    x166, x167
   )
 }
