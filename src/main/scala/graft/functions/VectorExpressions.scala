@@ -274,6 +274,55 @@ object ZValue {
   def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
 
+/** `hilbert_value(x, y)` — Hilbert-curve index of a point on the 2^16 ×
+  * 2^16 grid (the classic xy2d recursion, iterated): the space-filling
+  * curve whose consecutive indices are ALWAYS grid neighbors, unlike
+  * the Morton curve's quadrant-boundary jumps (z = 0b0111 → 0b1000
+  * crosses half the grid). Same [[ZValue]] codegen shape: a static
+  * Java-loop call inside whole-stage codegen, null-safe, LongType. */
+case class HilbertValue(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_value"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertValue.xy2d(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HilbertValue.xy2d($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HilbertValue {
+  /** 16-bit-per-axis xy→d (order-16 Hilbert curve; d ∈ [0, 2³²)):
+    * at each scale s the quadrant id ((3·rx) XOR ry) contributes s²
+    * curve steps, then the sub-quadrant's frame is reflected/rotated
+    * into canonical orientation — the standard iterative form of the
+    * recursion. Pure long arithmetic, deterministic on any JVM. */
+  def xy2d(xIn: Long, yIn: Long): Long = {
+    var x = xIn & 0xFFFFL
+    var y = yIn & 0xFFFFL
+    var d = 0L
+    var s = 1L << 15
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
 object VectorExpressions {
 
   /** Register `float_vec_dot` in the session's function registry (idempotent)
@@ -302,6 +351,11 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_value",
       exprs => ZValue(exprs(0), exprs(1)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert_value",
+      exprs => HilbertValue(exprs(0), exprs(1)),
       "built-in"
     )
   }

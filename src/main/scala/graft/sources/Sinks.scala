@@ -203,7 +203,27 @@ object Sinks {
     * (Delta/Iceberg z-order does the same via per-column range ids). */
   def writeZOrdered(
       df: DataFrame, path: String, colA: String, colB: String,
-      numFiles: Int): Unit = {
+      numFiles: Int): Unit =
+    writeCurveOrdered(df, path, colA, colB, numFiles, "z_value")
+
+  /** Hilbert-curve layout: [[writeZOrdered]] with the Morton interleave
+    * replaced by the order-16 Hilbert index
+    * ([[graft.functions.HilbertValue]]) — identical normalization,
+    * bounds guards, and file splitting, but consecutive curve indices
+    * are ALWAYS grid neighbors (the continuity Morton lacks at quadrant
+    * boundaries, where z jumps across half the grid), so range splits
+    * cut the curve into compact tiles with strictly fewer worst-case
+    * straddles. Delta Lake added exactly this as "liquid-style" Hilbert
+    * clustering over Z-order, for the same reason. HilbertSpec pins the
+    * curve's continuity, bijectivity, and the two-key span shrink. */
+  def writeHilbert(
+      df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit =
+    writeCurveOrdered(df, path, colA, colB, numFiles, "hilbert_value")
+
+  private def writeCurveOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, curveFn: String): Unit = {
     graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
     import org.apache.spark.sql.functions.{expr, max, min}
     val b = df.agg(
@@ -244,7 +264,7 @@ object Sinks {
       }
     }
     df.withColumn("__z",
-        expr(s"z_value(${grid(colA, aMin, aMax)}, ${grid(colB, bMin, bMax)})"))
+        expr(s"$curveFn(${grid(colA, aMin, aMax)}, ${grid(colB, bMin, bMax)})"))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -121,4 +121,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .selectExpr("a", "b", "z_value(a, b) AS z").collect()
     rows.foreach(r => assert(r.getLong(2) === ref(r.getLong(0), r.getLong(1))))
   }
+
+  test("hilbert_value through SQL matches the static xy2d on sampled points") {
+    VectorExpressions.ensureRegistered(spark)
+    val rows = spark.range(0, 200)
+      .selectExpr("id * 2654435761 % 65536 AS a", "id * 40503 % 65536 AS b")
+      .selectExpr("a", "b", "hilbert_value(a, b) AS h").collect()
+    rows.foreach(r =>
+      assert(r.getLong(2) === HilbertValue.xy2d(r.getLong(0), r.getLong(1))))
+    // codegen and interpreted paths agree (HilbertSpec pins the curve
+    // math itself against the d2xy inverse)
+  }
 }
