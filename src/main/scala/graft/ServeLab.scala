@@ -138,6 +138,40 @@ object ServeLab {
     println(s"""{"metric":"pq_encode_stream","rows":$encRows,"sec":$encSec,""" +
       s""""rows_per_sec":${encRows / encSec},"sf":"$dir"}""")
 
+    // SQ8 serving tier ([[IvfSqServeStream]]) on the same query
+    // workload — both modes: the rerank-free decode-scan and the
+    // full-recall shortlist+rerank (x164's configuration)
+    val (_, tBuildSq) = timed(graft.streaming.IvfSqServeStream.buildIndex(
+      emb, "vec_id", "embedding", s"$root/sqindex", k))
+    println(s"""{"metric":"serve_index_build_sq8","n":$n,"k":$k,""" +
+      s""""sec":$tBuildSq,"sf":"$dir"}""")
+    for (sl <- Seq(0, 50)) {
+      val srcS = MemoryStream[(Long, Seq[Float])]
+      val serveS = graft.streaming.IvfSqServeStream.startServe(
+        srcS.toDF().toDF("query_id", "qvec")
+          .select(col("query_id"), col("qvec").cast("array<float>")),
+        s"$root/sqindex", s"$root/sqanswers$sl", s"$root/sqckpt$sl",
+        nprobe = 4, topK = 5, shortlist = sl)
+      val times =
+        try {
+          srcS.addData(queries.take(qPerBatch).toSeq: _*)
+          serveS.processAllAvailable()
+          (0 until nBatches).map { b =>
+            val batch = queries.slice((b + 1) * qPerBatch, (b + 2) * qPerBatch)
+            val (_, dt) = timed {
+              srcS.addData(batch.toSeq: _*)
+              serveS.processAllAvailable()
+            }
+            dt
+          }
+        } finally serveS.stop()
+      val meanS = times.sum / times.size
+      println(s"""{"metric":"serve_batch_sq8","shortlist":$sl,""" +
+        s""""n_batches":$nBatches,"q_per_batch":$qPerBatch,""" +
+        s""""mean_sec":$meanS,"min_sec":${times.min},"max_sec":${times.max},""" +
+        s""""qps":${qPerBatch / meanS},"k":$k,"nprobe":4,"sf":"$dir"}""")
+    }
+
     spark.stop()
   }
 }

@@ -1077,19 +1077,82 @@ object Dedup {
       qraw: DataFrame, cents: DataFrame, book: DataFrame,
       codes: DataFrame, vectors: DataFrame,
       nprobe: Int, topK: Int, shortlist: Int,
-      m: Int, subDim: Int, excludeSelf: Boolean): DataFrame = {
+      m: Int, subDim: Int, excludeSelf: Boolean): DataFrame =
+    ivfPqAdcRerank(qraw, book, codes,
+      routeQueriesFlat(qraw, cents, nprobe), vectors,
+      topK, shortlist, m, subDim, excludeSelf)
+
+  /** Flat probe routing against a standing centroid frame — each query
+    * scored against all k centroids through the bounded heap (serving
+    * batches can be large). `qraw` = (query_id, qvec); returns
+    * (query_id, cell). */
+  private def routeQueriesFlat(qraw: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val queries = qraw.select(col("query_id"), col("qvec").as("qe"),
       sqrt(expr("float_vec_dot(qvec, qvec)")).as("qn"))
-    // bounded-heap probe routing (serving batches can be large)
-    val probed = Ranks.topKPerGroup(
+    Ranks.topKPerGroup(
       queries
         .crossJoin(broadcast(cents))
         .select(col("query_id"), col("cent_id"),
           (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos")),
       Seq("query_id"), Seq(("ccos", false), ("cent_id", true)), nprobe)
       .select(col("query_id"), col("cent_id").as("cell"))
-    ivfPqAdcRerank(qraw, book, codes, probed, vectors,
-      topK, shortlist, m, subDim, excludeSelf)
+  }
+
+  /** Answer-side core of IVF+SQ8 serving
+    * ([[graft.streaming.IvfSqServeStream]]), the SQ8 sibling of
+    * [[ivfPqAnswer]]: route each query to its `nprobe` cells (flat,
+    * bounded heap), decode-scan ONLY those cells' SQ8 codes
+    * asymmetrically (exact int64), and either return the scan's top-k
+    * directly (`shortlist = 0` — the rerank-free SQ8 point, column
+    * `sq_dist`) or shortlist and exactly re-rank against the stored
+    * vectors (`shortlist > 0` — the full-recall x164 configuration,
+    * column `qdist`; `vectors` is touched for queries·shortlist rows
+    * only). `bounds` is the frozen 64-row grid; `codes` = (vid, pos,
+    * code, cell). `excludeSelf` as in [[ivfPqAnswer]] — serving streams
+    * pass false because their query ids are external. */
+  private[graft] def ivfSqAnswer(
+      qraw: DataFrame, cents: DataFrame, bounds: DataFrame,
+      codes: DataFrame, vectors: DataFrame,
+      nprobe: Int, topK: Int, shortlist: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val probed = routeQueriesFlat(qraw, cents, nprobe)
+    val dec = codes
+      .join(broadcast(bounds), Seq("pos"))
+      .select(col("vid"), col("cell"), col("pos"),
+        (col("lo") + expr("code * span div 255")).as("dv"))
+    val qd = qraw
+      .select(col("query_id"), posexplode(col("qvec")).as(Seq("pos", "v")))
+      .select(col("query_id"), col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("q"))
+    val scan = dec
+      .join(broadcast(probed), Seq("cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vid") else lit(true))
+      .join(broadcast(qd), Seq("query_id", "pos"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum((col("q") - col("dv")) * (col("q") - col("dv"))).as("sq_dist"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("sq_dist"))
+    if (shortlist <= 0)
+      Ranks.topKPerGroup(scan, Seq("query_id"),
+        Seq(("sq_dist", true), ("neighbor_id", true)), topK)
+        .select("query_id", "neighbor_id", "sq_dist")
+    else {
+      val sl = Ranks.topKPerGroup(scan, Seq("query_id"),
+        Seq(("sq_dist", true), ("neighbor_id", true)), shortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      val qs = qraw.select(col("query_id"), col("qvec").as("__sq_qe"))
+      val dist = (0 until 8)
+        .map(s => expr(s"pq_subdist(__sq_qe, __sq_ve, $s, 8)"))
+        .reduce(_ + _)
+      val reranked = sl
+        .join(vectors.select(col("vid").as("neighbor_id"),
+          col("vec").as("__sq_ve")), "neighbor_id")
+        .join(broadcast(qs), "query_id")
+        .select(col("query_id"), col("neighbor_id"), dist.as("qdist"))
+      Ranks.topKPerGroup(reranked, Seq("query_id"),
+        Seq(("qdist", true), ("neighbor_id", true)), topK)
+        .select("query_id", "neighbor_id", "qdist")
+    }
   }
 
   /** ADC + exact-re-rank tail shared by [[ivfPqAnswer]] (flat probe
