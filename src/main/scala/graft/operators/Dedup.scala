@@ -934,6 +934,118 @@ object Dedup {
       .select("query_id", "neighbor_id", "qdist")
   }
 
+  /** Per-dimension binarization thresholds for 1-bit quantization —
+    * the coarsest rung of the quantizer ladder (BQ 256× under raw
+    * float32, vs PQ's 64× and SQ8's 8×): a 64-row frame (`pos`, `s`,
+    * `cnt`) carrying each dimension's exact ⌊v·10⁶⌋-grid SUM and count.
+    * The threshold itself is the per-dim MEAN, but it is never
+    * materialized as a quotient: [[bqEncode]] compares by
+    * cross-multiplication (`q·cnt > s`), so no division — and no
+    * floor-vs-truncate portability edge on negative sums — exists
+    * anywhere in the BQ path. One linear map-side-combined pass,
+    * broadcast-sized output regardless of corpus size (the
+    * [[sqBounds]] train-step economics, one aggregate cheaper). */
+  def bqThresholds(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("q"))
+      .groupBy(col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+
+  /** Binary (1-bit-per-dimension) codes — sign-of-centered hashing
+    * (Charikar 2002's hyperplane sketch with axis-aligned planes
+    * through the per-dim mean): `bit = 1` iff the dimension sits
+    * strictly above its corpus mean, packed 32 dims per int64 word
+    * (`word = pos div 32`, `code = Σ bit << (pos mod 32)`). Two words
+    * per 64-dim vector = 8 bytes — 32× under the raw vector, 256×
+    * counting float32 at 4 bytes/dim against 1 bit/dim.
+    *
+    * Why 32-bit words and not one 64-bit word: bit 63 of an int64 is
+    * the sign bit, and `1 << 63` wraps negative in Spark while DuckDB
+    * range-errors — packing 32 bits per word keeps every code value in
+    * [0, 2³²) where shift, XOR, and popcount semantics are identical
+    * in both engines. Cross-multiplied threshold comparison keeps the
+    * whole encode division-free (see [[bqThresholds]]); no overflow:
+    * |q·cnt| ≤ 10⁶·10¹² at a 10¹²-row corpus ≪ 2⁶³.
+    *
+    * Scale shape: posexplode to n·d narrow rows, one broadcast join
+    * against the 64-row threshold frame, shift+sum map-side-combined
+    * hash-agg back to n·2 code rows — linear, shuffle-free except the
+    * final id-keyed combine, all codegen. */
+  def bqEncode(df: DataFrame, idCol: String, vecCol: String,
+      thr: DataFrame): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("q"))
+      .join(broadcast(thr), Seq("pos"))
+      .select(col(idCol), expr("pos div 32").as("word"),
+        when(col("q") * col("cnt") > col("s"), 1L).otherwise(0L).as("bit"),
+        col("pos"))
+      .select(col(idCol), col("word"),
+        expr("shiftleft(bit, cast(pos % 32 as int))").as("term"))
+      .groupBy(col(idCol), col("word"))
+      .agg(sum(col("term")).as("code"))
+
+  /** Symmetric Hamming top-k over binary codes: both sides binarized
+    * (unlike SQ8/PQ's asymmetric forms — 1-bit codes have no useful
+    * decode), distance = Σ_word popcount(xor(code, qcode)) ∈ [0, 64].
+    * Exact integers end-to-end → full hash oracle (x169). The scan is
+    * the cheapest in the quantizer family — n·2 word rows against a
+    * broadcast query frame, XOR+POPCNT per row (both single
+    * instructions under codegen), summing hash-agg, bounded-heap top-k
+    * — which is why binary sketches are the web-scale FIRST-pass
+    * filter (Google's SimHash dedup is this same distance over token
+    * space; x04/x85 are the document twins). The price is resolution:
+    * 65 distinct distance values over the whole corpus, so ties are
+    * massive and ranking within a tie band is id-order — [[
+    * bqSearchRerank]] is the registered fix, exactly the shortlist
+    * economics the lab measured for SQ8/PQ. */
+  def bqSearch(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
+    val thr = bqThresholds(df, idCol, vecCol)
+    val codes = bqEncode(df, idCol, vecCol, thr)
+    val qc = bqEncode(df.filter(queryPred), idCol, vecCol, thr)
+      .select(col(idCol).as("query_id"), col("word"), col("code").as("qcode"))
+    val dist = codes
+      .select(col(idCol).as("neighbor_id"), col("word"), col("code"))
+      .join(broadcast(qc), Seq("word"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(expr("cast(bit_count(code ^ qcode) as bigint)")).as("hamming"))
+    Ranks.topKPerGroup(dist, Seq("query_id"),
+      Seq(("hamming", true), ("neighbor_id", true)), topK)
+      .select("query_id", "neighbor_id", "hamming")
+  }
+
+  /** Hamming shortlist → exact re-rank: the [[sqSearchRerank]] /
+    * [[pqSearchRerank]] tail verbatim over a [[bqSearch]] shortlist.
+    * This is the deployment form of binary quantization (Hamming
+    * prefilter + exact distance on survivors): the 8-byte code registry
+    * does the O(n) work, the full vector store is read
+    * O(queries·shortlist). Recall = the Hamming shortlist's capture
+    * rate — bounded below the finer quantizers at equal shortlist by
+    * the 65-value resolution, which is the measured, documented trade
+    * for 8× less resident memory than SQ8. */
+  def bqSearchRerank(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, topK: Int,
+      shortlist: Int = 50): DataFrame = {
+    val sl = bqSearch(df, idCol, vecCol, queryPred, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qs = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__bq_qe"))
+    val dist = (0 until 8)
+      .map(s => expr(s"pq_subdist(__bq_qe, __bq_ve, $s, 8)"))
+      .reduce(_ + _)
+    val reranked = sl
+      .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__bq_ve")),
+        "neighbor_id")
+      .join(broadcast(qs), "query_id")
+      .select(col("query_id"), col("neighbor_id"), dist.as("qdist"))
+    Ranks.topKPerGroup(reranked, Seq("query_id"),
+      Seq(("qdist", true), ("neighbor_id", true)), topK)
+      .select("query_id", "neighbor_id", "qdist")
+  }
+
   /** IVF+PQ search (FAISS's IVFADC — Jégou et al. 2011) — the composed
     * billion-scale ANN pipeline, assembled from this library's two
     * verified halves: coarse-route each query to its `nprobe` nearest

@@ -5644,6 +5644,113 @@ object TrainingData {
       .select(col("w").as("word"), col("true_cnt"), col("est_cnt"))
   }
 
+  // ---- binary quantization (BQ, 1 bit/dim) ----------------------------
+
+  /** Oracle-side BQ CTEs shared by x168/x169/x170: per-dim quantized
+    * values (`bqq`), per-dim sum/count thresholds (`bqt`), and the
+    * 32-bit-packed sign codes (`bqc`) — the exact integer replay of
+    * [[Dedup.bqThresholds]] / [[Dedup.bqEncode]]. The mean comparison
+    * is cross-multiplied (`q·cnt > s`) so neither engine divides;
+    * shifts stay below bit 32 so `<<`/`bit_count` agree exactly. */
+  private val duckBqCtes: String =
+    "bqq AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, " +
+      "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q " +
+      "FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd), " +
+      "bqt AS (SELECT pos, CAST(SUM(q) AS BIGINT) AS s, " +
+      "CAST(COUNT(*) AS BIGINT) AS cnt FROM bqq GROUP BY pos), " +
+      "bqc AS (SELECT v.vec_id, v.pos // 32 AS word, " +
+      "CAST(SUM((CASE WHEN v.q * t.cnt > t.s THEN CAST(1 AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END) << CAST(v.pos % 32 AS INTEGER)) " +
+      "AS BIGINT) AS code " +
+      "FROM bqq v JOIN bqt t ON v.pos = t.pos GROUP BY 1, 2)"
+
+  /** Binary-quantization codes — the quantizer ladder's coarsest rung
+    * (1 bit/dim: 8 bytes/vector = 32× under raw, vs SQ8's 8× and PQ's
+    * packed 64×), registered as the physical registry row exactly like
+    * x159 (SQ8) and x154 (packed PQ). Sign-of-centered hashing: bit =
+    * dimension strictly above its corpus mean, mean compared by
+    * cross-multiplication so the whole path is division-free, packed
+    * 32 dims per int64 word to keep shift/popcount semantics identical
+    * across engines (bit 63 of a single 64-bit word would hit the sign
+    * bit). Train step is ONE sum/count aggregate — even cheaper than
+    * SQ8's min/max — and encode is the same broadcast-join + shift-sum
+    * codegen pass. */
+  val x168 = Q(
+    "x168_bq_codes",
+    Some(s"WITH $duckBqCtes SELECT vec_id, word, code FROM bqc")
+  ) { t =>
+    Dedup.bqEncode(t.embeddings, "vec_id", "embedding",
+      Dedup.bqThresholds(t.embeddings, "vec_id", "embedding"))
+  }
+
+  /** Symmetric Hamming top-5 over the binary codes — the web-scale
+    * first-pass ANN filter (both sides binarized; distance =
+    * Σ popcount(xor) ∈ [0, 64], exact int64 → full hash oracle
+    * including the massive-tie id-order, which both engines break
+    * identically). The scan is the family's cheapest: n·2 word rows,
+    * XOR+POPCNT per row under codegen, vs SQ8's n·64 decoded dims and
+    * PQ's n·8 subspace lookups. Resolution is the documented price —
+    * 65 distinct distances ⇒ coarse tie bands — and x170 is the
+    * registered fix. */
+  val x169 = Q(
+    "x169_bq_hamming_topk",
+    Some(
+      s"WITH $duckBqCtes, " +
+        "bql AS (SELECT vec_id AS query_id, word, code AS qcode " +
+        "FROM bqc WHERE vec_id < 10), " +
+        "bhd AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+        "CAST(SUM(bit_count(xor(c.code, q.qcode))) AS BIGINT) AS hamming " +
+        "FROM bqc c JOIN bql q ON c.word = q.word AND c.vec_id <> q.query_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, hamming FROM (" +
+        "SELECT query_id, neighbor_id, hamming, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn " +
+        "FROM bhd) t WHERE rn <= 5"
+    )
+  ) { t =>
+    Dedup.bqSearch(t.embeddings, "vec_id", "embedding",
+      col("vec_id") < 10, topK = 5)
+  }
+
+  /** Hamming shortlist → exact re-rank top-5 — binary quantization's
+    * deployment form and the third instantiation of the measured
+    * shortlist economics (x151 PQ, x164 SQ8): the 8-byte code registry
+    * does the O(n) Hamming scan, the full vector store is read only for
+    * the 50 shortlisted candidates per query, and the final ranking is
+    * the exact quantized L2 metric. Recall = the Hamming shortlist's
+    * capture rate (the 65-value resolution bounds it below SQ8/PQ at
+    * equal shortlist — QuantLab measures the gap); memory = 8× less
+    * resident than SQ8, the trade an operator buys BQ for. */
+  val x170 = Q(
+    "x170_bq_rerank_topk",
+    Some(
+      s"WITH $duckBqCtes, " +
+        "bql AS (SELECT vec_id AS query_id, word, code AS qcode " +
+        "FROM bqc WHERE vec_id < 10), " +
+        "bhd AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+        "CAST(SUM(bit_count(xor(c.code, q.qcode))) AS BIGINT) AS hamming " +
+        "FROM bqc c JOIN bql q ON c.word = q.word AND c.vec_id <> q.query_id " +
+        "GROUP BY 1, 2), " +
+        "bsl AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn " +
+        "FROM bhd) t WHERE rn <= 50), " +
+        "brd AS (SELECT s.query_id, s.neighbor_id, " +
+        "CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS qdist " +
+        "FROM bsl s JOIN bqq a ON a.vec_id = s.query_id " +
+        "JOIN bqq b ON b.vec_id = s.neighbor_id AND b.pos = a.pos " +
+        "GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, qdist FROM (" +
+        "SELECT query_id, neighbor_id, qdist, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY qdist, neighbor_id) AS rn " +
+        "FROM brd) t WHERE rn <= 5"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.bqSearchRerank(t.embeddings, "vec_id", "embedding",
+      col("vec_id") < 10, topK = 5, shortlist = 50)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5657,6 +5764,6 @@ object TrainingData {
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
-    x166, x167
+    x166, x167, x168, x169, x170
   )
 }
