@@ -141,6 +141,23 @@ object PqLab {
       emb, "vec_id", "embedding", pred, topK = 5, shortlist = 50)))
     println(s"""{"metric":"sq8_rerank","shortlist":50,"sec":$tRr,""" +
       s""""recall":${recallOf(rrGot)},"sf":"$dir"}""")
+
+    // binary quantization's point — the 64-bit sign-code rung (256×
+    // under float32): flat Hamming (the x169 shape, tie-band-limited
+    // by 65 distance values) and Hamming shortlist + exact re-rank
+    // (the x170 shape) at the family's shared shortlist sizes, so the
+    // three quantizers land on one comparable (code_bits, sec, recall)
+    // table.
+    val (bqGot, tBq) = timed(sets(
+      Dedup.bqSearch(emb, "vec_id", "embedding", pred, topK = 5)))
+    println(s"""{"metric":"bq_flat","code_bits":64,"sec":$tBq,""" +
+      s""""recall":${recallOf(bqGot)},"sf":"$dir"}""")
+    for (sl <- Seq(20, 50, 100)) {
+      val (got, t) = timed(sets(Dedup.bqSearchRerank(
+        emb, "vec_id", "embedding", pred, topK = 5, shortlist = sl)))
+      println(s"""{"metric":"bq_rerank","shortlist":$sl,"sec":$t,""" +
+        s""""recall":${recallOf(got)},"sf":"$dir"}""")
+    }
     spark.stop()
   }
 }
