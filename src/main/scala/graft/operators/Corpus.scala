@@ -1011,4 +1011,69 @@ object Corpus {
       .select(col(idCol), col("n_tokens"), col("score"),
         (col("score") >= 0).as("keep"))
   }
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more its token distribution resembles a
+    * TARGET slice (`targetPred` — a curated source, a trusted domain)
+    * than the raw corpus at large. Tokens hash into `buckets` cells
+    * (the x161 feature-hashing trick), each bucket carries the integer
+    * log-likelihood ratio `lw = (⌊log₂(t+1)⌋ − ⌊log₂(T+1)⌋) −
+    * (⌊log₂(r+1)⌋ − ⌊log₂(R+1)⌋)` of the normalized target vs raw
+    * bucket frequencies (+1 = add-one smoothing; T/R = total token
+    * counts), and a document's score is the sum of its token-occurrence
+    * weights with `keep = score > 0` (more target-like than
+    * corpus-average) as the selection rule — the paper's importance
+    * weight with ⌊log₂⌋ in place of ln.
+    *
+    * Why ⌊log₂⌋ and not ln: the log here only needs to be MONOTONE and
+    * portable, and libm logs are neither exactly reproducible across
+    * engines nor exact on the int grid (the x142 lesson). Floor-log₂
+    * of a positive int64 is computed by joining against a 63-row
+    * powers-of-two frame (`max k where 2^k ≤ x`) — exact, branch-free,
+    * and bit-identical in any engine. Weights stay in [−62, 62], so
+    * |score| ≤ 62·n_tokens — no overflow at any corpus size.
+    *
+    * Scale shape — the same join-free economics that make hashed
+    * models THE 100 TB classifier family: one token explode, one
+    * map-side-combined bucket count (output bounded by `buckets`
+    * regardless of corpus size), two broadcast joins of that
+    * bucket-sized frame against the 63-row powers frame, and the
+    * resulting bucket→weight table broadcast back over the token
+    * stream into a doc-keyed combine. One real shuffle (the per-doc
+    * agg); the target pass and the raw pass share one scan. */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 4096): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    val spark = df.sparkSession
+    val tok = df.select(col(idCol), targetPred.as("__tgt"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .select(col(idCol), col("__tgt"),
+        expr(s"poly_hash(__w) % $buckets").as("__b"))
+    val cnt = tok.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__r"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__t"))
+      .localCheckpoint(true)
+    val p2 = broadcast(spark.range(63).select(col("id").as("__k"),
+      expr("shiftleft(CAST(1 AS BIGINT), cast(id as int))").as("__p")))
+    val fr = cnt.join(p2, col("__p") <= col("__r") + 1L)
+      .groupBy(col("__b")).agg(max(col("__k")).as("__fr"))
+    val ft = cnt.join(p2, col("__p") <= col("__t") + 1L)
+      .groupBy(col("__b")).agg(max(col("__k")).as("__ft"))
+    val tot = cnt.agg(sum(col("__r")).as("__tr"), sum(col("__t")).as("__tt"))
+    val fR = tot.join(p2, col("__p") <= col("__tr") + 1L)
+      .agg(max(col("__k")).as("__gr"))
+    val fT = tot.join(p2, col("__p") <= col("__tt") + 1L)
+      .agg(max(col("__k")).as("__gt"))
+    val lw = fr.join(ft, "__b")
+      .crossJoin(broadcast(fR)).crossJoin(broadcast(fT))
+      .select(col("__b"),
+        ((col("__ft") - col("__gt")) - (col("__fr") - col("__gr"))).as("__lw"))
+    tok.join(broadcast(lw), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lw")).as("score"))
+      .select(col(idCol), col("n_tokens"), col("score"),
+        (col("score") > 0).as("keep"))
+  }
 }

@@ -5751,6 +5751,47 @@ object TrainingData {
       col("vec_id") < 10, topK = 5, shortlist = 50)
   }
 
+  /** DSIR hashed importance resampling weights ([[Corpus.dsirScore]] —
+    * Xie et al. 2023) with `src0` as the target slice: per document,
+    * token count, integer log-likelihood-ratio score, and the `score >
+    * 0` selection decision. The portable-log problem is solved
+    * structurally — ⌊log₂⌋ via a 63-row powers-of-two join, never libm
+    * — so the paper's importance weight is hash-green end-to-end.
+    * Complements the pipeline's other selectors: x161 scores against a
+    * MODEL's weights, x42/x60 resample by SOURCE quota; DSIR scores
+    * against a target DISTRIBUTION with no training step at all. */
+  val x171 = Q(
+    "x171_dsir_importance",
+    Some(
+      "WITH dtok AS (SELECT doc_id, (source = 'src0') AS tgt, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents), " +
+        s"dtb AS (SELECT doc_id, tgt, ${duckPolyHash("w")} % 4096 AS b FROM dtok), " +
+        "dcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r, " +
+        "CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t " +
+        "FROM dtb GROUP BY b), " +
+        "dp2 AS (SELECT CAST(k AS BIGINT) AS k, " +
+        "CAST(1 AS BIGINT) << CAST(k AS INTEGER) AS p " +
+        "FROM (SELECT unnest(range(0, 63)) AS k)), " +
+        "dfr AS (SELECT c.b, MAX(p2.k) AS fr FROM dcnt c " +
+        "JOIN dp2 p2 ON p2.p <= c.r + 1 GROUP BY c.b), " +
+        "dft AS (SELECT c.b, MAX(p2.k) AS ft FROM dcnt c " +
+        "JOIN dp2 p2 ON p2.p <= c.t + 1 GROUP BY c.b), " +
+        "dtot AS (SELECT CAST(SUM(r) AS BIGINT) AS tr, " +
+        "CAST(SUM(t) AS BIGINT) AS tt FROM dcnt), " +
+        "dgr AS (SELECT MAX(k) AS gr FROM dp2, dtot WHERE p <= tr + 1), " +
+        "dgt AS (SELECT MAX(k) AS gt FROM dp2, dtot WHERE p <= tt + 1), " +
+        "dlw AS (SELECT fr.b, " +
+        "((ft.ft - (SELECT gt FROM dgt)) - (fr.fr - (SELECT gr FROM dgr))) AS lw " +
+        "FROM dfr fr JOIN dft ft ON fr.b = ft.b), " +
+        "dsc AS (SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(lw.lw) AS BIGINT) AS score " +
+        "FROM dtb tb JOIN dlw lw ON tb.b = lw.b GROUP BY tb.doc_id) " +
+        "SELECT doc_id, n_tokens, score, (score > 0) AS keep FROM dsc"
+    )
+  ) { t =>
+    Corpus.dsirScore(t.documents, "doc_id", "text", col("source") === "src0")
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5764,6 +5805,6 @@ object TrainingData {
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
-    x166, x167, x168, x169, x170
+    x166, x167, x168, x169, x170, x171
   )
 }
