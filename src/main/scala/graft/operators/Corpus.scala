@@ -1076,4 +1076,49 @@ object Corpus {
       .select(col(idCol), col("n_tokens"), col("score"),
         (col("score") > 0).as("keep"))
   }
+
+  /** Count-Min sketch cells (Cormode & Muthukrishnan 2005) for the
+    * token stream of `df`'s `textCol`: (`r`, `bucket`, `total`) over
+    * `rows`×`buckets` salted-hash cells — the x167 sketch-build stage,
+    * shared verbatim by the streaming form
+    * ([[graft.streaming.CountMinStream]]). The defining property this
+    * factoring exists to exploit: cells are MERGEABLE BY PLAIN SUM —
+    * countMinCells(A ∪ B) ≡ countMinCells(A) ⊎ countMinCells(B) summed
+    * per (r, bucket) — so per-partition partials, per-batch stream
+    * registries, and cross-corpus unions all combine exactly, and the
+    * standing state is 3·1024 rows regardless of corpus size. One
+    * explode + one map-side-combined hash-agg; salted `poly_hash` rows
+    * replay exactly in the oracle. */
+  def countMinCells(df: DataFrame, textCol: String,
+      rows: Int = 3, buckets: Int = 1024): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    df.select(explode(split(col(textCol), " ")).as("__w"))
+      .select(col("__w"),
+        explode(sequence(lit(0), lit(rows - 1))).as("__r"))
+      .select(col("__r").cast("long").as("r"),
+        expr(s"poly_hash(concat(cast(__r AS string), __w)) % $buckets")
+          .as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("total"))
+  }
+
+  /** Count-Min point estimate for each word in `words` (`wordCol`)
+    * against a cell frame from [[countMinCells]]: the min over rows of
+    * the probed cell totals — ≥ the true count by construction, with
+    * overestimate bounded by the hash collisions in the LIGHTEST of the
+    * `rows` salted rows. `cells` is sketch-sized; the probe frame
+    * broadcasts. */
+  def countMinEstimate(cells: DataFrame, words: DataFrame, wordCol: String,
+      rows: Int = 3, buckets: Int = 1024): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(words.sparkSession)
+    val probes = words
+      .select(col(wordCol),
+        explode(sequence(lit(0), lit(rows - 1))).as("__r"))
+      .select(col(wordCol), col("__r").cast("long").as("r"),
+        expr(s"poly_hash(concat(cast(__r AS string), $wordCol)) % $buckets")
+          .as("bucket"))
+    broadcast(probes).join(cells, Seq("r", "bucket"))
+      .groupBy(col(wordCol))
+      .agg(min(col("total")).as("est_cnt"))
+  }
 }

@@ -5625,12 +5625,7 @@ object TrainingData {
     graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
     val tok = t.documents
       .select(explode(split(col("text"), " ")).as("w"))
-    val withR = tok.select(col("w"),
-      explode(sequence(lit(0), lit(2))).as("r"))
-      .select(col("r").cast("long").as("r"),
-        expr("poly_hash(concat(cast(r AS string), w)) % 1024").as("bucket"))
-    val cells = withR.groupBy(col("r"), col("bucket"))
-      .agg(count(lit(1)).as("total"))
+    val cells = Corpus.countMinCells(t.documents, "text")
     val top = tok.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("w")).limit(20)
     val probes = top
