@@ -1046,6 +1046,57 @@ object Dedup {
       .select("query_id", "neighbor_id", "qdist")
   }
 
+  /** IVF+BQ search — the quantizer ladder's coarsest composition,
+    * completing the composed-tier family (x153 IVFADC at 64×, x163
+    * IVF+SQ8 at 8×, this at 256×): two-level auto-k routing (identical
+    * frames and policy), a Hamming scan of ONLY the probed cells' 1-bit
+    * codes, then the mandatory exact re-rank — mandatory because flat
+    * Hamming's 65-value resolution cannot rank inside its tie bands
+    * (the measured x169 finding); for BQ the re-rank is part of the
+    * operator's definition, not an optional recall lever. Probe work is
+    * (n/k)·nprobe·2 WORD rows per query — the smallest scan of the
+    * three tiers — and the vector store is read O(queries·shortlist).
+    * All integers exact end-to-end → full hash oracle through routing,
+    * scan, and re-rank. */
+  def ivfBqSearch(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
+      topK: Int, kc: Int, shortlist: Int = 50): DataFrame = {
+    val thr = bqThresholds(df, idCol, vecCol)
+    val codes = bqEncode(df, idCol, vecCol, thr)
+      .select(col(idCol).as("vid"), col("word"), col("code"))
+    val (fineParent, activeCoarse, assigned) =
+      ivfIndexTwoLevel(df, idCol, vecCol, k, kc)
+    val qraw = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val probed = routeQueriesTwoLevel(qraw, fineParent, activeCoarse, nprobe)
+    val qc = bqEncode(df.filter(queryPred), idCol, vecCol, thr)
+      .select(col(idCol).as("query_id"), col("word"), col("code").as("qcode"))
+    val ham = codes
+      .join(assigned.select(col(idCol).as("vid"), col("cell")), "vid")
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vid"))
+      .join(broadcast(qc), Seq("query_id", "word"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(expr("cast(bit_count(code ^ qcode) as bigint)")).as("hamming"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("hamming"))
+    val sl = Ranks.topKPerGroup(ham, Seq("query_id"),
+      Seq(("hamming", true), ("neighbor_id", true)), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qs = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__ivfbq_qe"))
+    val dist = (0 until 8)
+      .map(s => expr(s"pq_subdist(__ivfbq_qe, __ivfbq_ve, $s, 8)"))
+      .reduce(_ + _)
+    val reranked = sl
+      .join(df.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__ivfbq_ve")), "neighbor_id")
+      .join(broadcast(qs), "query_id")
+      .select(col("query_id"), col("neighbor_id"), dist.as("qdist"))
+    Ranks.topKPerGroup(reranked, Seq("query_id"),
+      Seq(("qdist", true), ("neighbor_id", true)), topK)
+      .select("query_id", "neighbor_id", "qdist")
+  }
+
   /** IVF+PQ search (FAISS's IVFADC — Jégou et al. 2011) — the composed
     * billion-scale ANN pipeline, assembled from this library's two
     * verified halves: coarse-route each query to its `nprobe` nearest

@@ -5787,6 +5787,49 @@ object TrainingData {
     Corpus.dsirScore(t.documents, "doc_id", "text", col("source") === "src0")
   }
 
+  /** IVF+BQ top-5 ([[Dedup.ivfBqSearch]]) — the composed-tier family's
+    * coarsest member next to IVFADC (x153) and IVF+SQ8 (x163): two-level
+    * auto-k routing into a Hamming scan of only the probed cells' 1-bit
+    * codes, 50-candidate shortlist, exact re-rank. The re-rank is part
+    * of BQ's definition (flat Hamming cannot rank inside its 65-value
+    * tie bands — the x169 measurement); probe work (n/k)·nprobe·2 word
+    * rows per query is the smallest scan of the three tiers at 256×
+    * compression. Exact int64 end-to-end → full hash oracle through
+    * routing, scan, and re-rank. */
+  val x172 = Q(
+    "x172_ivfbq_topk",
+    Some(
+      s"WITH ${duckIvfListCtes(nprobe = 4, topK = 5)}, $duckBqCtes, " +
+        "cbq AS (SELECT c.vec_id, c.word, c.code, a.cell " +
+        "FROM bqc c JOIN iassigned a ON c.vec_id = a.vec_id), " +
+        "qbl AS (SELECT vec_id AS query_id, word, code AS qcode " +
+        "FROM bqc WHERE vec_id < 10), " +
+        "chd AS (SELECT p.query_id, c.vec_id AS neighbor_id, " +
+        "CAST(SUM(bit_count(xor(c.code, q.qcode))) AS BIGINT) AS hamming " +
+        "FROM cbq c JOIN iprobed p ON c.cell = p.cell " +
+        "JOIN qbl q ON q.query_id = p.query_id AND q.word = c.word " +
+        "WHERE c.vec_id <> p.query_id GROUP BY 1, 2), " +
+        "csl AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn " +
+        "FROM chd) t WHERE rn <= 50), " +
+        "crd AS (SELECT s.query_id, s.neighbor_id, " +
+        "CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS qdist " +
+        "FROM csl s JOIN bqq a ON a.vec_id = s.query_id " +
+        "JOIN bqq b ON b.vec_id = s.neighbor_id AND b.pos = a.pos " +
+        "GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, qdist FROM (" +
+        "SELECT query_id, neighbor_id, qdist, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY qdist, neighbor_id) AS rn " +
+        "FROM crd) t WHERE rn <= 5"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.ivfBqSearch(t.embeddings, "vec_id", "embedding",
+      col("vec_id") < 10, k = ivfAutoK(t), nprobe = 4, topK = 5,
+      kc = ivfAutoKc(t), shortlist = 50)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5800,6 +5843,6 @@ object TrainingData {
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
-    x166, x167, x168, x169, x170, x171
+    x166, x167, x168, x169, x170, x171, x172
   )
 }
