@@ -1044,13 +1044,23 @@ object Corpus {
     * agg); the target pass and the raw pass share one scan. */
   def dsirScore(df: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 4096): DataFrame =
+    dsirApply(df, idCol, textCol,
+      dsirWeights(df, idCol, textCol, targetPred, buckets), buckets)
+
+  /** The DSIR bucket→weight table alone: (`bucket`, `lw`) for every
+    * hash bucket seen in the fit corpus — the FROZEN "model" a serving
+    * gate carries ([[graft.streaming.DsirStream]] is the at-ingest
+    * form; fit once per target release, ≤ `buckets` rows, broadcast
+    * everywhere). See [[dsirScore]] for the weight's definition. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
       buckets: Int = 4096): DataFrame = {
     graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
     val spark = df.sparkSession
-    val tok = df.select(col(idCol), targetPred.as("__tgt"),
+    val tok = df.select(targetPred.as("__tgt"),
         explode(split(col(textCol), " ")).as("__w"))
-      .select(col(idCol), col("__tgt"),
-        expr(s"poly_hash(__w) % $buckets").as("__b"))
+      .select(col("__tgt"), expr(s"poly_hash(__w) % $buckets").as("__b"))
     val cnt = tok.groupBy(col("__b"))
       .agg(count(lit(1)).as("__r"),
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("__t"))
@@ -1066,13 +1076,25 @@ object Corpus {
       .agg(max(col("__k")).as("__gr"))
     val fT = tot.join(p2, col("__p") <= col("__tt") + 1L)
       .agg(max(col("__k")).as("__gt"))
-    val lw = fr.join(ft, "__b")
+    fr.join(ft, "__b")
       .crossJoin(broadcast(fR)).crossJoin(broadcast(fT))
-      .select(col("__b"),
-        ((col("__ft") - col("__gt")) - (col("__fr") - col("__gr"))).as("__lw"))
-    tok.join(broadcast(lw), Seq("__b"))
+      .select(col("__b").as("bucket"),
+        ((col("__ft") - col("__gt")) - (col("__fr") - col("__gr"))).as("lw"))
+  }
+
+  /** Score documents against a standing [[dsirWeights]] table. A token
+    * hashing to a bucket NEVER seen at fit time carries no evidence and
+    * is dropped from both the score and `n_tokens` — identical to the
+    * one-pass batch form, where every scored token's bucket exists by
+    * construction. */
+  def dsirApply(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 4096): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .select(col(idCol), expr(s"poly_hash(__w) % $buckets").as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__lw")).as("score"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lw")).as("score"))
       .select(col(idCol), col("n_tokens"), col("score"),
         (col("score") > 0).as("keep"))
   }
