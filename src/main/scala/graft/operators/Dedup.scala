@@ -1318,6 +1318,51 @@ object Dedup {
     }
   }
 
+  /** Answer-side core of IVF+BQ serving
+    * ([[graft.streaming.IvfBqServeStream]]), the 1-bit sibling of
+    * [[ivfPqAnswer]]/[[ivfSqAnswer]]: route each query to its `nprobe`
+    * cells (flat, bounded heap), encode the query against the FROZEN
+    * `thresholds`, Hamming-scan ONLY those cells' word rows, shortlist,
+    * and exactly re-rank against the stored vectors (`vectors` is
+    * touched for queries·shortlist rows only). The re-rank stage is
+    * mandatory — flat Hamming cannot rank inside its 65-value tie
+    * bands — so `shortlist` must be positive. `codes` = (vid, word,
+    * code, cell). `excludeSelf` as in [[ivfPqAnswer]] — serving streams
+    * pass false because their query ids are external. */
+  private[graft] def ivfBqAnswer(
+      qraw: DataFrame, cents: DataFrame, thresholds: DataFrame,
+      codes: DataFrame, vectors: DataFrame,
+      nprobe: Int, topK: Int, shortlist: Int,
+      excludeSelf: Boolean): DataFrame = {
+    require(shortlist > 0, "BQ answers require the exact re-rank stage")
+    val probed = routeQueriesFlat(qraw, cents, nprobe)
+    val qc = bqEncode(qraw.select(col("query_id"), col("qvec")),
+        "query_id", "qvec", thresholds)
+      .select(col("query_id"), col("word"), col("code").as("qcode"))
+    val ham = codes
+      .join(broadcast(probed), Seq("cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vid") else lit(true))
+      .join(broadcast(qc), Seq("query_id", "word"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(expr("cast(bit_count(code ^ qcode) as bigint)")).as("hamming"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("hamming"))
+    val sl = Ranks.topKPerGroup(ham, Seq("query_id"),
+      Seq(("hamming", true), ("neighbor_id", true)), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qs = qraw.select(col("query_id"), col("qvec").as("__bqs_qe"))
+    val dist = (0 until 8)
+      .map(s => expr(s"pq_subdist(__bqs_qe, __bqs_ve, $s, 8)"))
+      .reduce(_ + _)
+    val reranked = sl
+      .join(vectors.select(col("vid").as("neighbor_id"),
+        col("vec").as("__bqs_ve")), "neighbor_id")
+      .join(broadcast(qs), "query_id")
+      .select(col("query_id"), col("neighbor_id"), dist.as("qdist"))
+    Ranks.topKPerGroup(reranked, Seq("query_id"),
+      Seq(("qdist", true), ("neighbor_id", true)), topK)
+      .select("query_id", "neighbor_id", "qdist")
+  }
+
   /** ADC + exact-re-rank tail shared by [[ivfPqAnswer]] (flat probe
     * routing) and the two-level routed [[ivfPqSearch]]: `probed` =
     * (query_id, cell), everything downstream is routing-agnostic. */
