@@ -11,8 +11,10 @@ object BenchLab {
     val builder = SparkSession.builder()
       .master("local[32]")
       .appName("graft-benchlab")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("LAB_PARTS", "32"))
+      .config("spark.sql.adaptive.enabled",
+        if (sys.env.get("LAB_AQE").contains("0")) "false" else "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // LAB_EXTENSIONS=1 reproduces the Bench/Verify session shape
@@ -27,7 +29,7 @@ object BenchLab {
 
     def time(name: String)(f: => DataFrame): Unit = {
       f.write.format("noop").mode("overwrite").save() // warm
-      val runs = (1 to 3).map { _ =>
+      val runs = (1 to sys.env.getOrElse("LAB_RUNS", "3").toInt).map { _ =>
         val t0 = System.nanoTime()
         f.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -40,6 +42,32 @@ object BenchLab {
       val name = sys.env("LAB_QUERY")
       val fn = SparkEntry.queries(name)
       time(name) { fn(spark, sfDir) }
+      spark.stop(); return
+    }
+
+    // deterministic fixed-cost profile: LAB_MODE=jobs LAB_QUERY=<names,>
+    // counts Spark jobs/stages/tasks per execution — the scheduling
+    // overhead that dominates sub-second queries, measured without
+    // wall-clock noise
+    if (sys.env.get("LAB_MODE").contains("jobs")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = tasks.incrementAndGet()
+      })
+      sys.env("LAB_QUERY").split(",").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+        Thread.sleep(300) // let the listener bus drain
+        jobs.set(0); stages.set(0); tasks.set(0)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Thread.sleep(300)
+        println(s"[lab] $name jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+      }
       spark.stop(); return
     }
 

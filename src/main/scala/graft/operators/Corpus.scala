@@ -1083,18 +1083,22 @@ object Corpus {
   }
 
   /** Score documents against a standing [[dsirWeights]] table. A token
-    * hashing to a bucket NEVER seen at fit time carries no evidence and
-    * is dropped from both the score and `n_tokens` — identical to the
-    * one-pass batch form, where every scored token's bucket exists by
-    * construction. */
+    * hashing to a bucket NEVER seen at fit time carries no evidence:
+    * it contributes weight 0 (left join + coalesce), but it still
+    * counts in `n_tokens` and the document still gets a row — so a
+    * serving gate's accounting (n_kept + n_dropped = batch size) holds
+    * even for documents of entirely novel vocabulary. Identical to the
+    * one-pass batch form on the fit corpus itself, where every scored
+    * token's bucket exists by construction. */
   def dsirApply(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int = 4096): DataFrame = {
     graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
     df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
       .select(col(idCol), expr(s"poly_hash(__w) % $buckets").as("bucket"))
-      .join(broadcast(weights), Seq("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lw")).as("score"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("lw"), lit(0L))).as("score"))
       .select(col(idCol), col("n_tokens"), col("score"),
         (col("score") > 0).as("keep"))
   }
@@ -1128,8 +1132,12 @@ object Corpus {
     * against a cell frame from [[countMinCells]]: the min over rows of
     * the probed cell totals — ≥ the true count by construction, with
     * overestimate bounded by the hash collisions in the LIGHTEST of the
-    * `rows` salted rows. `cells` is sketch-sized; the probe frame
-    * broadcasts. */
+    * `rows` salted rows. A probe landing in a cell the sketch never
+    * touched reads 0 (left join + coalesce) — the Count-Min
+    * definition's empty-cell value — so a fully-unseen word estimates
+    * exactly 0 rather than vanishing, and a partially-unseen probe set
+    * cannot inflate the min. `cells` is sketch-sized (≤ rows·buckets)
+    * and broadcasts under the probe frame. */
   def countMinEstimate(cells: DataFrame, words: DataFrame, wordCol: String,
       rows: Int = 3, buckets: Int = 1024): DataFrame = {
     graft.functions.PolyHashFunctions.ensureRegistered(words.sparkSession)
@@ -1139,8 +1147,8 @@ object Corpus {
       .select(col(wordCol), col("__r").cast("long").as("r"),
         expr(s"poly_hash(concat(cast(__r AS string), $wordCol)) % $buckets")
           .as("bucket"))
-    broadcast(probes).join(cells, Seq("r", "bucket"))
+    probes.join(broadcast(cells), Seq("r", "bucket"), "left")
       .groupBy(col(wordCol))
-      .agg(min(col("total")).as("est_cnt"))
+      .agg(min(coalesce(col("total"), lit(0L))).as("est_cnt"))
   }
 }

@@ -35,6 +35,60 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(contentCol, "keep_id", "n_copies")
 
+  /** Maximal duplicated substring spans at EVERY token offset — the
+    * suffix-array dedup family (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better") re-expressed relationally: a
+    * span is reported wherever a k-token window's text occurs at ≥ 2
+    * distinct (doc, position) sites corpus-wide, and runs of duplicated
+    * windows whose union is contiguous (start gap ≤ k) merge into one
+    * maximal span per document — so a duplicate straddling any fixed
+    * chunk boundary is still caught, which is exactly what
+    * [[graft.operators.Corpus.chunkDedupRewrite]]'s fixed-grid chunks
+    * (x62) cannot do (DedupLibrarySpec pins the strict superset).
+    * Output: (id, span_start, span_end, span_tokens, n_windows), token
+    * positions 0-based inclusive.
+    *
+    * Scale shape: windows are enumerated per document inside one
+    * projection (posexplode of a transform — no per-doc Window pass and
+    * no shuffle), window identity shuffles as an 8-byte `poly_hash`
+    * (the x62 trade: a ~2³⁰-space collision can merge two window texts;
+    * the oracle replays the same hash), duplicate detection is one
+    * map-side-combined count by hash, and the islands Window runs on
+    * the SEED frame only — duplicated positions, partitioned by doc —
+    * never on the full corpus. At 100 TB the gram materialization
+    * (n·k token bytes before hashing) is the term to optimize: swap the
+    * array_join for a rolling polynomial hash over the token stream to
+    * make the pre-shuffle pass O(n) bytes; the plan shape is unchanged. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span window must cover at least 2 tokens, got $k")
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol), expr(
+        s"posexplode(CASE WHEN size(split($textCol, ' ')) >= $k " +
+          s"THEN transform(sequence(0, size(split($textCol, ' ')) - $k), " +
+          s"i -> array_join(slice(split($textCol, ' '), i + 1, $k), ' ')) " +
+          "ELSE array() END)").as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        expr("poly_hash(gram)").as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("h")
+    val seeds = grams.join(dup, Seq("h")).select(col(idCol), col("pos"))
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    seeds
+      .withColumn("ni",
+        when(lag(col("pos"), 1).over(wd).isNull ||
+          col("pos") - lag(col("pos"), 1).over(wd) > k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wd))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1L)).as("span_tokens"),
+        col("n_windows"))
+  }
+
   /** Word-n-gram shingles per document, not yet deduplicated: (id, sh). */
   private def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("w"))
@@ -701,6 +755,71 @@ object Dedup {
     book
   }
 
+  /** OPQ-style dimension permutation (Ge et al. 2013 "Optimized
+    * Product Quantization", the eigenvalue-allocation initialization
+    * restricted to axis-aligned rotations): dimensions are ranked by
+    * exact per-dim variance score n·Σq² − (Σq)² on the ⌊v·10⁶⌋ grid
+    * (decimal(38,0) arithmetic — no overflow to 10³⁸, no floats) and
+    * dealt snake-wise into the m subspaces — round r hands rank
+    * r·m..r·m+m−1 out in alternating direction — so every subspace
+    * gets one dimension from each variance band instead of whatever
+    * contiguous slice the raw layout happened to put there. A
+    * permutation matrix IS an orthogonal rotation, so distances are
+    * preserved exactly and the whole rung stays integer-exact and
+    * oracle-checkable — full OPQ's SVD iterations would trade that for
+    * a few recall points and a libm dependency.
+    *
+    * Output: (`pos`, `newpos`) — dimension `pos` of the raw vector
+    * lands at `newpos` in the rotated vector. Vector-dim-sized frame
+    * (64 rows), fit once and broadcast everywhere, the same frozen-
+    * artifact economics as [[sqBounds]]/[[bqThresholds]]. The rank is
+    * computed by a bounded self-join (64×64, broadcast) — not an
+    * unpartitioned window — so the fit stays inside the PlanSweep
+    * rules at any corpus size. */
+  def opqPermutation(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    val dec = "decimal(38,0)"
+    val stats = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("q"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("q").cast(dec) * col("q").cast(dec)).as("s2"),
+        sum(col("q")).cast(dec).as("s1"))
+      .select(col("pos"),
+        (col("n") * col("s2") - col("s1") * col("s1")).as("score"))
+    val other = stats.select(col("pos").as("pos2"), col("score").as("score2"))
+    stats
+      .join(broadcast(other),
+        col("score2") > col("score") ||
+          (col("score2") === col("score") && col("pos2") < col("pos")),
+        "left")
+      .groupBy(col("pos"), col("score"))
+      .agg(count(col("pos2")).as("r"))
+      .select(col("pos"),
+        (when(expr(s"(r div $m) % 2") === 0, col("r") % m)
+          .otherwise(lit(m - 1) - col("r") % m) * subDim
+          + expr(s"r div $m")).as("newpos"))
+  }
+
+  /** Apply an [[opqPermutation]]: rebuild each vector with its
+    * dimensions at their permuted positions (one posexplode, one
+    * broadcast join against the 64-row map, one per-id combine —
+    * linear, the [[bqEncode]] plan shape). Distances are exactly
+    * preserved (a permutation is orthogonal), so any PQ machinery
+    * downstream — seed or Lloyd-trained codebooks, ADC, re-rank —
+    * runs unchanged over the rotated frame. */
+  def opqRotate(df: DataFrame, idCol: String, vecCol: String,
+      perm: DataFrame): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("v"))
+      .join(broadcast(perm), Seq("pos"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("newpos"), col("v")))),
+        x => x.getField("v")).as(vecCol))
+
   /** Encode vectors against an EXPLICIT codebook frame (`cent_id`,
     * `ce`) — the shared kernel of [[pqCodes]] and the streaming
     * encoder. Per-vector work is m·|codebook| codegen'd subdistances
@@ -902,6 +1021,20 @@ object Dedup {
       .select("query_id", "neighbor_id", "sq_dist")
   }
 
+  /** Exact quantized-L2 distance over a full `dim`-wide vector pair,
+    * summed in ⌈dim/8⌉ `pq_subdist` subspaces of width 8. `pq_subdist`
+    * clamps at the array end, so a non-multiple-of-8 `dim` is still
+    * covered exactly; the rerank tails below thread their `dim`
+    * parameter here so vectors wider than the 64-dim test corpus are
+    * scored over ALL their dimensions, not silently truncated. */
+  private def exactQuantizedL2(qCol: String, vCol: String,
+      dim: Int): org.apache.spark.sql.Column = {
+    require(dim > 0, s"vector dim must be positive, got $dim")
+    (0 until (dim + 7) / 8)
+      .map(s => expr(s"pq_subdist($qCol, $vCol, $s, 8)"))
+      .reduce(_ + _)
+  }
+
   /** SQ8 search with exact re-ranking — built because the quantizer lab
     * measured the need (SCALE.md "SQ8 on the quantizer recall/time
     * axes"): on distance-concentrated corpora the rank-5/rank-6 margin
@@ -916,14 +1049,12 @@ object Dedup {
     * strictly above PQ's at equal shortlist on both corpus regimes. */
   def sqSearchRerank(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, topK: Int,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50, dim: Int = 64): DataFrame = {
     val sl = sqSearch(df, idCol, vecCol, queryPred, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     val qs = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__sq_qe"))
-    val dist = (0 until 8)
-      .map(s => expr(s"pq_subdist(__sq_qe, __sq_ve, $s, 8)"))
-      .reduce(_ + _)
+    val dist = exactQuantizedL2("__sq_qe", "__sq_ve", dim)
     val reranked = sl
       .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__sq_ve")),
         "neighbor_id")
@@ -1028,14 +1159,12 @@ object Dedup {
     * for 8× less resident memory than SQ8. */
   def bqSearchRerank(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, topK: Int,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50, dim: Int = 64): DataFrame = {
     val sl = bqSearch(df, idCol, vecCol, queryPred, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     val qs = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__bq_qe"))
-    val dist = (0 until 8)
-      .map(s => expr(s"pq_subdist(__bq_qe, __bq_ve, $s, 8)"))
-      .reduce(_ + _)
+    val dist = exactQuantizedL2("__bq_qe", "__bq_ve", dim)
     val reranked = sl
       .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__bq_ve")),
         "neighbor_id")
@@ -1060,7 +1189,7 @@ object Dedup {
     * scan, and re-rank. */
   def ivfBqSearch(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
-      topK: Int, kc: Int, shortlist: Int = 50): DataFrame = {
+      topK: Int, kc: Int, shortlist: Int = 50, dim: Int = 64): DataFrame = {
     val thr = bqThresholds(df, idCol, vecCol)
     val codes = bqEncode(df, idCol, vecCol, thr)
       .select(col(idCol).as("vid"), col("word"), col("code"))
@@ -1084,9 +1213,7 @@ object Dedup {
       .select(col("query_id"), col("neighbor_id"))
     val qs = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__ivfbq_qe"))
-    val dist = (0 until 8)
-      .map(s => expr(s"pq_subdist(__ivfbq_qe, __ivfbq_ve, $s, 8)"))
-      .reduce(_ + _)
+    val dist = exactQuantizedL2("__ivfbq_qe", "__ivfbq_ve", dim)
     val reranked = sl
       .join(df.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("__ivfbq_ve")), "neighbor_id")
@@ -1278,7 +1405,7 @@ object Dedup {
       qraw: DataFrame, cents: DataFrame, bounds: DataFrame,
       codes: DataFrame, vectors: DataFrame,
       nprobe: Int, topK: Int, shortlist: Int,
-      excludeSelf: Boolean): DataFrame = {
+      excludeSelf: Boolean, dim: Int = 64): DataFrame = {
     val probed = routeQueriesFlat(qraw, cents, nprobe)
     val dec = codes
       .join(broadcast(bounds), Seq("pos"))
@@ -1304,9 +1431,7 @@ object Dedup {
         Seq(("sq_dist", true), ("neighbor_id", true)), shortlist)
         .select(col("query_id"), col("neighbor_id"))
       val qs = qraw.select(col("query_id"), col("qvec").as("__sq_qe"))
-      val dist = (0 until 8)
-        .map(s => expr(s"pq_subdist(__sq_qe, __sq_ve, $s, 8)"))
-        .reduce(_ + _)
+      val dist = exactQuantizedL2("__sq_qe", "__sq_ve", dim)
       val reranked = sl
         .join(vectors.select(col("vid").as("neighbor_id"),
           col("vec").as("__sq_ve")), "neighbor_id")
@@ -1333,7 +1458,7 @@ object Dedup {
       qraw: DataFrame, cents: DataFrame, thresholds: DataFrame,
       codes: DataFrame, vectors: DataFrame,
       nprobe: Int, topK: Int, shortlist: Int,
-      excludeSelf: Boolean): DataFrame = {
+      excludeSelf: Boolean, dim: Int = 64): DataFrame = {
     require(shortlist > 0, "BQ answers require the exact re-rank stage")
     val probed = routeQueriesFlat(qraw, cents, nprobe)
     val qc = bqEncode(qraw.select(col("query_id"), col("qvec")),
@@ -1350,9 +1475,7 @@ object Dedup {
       Seq(("hamming", true), ("neighbor_id", true)), shortlist)
       .select(col("query_id"), col("neighbor_id"))
     val qs = qraw.select(col("query_id"), col("qvec").as("__bqs_qe"))
-    val dist = (0 until 8)
-      .map(s => expr(s"pq_subdist(__bqs_qe, __bqs_ve, $s, 8)"))
-      .reduce(_ + _)
+    val dist = exactQuantizedL2("__bqs_qe", "__bqs_ve", dim)
     val reranked = sl
       .join(vectors.select(col("vid").as("neighbor_id"),
         col("vec").as("__bqs_ve")), "neighbor_id")

@@ -411,17 +411,9 @@ object GoldAnalogs {
         when(col("o_orderstatus") === "F", 1).otherwise(0).as("is_win"),
         when(col("o_orderstatus") === "O", 1).otherwise(0).as("is_loss")
       )
-      // The four scalar components each consume teamGames; without
-      // materialization Catalyst re-expands the 3-way join per consumer
-      // (6 fact scans — verified via graft.Explain). The filtered base is
-      // tiny (one team's games); localCheckpoint (not cache) materializes
-      // it once AND lets the ContextCleaner reclaim the blocks when the
-      // frame is unreachable — cache() would leak into the session.
-      // Cluster caveat: checkpoint blocks are non-replicated and lineage
-      // is truncated, so losing an executor fails the job instead of
-      // recomputing; deployments where executor loss matters should
-      // switch to cache() + explicit unpersist after assembly.
-      .localCheckpoint(true)
+      // Single consumer since the round-11 one-chain fusion below — no
+      // materialization needed; the whole query is one scan, one window,
+      // three aggregation levels, one job.
     // W1: unpartitioned ordered window — parity with the reference; at
     // 100 TB this becomes per-team via partitionBy (see SCALE.md). Both
     // running sums share one window spec → a single Window pass.
@@ -429,54 +421,76 @@ object GoldAnalogs {
     val streaks = teamGames
       .withColumn("loss_group", sum(col("is_loss")).over(ord))
       .withColumn("win_group", sum(col("is_win")).over(ord))
-    val winStreaks = streaks
-    val loseStreaks = streaks
 
-    def bestStreak(streaks: DataFrame, flag: String, group: String): DataFrame =
-      streaks
-        .filter(col(flag) === 1)
-        .groupBy(col("season"), col(group))
-        .agg(count(lit(1)).as("streak_length"))
-        .orderBy(col("streak_length").desc, col("season"), col(group))
-        .limit(1)
-
+    // ALL ten scalars in ONE aggregation chain over one scan — no
+    // checkpoint, no crossJoin of separately-planned subtrees (the
+    // round-10 shape cost ~2 jobs of pure scheduling at sf0.01).
+    //
+    // Streak tops: tag each W/L row with its island key, count islands,
+    // min_by over the composite (-length, season, grp) key — exactly
+    // the oracle's ORDER BY streak_length DESC, season, <grp> LIMIT 1,
+    // deterministic because (season, grp) is the grouping key.
+    //
+    // Extremes RIDE THE SAME GROUPING LEVELS: min(struct(key, payload))
+    // is associative, so the per-island minima of level 1 re-minimize
+    // at level 2 and globally at level 3 to exactly the corpus-wide
+    // argmin — valid because the W/L tag partitions every team game
+    // (status ∈ {F, O}), so no row escapes level 1. The composite keys
+    // (±plus_minus, game_date, game_id) replay the oracle's
+    // WHERE plus_minus = (SELECT MAX/MIN …) ORDER BY … LIMIT 1 with a
+    // total order (game_id is unique) — no tie left to chance.
     val opponent = when(
       col("matchup").like("%-%"),
       split_part(col("matchup"), lit("-"), lit(2))
     ).otherwise(col("matchup"))
+    val payload = struct(col("season").as("season"),
+      opponent.as("opponent"), col("plus_minus").as("plus_minus"))
+    val wkey = struct((-col("plus_minus")).as("k1"),
+      col("game_date").as("k2"), col("game_id").as("k3"))
+    val lkey = struct(col("plus_minus").as("k1"),
+      col("game_date").as("k2"), col("game_id").as("k3"))
 
-    def extreme(best: Boolean): DataFrame = {
-      val m = teamGames.agg(
-        (if (best) max(col("plus_minus")) else min(col("plus_minus"))).as("mm")
-      )
-      teamGames
-        .join(broadcast(m), col("plus_minus") === col("mm"))
-        .orderBy(
-          if (best) col("plus_minus").desc else col("plus_minus").asc,
-          col("game_date"), col("game_id")
-        )
-        .limit(1)
-        .select(col("season"), opponent.as("opponent"),
-          col("plus_minus").as("point_differential"))
-    }
-
-    // Q-6: `.agg(first(...))` on a possibly-empty 1-row input still yields
-    // one row (of NULLs) — matching SQL scalar-subquery-on-empty semantics.
-    val bws = bestStreak(winStreaks, "is_win", "loss_group").agg(
-      first(col("season")).as("best_winning_streak_season"),
-      first(col("streak_length")).as("best_winning_streak_length"))
-    val wls = bestStreak(loseStreaks, "is_loss", "win_group").agg(
-      first(col("season")).as("worst_losing_streak_season"),
-      first(col("streak_length")).as("worst_losing_streak_length"))
-    val bw = extreme(best = true).agg(
-      first(col("season")).as("biggest_win_season"),
-      first(col("opponent")).as("team_beat_by_most"),
-      first(col("point_differential")).as("biggest_win_margin"))
-    val bl = extreme(best = false).agg(
-      first(col("season")).as("biggest_loss_season"),
-      first(col("opponent")).as("team_lost_to_by_most"),
-      first(col("point_differential")).as("biggest_loss_margin"))
-    bws.crossJoin(wls).crossJoin(bw).crossJoin(bl)
+    val tagged = streaks
+      .filter(col("is_win") === 1 || col("is_loss") === 1)
+      .select(
+        when(col("is_win") === 1, lit("W")).otherwise(lit("L")).as("kind"),
+        col("season"),
+        when(col("is_win") === 1, col("loss_group"))
+          .otherwise(col("win_group")).as("grp"),
+        struct(wkey.as("k"), payload.as("p")).as("wv"),
+        struct(lkey.as("k"), payload.as("p")).as("lv"))
+    val lvl2 = tagged
+      .groupBy(col("kind"), col("season"), col("grp"))
+      .agg(count(lit(1)).as("streak_length"),
+        min(col("wv")).as("w1"), min(col("lv")).as("l1"))
+      .groupBy(col("kind"))
+      .agg(min_by(
+          struct(col("season"), col("streak_length")),
+          struct((-col("streak_length")).as("k1"), col("season").as("k2"),
+            col("grp").as("k3"))).as("top"),
+        min(col("w1")).as("w2"), min(col("l1")).as("l2"))
+    // Q-6: a global agg over a possibly-empty frame still yields one row
+    // (of NULLs) — matching SQL scalar-subquery-on-empty semantics; a
+    // kind with no rows leaves its pair of columns NULL the same way.
+    lvl2.agg(
+        max(when(col("kind") === "W", col("top.season")))
+          .as("best_winning_streak_season"),
+        max(when(col("kind") === "W", col("top.streak_length")))
+          .as("best_winning_streak_length"),
+        max(when(col("kind") === "L", col("top.season")))
+          .as("worst_losing_streak_season"),
+        max(when(col("kind") === "L", col("top.streak_length")))
+          .as("worst_losing_streak_length"),
+        min(col("w2")).as("wf"), min(col("l2")).as("lf"))
+      .select(
+        col("best_winning_streak_season"), col("best_winning_streak_length"),
+        col("worst_losing_streak_season"), col("worst_losing_streak_length"),
+        col("wf.p.season").as("biggest_win_season"),
+        col("wf.p.opponent").as("team_beat_by_most"),
+        col("wf.p.plus_minus").as("biggest_win_margin"),
+        col("lf.p.season").as("biggest_loss_season"),
+        col("lf.p.opponent").as("team_lost_to_by_most"),
+        col("lf.p.plus_minus").as("biggest_loss_margin"))
   }
 
   // ---- G6: players_recommendations ------------------------------------
@@ -560,7 +574,12 @@ object GoldAnalogs {
         Seq(col("l_partkey"), col("ret_flag"), col("open_flag"),
           col("list_price")) ++ avgCols("avg_"): _*
       )
-    val parts = t.part.select("p_partkey", "p_name", "p_brand").distinct()
+    // The oracle's SELECT DISTINCT over (p_partkey, p_name, p_brand) is
+    // a no-op under part's primary key (p_partkey is the TPC-H key; the
+    // oracle gate hash-verifies the equivalence every round), so the
+    // engine elides it — the standard key-constraint rewrite — saving a
+    // full shuffle of the dimension ahead of the stats join.
+    val parts = t.part.select("p_partkey", "p_name", "p_brand")
     val pool = parts
       .join(perPart, col("p_partkey") === col("l_partkey"))
       .select(

@@ -77,6 +77,30 @@ object Ranks {
       k: Int
   ): DataFrame = {
     require(k > 0, "k must be positive")
+    if (sys.env.get("GRAFT_TOPK_HEAP").contains("1"))
+      topKPerGroupHeap(df, keyCols, orderCols, k)
+    else {
+      val w = Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map { case (c, asc) =>
+          if (asc) col(c).asc else col(c).desc }: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .drop("__rn")
+    }
+  }
+
+  /** The hand-rolled form of the partial prune: a bounded per-key heap
+    * in mapPartitions ahead of the exact window. Kept for A/B
+    * measurement (GRAFT_TOPK_HEAP=1) and as the fallback shape for
+    * Spark builds without WindowGroupLimit. */
+  def topKPerGroupHeap(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
     val schema = df.schema
     val keyIdx = keyCols.map(schema.fieldIndex)
     val ord = rowOrdering(schema, orderCols)

@@ -5830,6 +5830,89 @@ object TrainingData {
       kc = ivfAutoKc(t), shortlist = 50)
   }
 
+  /** Maximal duplicated substring spans ([[Dedup.duplicateSpans]] — the
+    * suffix-array dedup family of Lee et al. 2022 made relational):
+    * every position where an 8-token window's text recurs corpus-wide
+    * seeds a span, and contiguous seed runs merge into maximal per-doc
+    * spans — duplicates at ANY offset, where x62's fixed 16-word grid
+    * only sees grid-aligned repeats (DedupLibrarySpec pins the strict
+    * superset on an off-boundary duplicate). Window identity shuffles
+    * as the same 8-byte poly_hash the oracle replays. */
+  val x173 = Q(
+    "x173_duplicate_spans",
+    Some(
+      "WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "dg AS (SELECT doc_id, unnest(list_transform(" +
+        "range(1, greatest(len(w) - 6, 1)), " +
+        "i -> {'pos': i - 1, 'gram': array_to_string(w[i : i + 7], ' ')})) AS s FROM dw), " +
+        s"dgr AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, " +
+        s"${duckPolyHash("s.gram")} AS h FROM dg), " +
+        "ddup AS (SELECT h FROM dgr GROUP BY h HAVING COUNT(*) >= 2), " +
+        "dseeds AS (SELECT g.doc_id, g.pos FROM dgr g JOIN ddup d ON g.h = d.h), " +
+        "dfl AS (SELECT doc_id, pos, CASE WHEN " +
+        "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR " +
+        "pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8 " +
+        "THEN 1 ELSE 0 END AS ni FROM dseeds), " +
+        "disl AS (SELECT doc_id, pos, " +
+        "SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM dfl) " +
+        "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, " +
+        "CAST(MAX(pos) + 7 AS BIGINT) AS span_end, " +
+        "CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_windows " +
+        "FROM disl GROUP BY doc_id, island"
+    )
+  ) { t =>
+    Dedup.duplicateSpans(t.documents, "doc_id", "text")
+  }
+
+  /** OPQ-rotated trained PQ codes ([[Dedup.opqPermutation]] /
+    * [[Dedup.opqRotate]] → [[Dedup.pqCodebookLloyd]] — Ge et al. 2013's
+    * eigenvalue-allocation rung above x155's trained book): dimensions
+    * ranked by exact integer variance score n·Σq² − (Σq)², dealt
+    * snake-wise across the 8 subspaces (a permutation = an axis-aligned
+    * orthogonal rotation, distances exactly preserved), then the
+    * standard 1-iter Lloyd book fit in the rotated space. Every step is
+    * grid-exact, so the full permutation → rotation → training →
+    * encoding chain hash-replays in the oracle (HUGEINT variance scores
+    * mirror the engine's decimal(38,0)). PqSpec measures what the
+    * rotation buys on a variance-skewed clustered corpus. */
+  val x174 = Q(
+    "x174_opq_trained_codes",
+    Some(
+      "WITH rawq AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM embeddings), " +
+        "rawd AS (SELECT vec_id, i, q[i] AS v FROM rawq " +
+        "CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd), " +
+        "ostat AS (SELECT i, CAST(COUNT(*) AS HUGEINT) * " +
+        "SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) - " +
+        "SUM(CAST(v AS HUGEINT)) * SUM(CAST(v AS HUGEINT)) AS score " +
+        "FROM rawd GROUP BY i), " +
+        "orank AS (SELECT i, row_number() OVER (ORDER BY score DESC, i) - 1 AS r " +
+        "FROM ostat), " +
+        "omap AS (SELECT i, CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8 " +
+        "ELSE 7 - (r % 8) END * 8 + (r // 8) + 1 AS BIGINT) AS i2 FROM orank), " +
+        "pqd AS (SELECT d.vec_id, m.i2 AS i, d.v, " +
+        "CAST((m.i2 - 1) // 8 AS BIGINT) AS sub " +
+        "FROM rawd d JOIN omap m ON d.i = m.i), " +
+        "pqc AS (SELECT vec_id AS cent_id, i, v AS cv, sub FROM pqd WHERE vec_id < 16), " +
+        "pqsd AS (SELECT d.vec_id, c.cent_id, d.sub, " +
+        "CAST(SUM((d.v - c.cv) * (d.v - c.cv)) AS BIGINT) AS d " +
+        "FROM pqd d JOIN pqc c ON d.i = c.i GROUP BY 1, 2, 3), " +
+        "pqcodes AS (SELECT vec_id, sub, cent_id AS code FROM (" +
+        "SELECT vec_id, sub, cent_id, " +
+        "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn " +
+        s"FROM pqsd) t WHERE rn = 1), $duckTrainedPqCtes " +
+        "SELECT vec_id, sub, code FROM tcodes"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val perm = Dedup.opqPermutation(t.embeddings, "vec_id", "embedding")
+    val rot = Dedup.opqRotate(t.embeddings, "vec_id", "embedding", perm)
+    val book = Dedup.pqCodebookLloyd(rot, "vec_id", "embedding", iters = 1)
+    Dedup.pqEncode(rot, "vec_id", "embedding", book)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5843,6 +5926,6 @@ object TrainingData {
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
-    x166, x167, x168, x169, x170, x171, x172
+    x166, x167, x168, x169, x170, x171, x172, x173, x174
   )
 }

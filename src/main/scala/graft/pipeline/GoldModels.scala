@@ -173,9 +173,9 @@ object GoldModels {
   // ---- streaks_and_rivals.sql -----------------------------------------
 
   def streaksAndRivals(games: DataFrame): DataFrame = {
-    // Materialize the one-team base eagerly: four scalar consumers would
-    // otherwise each re-expand the scan subtree (see GoldAnalogs g05
-    // note). localCheckpoint (not cache) so the blocks are reclaimed by
+    // Materialize the one-team base eagerly: the two fused aggregation
+    // passes below would otherwise each re-expand the scan subtree (see
+    // GoldAnalogs g05 note). localCheckpoint (not cache) so the blocks are reclaimed by
     // the ContextCleaner once the frame is unreachable — a session-held
     // cache entry would leak in a long-lived service. Cluster caveat:
     // checkpoint blocks are non-replicated and lineage is truncated, so
@@ -200,15 +200,39 @@ object GoldModels {
     val islands = spursGames
       .withColumn("loss_group", sum(col("is_loss")).over(ord))
       .withColumn("win_group", sum(col("is_win")).over(ord))
-    val winning = islands
-    val losing = islands
 
-    def streak(df: DataFrame, flag: String, grp: String): DataFrame =
-      df.filter(col(flag) === 1)
-        .groupBy(col("season"), col(grp))
-        .agg(count(lit(1)).as("streak_length"))
-        .orderBy(col("streak_length").desc)
-        .limit(1)
+    // J10: one row from 10 scalar subqueries, assembled in TWO fused
+    // aggregation passes (not five separately-planned 1-row subtrees):
+    // streak tops via tag → island count → min_by on the composite
+    // (-length, season, grp) key, extremes via one min_by pair. The
+    // reference leaves ties unordered; the composite keys here resolve
+    // them deterministically (lowest season/group, earliest game). A
+    // global agg over an empty frame still yields one row of NULLs —
+    // the scalar-subquery-on-empty semantics (Q-6).
+    val tagged = islands
+      .filter(col("is_win") === 1 || col("is_loss") === 1)
+      .select(
+        when(col("is_win") === 1, lit("W")).otherwise(lit("L")).as("kind"),
+        col("season"),
+        when(col("is_win") === 1, col("loss_group"))
+          .otherwise(col("win_group")).as("grp"))
+    val tops = tagged
+      .groupBy(col("kind"), col("season"), col("grp"))
+      .agg(count(lit(1)).as("streak_length"))
+      .groupBy(col("kind"))
+      .agg(min_by(
+        struct(col("season"), col("streak_length")),
+        struct((-col("streak_length")).as("k1"), col("season").as("k2"),
+          col("grp").as("k3"))).as("top"))
+    val streakRow = tops.agg(
+      max(when(col("kind") === "W", col("top.season")))
+        .as("best_winning_streak_season"),
+      max(when(col("kind") === "W", col("top.streak_length")))
+        .as("best_winning_streak_length"),
+      max(when(col("kind") === "L", col("top.season")))
+        .as("worst_losing_streak_season"),
+      max(when(col("kind") === "L", col("top.streak_length")))
+        .as("worst_losing_streak_length"))
 
     val opponent = when(
       col("matchup").like("%vs.%"), split_part(col("matchup"), lit("vs. "), lit(2))
@@ -216,35 +240,24 @@ object GoldModels {
       col("matchup").like("%@%"), split_part(col("matchup"), lit("@ "), lit(2))
     ).otherwise(col("matchup"))
 
-    def extreme(isMax: Boolean): DataFrame = {
-      val m = spursGames.agg(
-        (if (isMax) max(col("plus_minus")) else min(col("plus_minus"))).as("mm")
-      )
-      spursGames
-        .join(broadcast(m), col("plus_minus") === col("mm"))
-        .orderBy(if (isMax) col("plus_minus").desc else col("plus_minus").asc)
-        .limit(1)
-        .select(col("season"), opponent.as("opponent"),
-          col("plus_minus").as("point_differential"))
-    }
+    val extremesRow = spursGames.agg(
+        min_by(
+          struct(col("season"), opponent.as("opponent"), col("plus_minus")),
+          struct((-col("plus_minus")).as("k1"), col("game_date").as("k2"),
+            col("matchup").as("k3"))).as("win"),
+        min_by(
+          struct(col("season"), opponent.as("opponent"), col("plus_minus")),
+          struct(col("plus_minus").as("k1"), col("game_date").as("k2"),
+            col("matchup").as("k3"))).as("loss"))
+      .select(
+        col("win.season").as("biggest_win_season"),
+        col("win.opponent").as("team_beat_by_most"),
+        col("win.plus_minus").as("biggest_win_margin"),
+        col("loss.season").as("biggest_loss_season"),
+        col("loss.opponent").as("team_lost_to_by_most"),
+        col("loss.plus_minus").as("biggest_loss_margin"))
 
-    // J10: one row from 10 scalar subqueries; `.agg(first)` keeps the
-    // scalar-subquery-on-empty → NULL semantics (Q-6).
-    val bws = streak(winning, "is_win", "loss_group").agg(
-      first(col("season")).as("best_winning_streak_season"),
-      first(col("streak_length")).as("best_winning_streak_length"))
-    val wls = streak(losing, "is_loss", "win_group").agg(
-      first(col("season")).as("worst_losing_streak_season"),
-      first(col("streak_length")).as("worst_losing_streak_length"))
-    val bw = extreme(isMax = true).agg(
-      first(col("season")).as("biggest_win_season"),
-      first(col("opponent")).as("team_beat_by_most"),
-      first(col("point_differential")).as("biggest_win_margin"))
-    val bl = extreme(isMax = false).agg(
-      first(col("season")).as("biggest_loss_season"),
-      first(col("opponent")).as("team_lost_to_by_most"),
-      first(col("point_differential")).as("biggest_loss_margin"))
-    bws.crossJoin(wls).crossJoin(bw).crossJoin(bl)
+    streakRow.crossJoin(extremesRow)
   }
 
   // ---- players_recommendations.sql ------------------------------------

@@ -8,10 +8,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Airflow bronze/silver task groups and the dbt run; `ref()` becomes
   * ordinary function composition.
   */
-final case class NbaPipeline(spark: SparkSession, bronzeDir: String) {
+final case class NbaPipeline(
+    spark: SparkSession,
+    bronzeDir: String,
+    httpSources: Map[String, String] = Map.empty,
+    httpSleeper: Long => Unit = Thread.sleep) {
 
+  /** Bronze read — fixture file by default; a table listed in
+    * `httpSources` is fetched live through the S4 retrying HTTP source
+    * instead (reference: the weekly DAG hits the NBA API with
+    * tenacity backoff ×5 and a rate-limit pause before anything lands
+    * in bronze — dags/spurs_historic_games.py:125,138). Both paths
+    * parse identically (HttpJsonSourceSpec pins row-for-row parity). */
   private def bronze(name: String): DataFrame =
-    spark.read.option("multiLine", value = true).json(s"$bronzeDir/$name.json")
+    httpSources.get(name) match {
+      case Some(url) =>
+        graft.sources.HttpJsonSource.readJson(spark, url, sleeper = httpSleeper)
+      case None =>
+        spark.read.option("multiLine", value = true)
+          .json(s"$bronzeDir/$name.json")
+    }
 
   /** Seven silver tables (dags/spurs_historic_games.py:427-435), all
     * columns StringType. */

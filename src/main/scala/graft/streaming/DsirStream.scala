@@ -18,9 +18,12 @@ import graft.operators.Corpus
   * (DsirStreamSpec).
   *
   * A token hashing to a bucket absent from the fit corpus carries no
-  * evidence and is dropped from score AND n_tokens (the
-  * [[Corpus.dsirApply]] contract — stated here because serving streams,
-  * unlike the batch query, genuinely see novel vocabulary).
+  * evidence: it scores 0 but still counts in `n_tokens`, and a
+  * document of entirely novel vocabulary still gets a verdict row
+  * (score 0 → dropped) — so the metrics row's accounting
+  * (n_kept + n_dropped = batch size) holds for every batch (the
+  * [[Corpus.dsirApply]] contract — stated here because serving
+  * streams, unlike the batch query, genuinely see novel vocabulary).
   *
   * Per batch, the [[ClassifierStream]] layout verbatim: kept documents
   * under `keptPath/batch_id=<id>`, one exact-integer metrics row under
@@ -41,7 +44,11 @@ object DsirStream {
       .write.mode("overwrite").parquet(weightsPath)
 
   /** Start the gate over a streaming frame carrying (`idCol`,
-    * `textCol`), scoring against the standing table at `weightsPath`. */
+    * `textCol`), scoring against the standing table at `weightsPath`.
+    * The weights are collected ONCE here (≤ `buckets` rows — the same
+    * load-and-pin economics as [[SqStream]]'s bounds) and rebuilt as a
+    * local frame per batch, so no micro-batch pays a parquet re-read
+    * of the frozen artifact. */
   def startDsirGate(
       newDocs: DataFrame,
       weightsPath: String,
@@ -50,12 +57,21 @@ object DsirStream {
       checkpoint: String,
       idCol: String,
       textCol: String,
-      buckets: Int = 4096): StreamingQuery =
+      buckets: Int = 4096): StreamingQuery = {
+    val weightsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lw",
+        org.apache.spark.sql.types.LongType)))
+    val weightRows: Array[Row] = newDocs.sparkSession.read
+      .parquet(weightsPath)
+      .select(col("bucket").cast("long"), col("lw").cast("long")).collect()
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val weights = spark.read.parquet(weightsPath)
+        val weights = spark.createDataFrame(
+          spark.sparkContext.parallelize(weightRows.toSeq, 1), weightsSchema)
         val scored = Corpus.dsirApply(
           batch.select(col(idCol), col(textCol)), idCol, textCol,
           weights, buckets)
@@ -75,4 +91,5 @@ object DsirStream {
         graft.operators.Dedup.release(scored)
       }
       .start()
+  }
 }

@@ -8,22 +8,34 @@ import graft.operators.Dedup
 
 /** Streaming twin of x139's segment-level dedup — the ingest-time
   * sub-document gate of a continuously assembled corpus: each arriving
-  * micro-batch's 8-word segments are checked against the STANDING
-  * segment-hash registry; a segment occurrence is KEPT iff its hash is
-  * unseen both in the registry and earlier (by the (doc_id, position)
-  * encoding) within the batch, and each batch's kept segments extend
-  * the registry — so later batches are judged against everything kept
-  * before them, exactly the batch operator's first-writer-wins rule
-  * when docs arrive in doc_id order (SegmentDedupStreamSpec pins
-  * stream ≡ batch x139 under ordered arrival).
+  * micro-batch's 8-word segments are judged against the STANDING
+  * segment-hash registry under the deterministic winner rule the batch
+  * operator uses — min k, where k = doc_id·2²⁰ + position encodes
+  * (doc, offset) — NOT under arrival order: a batch occurrence is kept
+  * iff its k is the smallest seen for its hash across the registry AND
+  * the batch, and its (h, k) then extends the registry.
+  *
+  * Out-of-order hardening: because the global min-k occurrence for a
+  * hash always beats whatever is standing when it arrives, it is
+  * appended in its own batch no matter how delivery is shuffled — so
+  * the registry's per-hash min CONVERGES to exactly the batch x139
+  * winner set under ANY batching and ANY arrival order
+  * (SegmentDedupStreamSpec pins shuffled multi-batch ≡ batch). The
+  * corpus model carries no event-time column, so disorder is absorbed
+  * by convergence rather than a watermark: [[winners]] is the
+  * compaction view (one row per hash, the final min-k winner), and the
+  * per-batch KEPT files remain arrival-relative — a later-arriving
+  * smaller k supersedes an earlier keep in the registry, which
+  * [[winners]] resolves and which a per-batch emit fundamentally
+  * cannot retract (the streaming-emit trade, stated not hidden).
   *
   * Scale shape: the registry is only ever touched by hash-keyed
-  * anti-join/min — segments shuffle as 8-byte poly hashes, never text;
-  * per-batch work is O(batch segments + registry probe), the registry
-  * is append-only parquet partitioned by batch_id, and the batch's own
-  * partition is excluded on read so a replayed batch overwrites its
-  * previous attempt instead of judging against it (the [[StreamSinks]]
-  * idempotence pattern shared with [[DedupStream]]).
+  * min-aggregates and joins — segments shuffle as 8-byte poly hashes,
+  * never text; per-batch work is O(batch segments + registry probe),
+  * the registry is append-only parquet partitioned by batch_id, and
+  * the batch's own partition is excluded on read so a replayed batch
+  * overwrites its previous attempt instead of judging against it (the
+  * [[StreamSinks]] idempotence pattern shared with [[DedupStream]]).
   */
 object SegmentDedupStream {
 
@@ -58,18 +70,24 @@ object SegmentDedupStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val standing = spark.read
+        val standingMin = spark.read
           .schema("h BIGINT, k BIGINT, batch_id BIGINT")
           .parquet(registryPath)
           .filter(col("batch_id") =!= batchId)
-          .select(col("h"))
+          .groupBy(col("h")).agg(min(col("k")).as("kprev"))
         val occ = segments(batch.toDF())
-        // first-writer-wins within the batch, then against the registry;
-        // materialized eagerly so both writes below see one computation
-        val winners = occ.groupBy(col("h")).agg(min(col("k")).as("kmin"))
-          .join(standing, Seq("h"), "left_anti")
+        // deterministic winner rule (min k), batch-local then vs the
+        // standing registry: kept iff k beats both. The global min-k
+        // occurrence passes this gate in whatever batch it arrives, so
+        // the registry min converges to the batch winner set under any
+        // delivery order. Materialized eagerly so both writes below see
+        // one computation.
+        val batchWin = occ.groupBy(col("h")).agg(min(col("k")).as("kmin"))
+          .join(standingMin, Seq("h"), "left")
+          .filter(col("kprev").isNull || col("kmin") < col("kprev"))
+          .select(col("h"), col("kmin"))
         val judged = occ
-          .join(winners, Seq("h"), "left")
+          .join(batchWin, Seq("h"), "left")
           .withColumn("kept", col("kmin").isNotNull && col("k") === col("kmin"))
           .localCheckpoint(true)
         judged
@@ -86,4 +104,17 @@ object SegmentDedupStream {
         Dedup.release(judged)
       }
       .start()
+
+  /** Compaction view of the standing registry: one row per segment
+    * hash with its final min-k winner. Under ANY batching and arrival
+    * order this equals the batch x139 winner set over the union of all
+    * arrived documents (see the convergence argument in the object
+    * doc); joining a corpus' occurrence frame on (h, k == kmin)
+    * re-derives the batch keep/drop verdicts and stats exactly. */
+  def winners(spark: org.apache.spark.sql.SparkSession,
+      registryPath: String): DataFrame =
+    spark.read
+      .schema("h BIGINT, k BIGINT, batch_id BIGINT")
+      .parquet(registryPath)
+      .groupBy(col("h")).agg(min(col("k")).as("kmin"))
 }

@@ -657,4 +657,45 @@ class DedupLibrarySpec extends AnyFunSuite {
     // each other in the lists
     assert(ivfEdges.forall { case (u, v) => u < v })
   }
+
+  test("duplicateSpans strictly supersets x62 chunk dedup on an off-boundary duplicate") {
+    import spark.implicits._
+    // A 20-word run shared by two documents at offsets 3 and 5 — aligned
+    // to NO 16-word chunk boundary in either doc, and straddling one.
+    val run = (1 to 20).map(i => s"s$i").mkString(" ")
+    val crafted = Seq(
+      (1L, ((1 to 3).map(i => s"a$i") :+ run) ++ (4 to 13).map(i => s"a$i")),
+      (2L, ((1 to 5).map(i => s"b$i") :+ run) ++ (6 to 7).map(i => s"b$i"))
+    ).map { case (id, parts) => (id, parts.mkString(" ")) }
+      .toDF("doc_id", "text")
+
+    // x62's fixed 16-word grid sees nothing: every chunk is unique, so
+    // each document keeps all of its chunks
+    val chunked = Corpus.chunkDedupRewrite(crafted, "doc_id", "text")
+      .select("doc_id", "n_chunks", "n_kept").collect()
+    assert(chunked.forall(r => r.getLong(1) === r.getLong(2)),
+      "crafted duplicate must be invisible to the fixed chunk grid")
+
+    // duplicateSpans finds the full 20-token span in BOTH documents at
+    // its exact offsets
+    val spans = Dedup.duplicateSpans(crafted, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans === Set((1L, 3L, 22L, 20L), (2L, 5L, 24L, 20L)))
+  }
+
+  test("duplicateSpans merges touching windows and ignores short docs") {
+    import spark.implicits._
+    // two copies of the same 8-word text: one full-width window each,
+    // span = the whole doc; a 7-word doc yields no windows at all
+    val df = Seq(
+      (1L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 7).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 0L, 7L), (2L, 0L, 7L)))
+  }
 }

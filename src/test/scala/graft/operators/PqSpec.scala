@@ -175,4 +175,73 @@ class PqSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("OPQ permutation: bijection, variance spread one-per-subspace, isometry, recall") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // variance-skewed CONTINUOUS corpus — dims 0..7 are iid U(−1, 1)
+    // (all the neighbor-determining variance), dims 8..63 tiny jitter.
+    // In the raw layout one subspace must cover a continuous 8-D signal
+    // with 16 codes (distortion ~ the full signal variance) while seven
+    // quantize noise; after the allocation every subspace is dominated
+    // by ONE strong dimension, so its 16 codes act as a fine scalar
+    // grid — the configuration OPQ's eigenvalue allocation exists for.
+    def mix(a: Long, b: Long): Long = {
+      var x = a * 0x9E3779B97F4A7C15L + (b + 1) * 0xC2B2AE3D27D4EB4FL
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 29); x
+    }
+    val rows = (0 until 400).map { id =>
+      val vec = (0 until 64).map { i =>
+        val signal =
+          if (i < 8) (Math.floorMod(mix(id, i), 2001) - 1000) / 1000.0f else 0.0f
+        val jit = (Math.floorMod(mix(id + 1000L, i), 101) - 50) / 1000.0f
+        signal + jit
+      }.toArray
+      (id.toLong, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .cache()
+
+    val perm = Dedup.opqPermutation(df, "vec_id", "embedding").cache()
+    val pairs = perm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bijection over 0..63
+    assert(pairs.keySet === (0L until 64L).toSet)
+    assert(pairs.values.toSet === (0L until 64L).toSet)
+    // the 8 high-variance dims (0..7) land one per subspace
+    val signalSubs = (0L until 8L).map(d => pairs(d) / 8)
+    assert(signalSubs.toSet.size === 8,
+      s"signal dims must spread across all subspaces, got $signalSubs")
+
+    val rot = Dedup.opqRotate(df, "vec_id", "embedding", perm).cache()
+    // isometry: total quantized L2 between two fixed vectors is
+    // unchanged by the rotation (a permutation is orthogonal)
+    def pairDist(frame: org.apache.spark.sql.DataFrame): Long = {
+      val d = (0 until 8)
+        .map(s => expr(s"pq_subdist(ea, eb, $s, 8)")).reduce(_ + _)
+      frame.filter(col("vec_id") === 17L).select(col("embedding").as("ea"))
+        .crossJoin(frame.filter(col("vec_id") === 23L)
+          .select(col("embedding").as("eb")))
+        .select(d.as("d")).head().getLong(0)
+    }
+    assert(pairDist(rot) === pairDist(df))
+
+    // ADC recall (trained book, exact quantized metric as truth): the
+    // rotation must lift recall on this adversarial layout
+    val pred = col("vec_id") >= 16 && col("vec_id") < 26
+    def adcRecall(frame: org.apache.spark.sql.DataFrame): Double = {
+      val exact = topkSets(
+        Dedup.pqQuantizedExactTopK(frame, "vec_id", "embedding", pred, topK = 5))
+      val book = Dedup.pqCodebookLloyd(frame, "vec_id", "embedding", iters = 1)
+      val got = topkSets(Dedup.pqSearch(frame, "vec_id", "embedding", pred,
+        topK = 5, book = Some(book)))
+      exact.keys.toSeq
+        .map(q => got.getOrElse(q, Set.empty).intersect(exact(q)).size)
+        .sum.toDouble / (exact.size * 5)
+    }
+    val (rRaw, rOpq) = (adcRecall(df), adcRecall(rot))
+    info(f"trained ADC recall raw=$rRaw%.3f opq=$rOpq%.3f")
+    assert(rOpq >= rRaw,
+      f"OPQ rotation must not lose recall on the skewed layout: $rOpq%.3f vs $rRaw%.3f")
+  }
 }

@@ -64,4 +64,23 @@ class CountMinStreamSpec extends AnyFunSuite {
       .filter(col("est_cnt") < col("true_cnt")).count()
     assert(under === 0L)
   }
+
+  test("a word probing only empty cells estimates 0, not a dropped row") {
+    import spark.implicits._
+    // Tiny corpus → 3×1024 cells are nearly all empty, so a probe word
+    // absent from the corpus lands (with overwhelming likelihood for
+    // this fixed word) in at least one empty cell per row triple; the
+    // Count-Min definition says the min over probed cells — empty = 0.
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val cells = Corpus.countMinCells(docs, "text")
+    val probe = Seq("zzz_never_seen_token_1234567").toDF("w")
+    val est = Corpus.countMinEstimate(cells, probe, "w").collect()
+    assert(est.length === 1, "unseen word must still get an estimate row")
+    assert(est.head.getLong(1) === 0L)
+    // and seen words still estimate ≥ true count
+    val seen = Corpus.countMinEstimate(cells, Seq("beta").toDF("w"), "w")
+      .collect()
+    assert(seen.head.getLong(1) >= 2L)
+  }
 }

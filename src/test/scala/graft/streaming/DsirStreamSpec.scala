@@ -63,4 +63,22 @@ class DsirStreamSpec extends AnyFunSuite {
     assert(m.getLong(0) + m.getLong(1) === batchScored.count())
     assert(m.getLong(0) === batchKept.size.toLong)
   }
+
+  test("a document of entirely novel vocabulary still gets a verdict row") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dsir-novel").toString
+    val fit = Seq((1L, "alpha beta gamma", "src0"),
+      (2L, "beta delta epsilon", "src1")).toDF("doc_id", "text", "source")
+    DsirStream.buildWeights(fit, s"$root/w", "doc_id", "text",
+      col("source") === "src0")
+    val weights = spark.read.parquet(s"$root/w")
+    // every token unseen at fit time → score 0, n_tokens still counted,
+    // and the doc appears (as dropped) so gate accounting stays exact
+    val novel = Seq((99L, "zzz_one zzz_two zzz_three")).toDF("doc_id", "text")
+    val out = Corpus.dsirApply(novel, "doc_id", "text", weights).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 3L) // n_tokens
+    assert(out.head.getLong(2) === 0L) // score
+    assert(!out.head.getBoolean(3))    // keep = false (score not > 0)
+  }
 }
