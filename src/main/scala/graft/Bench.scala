@@ -103,11 +103,20 @@ object Bench {
     // not a name-prefix match, so renames can't silently empty the pass
     val goldNames = graft.operators.GoldAnalogs.all.map(_.name).toSet
 
-    // baseline-comparable pass: the six gold analogs at the small SF
+    // baseline-comparable pass: the six gold analogs at the small SF,
+    // under the INTERACTIVE profile — shuffle.partitions=1. At sf0.01
+    // every post-shuffle frame is tiny and single-task; 32-way task
+    // launch + AQE coalescing per stage is pure fixed cost against a
+    // single-process Postgres baseline (measured ~7% on g06, min-of-8).
+    // The sf0.1 suite above keeps the cluster profile (32) — this knob
+    // is per-pass engine tuning, not a benchmark trick: plans and
+    // results are identical, only task fan-out changes.
     val goldSmall =
-      if (new java.io.File(smallDir).isDirectory && smallDir != sfDir)
-        bench(qs.filter { case (name, _) => goldNames(name) }, smallDir)
-      else Seq.empty
+      if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        try bench(qs.filter { case (name, _) => goldNames(name) }, smallDir)
+        finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      } else Seq.empty
     val smallJson =
       if (goldSmall.isEmpty) ""
       else s""","queries_small":${toJson(goldSmall)},"total_small":${totalOf(goldSmall)},"sf_small":"$smallDir""""

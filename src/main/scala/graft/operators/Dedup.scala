@@ -424,7 +424,14 @@ object Dedup {
       .join(b, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
-    Ranks.topKPerGroup(sims, Seq("query_id"),
+    // Explicitly the HEAP form here: the all-pairs candidate frame is
+    // the one input where the native WindowGroupLimit prune loses — its
+    // pre-exchange step fully SORTS each partition's ~n²/p rows
+    // (O(n log n)) where the bounded heap pays O(n log k). Measured at
+    // sf0.1: x89 2.5 → 3.7 s and x59 2.7 → 3.7 s under the native form,
+    // while every moderate-input site (IVF candidates, PQ shortlists)
+    // prefers native (see Ranks scaladoc). Both forms are bit-identical.
+    Ranks.topKPerGroupHeap(sims, Seq("query_id"),
       Seq(("cosine", false), ("neighbor_id", true)), k)
       .select("query_id", "neighbor_id", "cosine")
   }
@@ -550,14 +557,15 @@ object Dedup {
 
   /** Nearest-centroid assignment of every normed vector: tiny centroid
     * frame broadcast, one corpus scan. The per-vector argmax runs
-    * through [[Ranks.topKPerGroup]]'s bounded heap (k=1), NOT a raw
-    * row_number window: the window form shuffles all n·k scored rows
-    * (each carrying the embedding array) before sorting, and at the
-    * auto-k policy (k = ⌊√n⌋) that n·√n·256 B exchange IS the flat
-    * assignment cost the round-10 scaling pass measured as the
-    * sparse-query premium. The heap prune caps the exchange at one row
-    * per (partition, vector) — n rows total, k-invariant — with
-    * bit-identical output (the exact window re-runs on survivors). */
+    * through [[Ranks.topKPerGroup]], whose pre-exchange prune (native
+    * WindowGroupLimit since round 11, mapPartitions heap before) caps
+    * the shuffle at ONE row per (partition, vector) — n rows total,
+    * k-invariant — where a prune-less window would exchange all n·k
+    * scored rows, each carrying the embedding array: at the auto-k
+    * policy (k = ⌊√n⌋) that n·√n·256 B is exactly the flat-assignment
+    * cost the round-10 scaling pass measured as the sparse-query
+    * premium. Bit-identical output either way (the exact window runs
+    * on survivors). */
   private[graft] def assignToCells(norms: DataFrame, cents: DataFrame, idCol: String): DataFrame =
     Ranks.topKPerGroup(
       norms
@@ -645,7 +653,7 @@ object Dedup {
     val queries = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       .filter(queryPred)
-    // both selections run through the bounded heap, not raw windows:
+    // both selections run through topKPerGroup's bounded prune, not prune-less windows:
     // probe routing scores queries·k rows (all-corpus-queries workloads
     // like x137/x138 make that n·k) and the candidate stream below is
     // queries·(n/k)·nprobe rows — the two largest frames in the IVF
@@ -1282,7 +1290,7 @@ object Dedup {
     * ([[ivfIndexTwoLevel]]'s frames): nearest active coarse cell first,
     * then `nprobe` nearest fine cells WITHIN that parent — per query
     * kc + k/kc cosines instead of flat k, the assignment law the k-law
-    * measurement pinned. Both selections run through the bounded heap.
+    * measurement pinned. Both selections run through the bounded top-k prune.
     * `qraw` = (query_id, qvec); returns (query_id, cell). Shared by
     * [[ivfPqSearch]] (PQ codes) and [[ivfSqSearch]] (SQ8 codes) — the
     * routing tier is agnostic to which quantizer scans the cells. */
@@ -1373,7 +1381,7 @@ object Dedup {
       topK, shortlist, m, subDim, excludeSelf)
 
   /** Flat probe routing against a standing centroid frame — each query
-    * scored against all k centroids through the bounded heap (serving
+    * scored against all k centroids through the bounded top-k prune (serving
     * batches can be large). `qraw` = (query_id, qvec); returns
     * (query_id, cell). */
   private def routeQueriesFlat(qraw: DataFrame, cents: DataFrame,
@@ -1392,7 +1400,7 @@ object Dedup {
   /** Answer-side core of IVF+SQ8 serving
     * ([[graft.streaming.IvfSqServeStream]]), the SQ8 sibling of
     * [[ivfPqAnswer]]: route each query to its `nprobe` cells (flat,
-    * bounded heap), decode-scan ONLY those cells' SQ8 codes
+    * bounded prune), decode-scan ONLY those cells' SQ8 codes
     * asymmetrically (exact int64), and either return the scan's top-k
     * directly (`shortlist = 0` — the rerank-free SQ8 point, column
     * `sq_dist`) or shortlist and exactly re-rank against the stored
@@ -1446,7 +1454,7 @@ object Dedup {
   /** Answer-side core of IVF+BQ serving
     * ([[graft.streaming.IvfBqServeStream]]), the 1-bit sibling of
     * [[ivfPqAnswer]]/[[ivfSqAnswer]]: route each query to its `nprobe`
-    * cells (flat, bounded heap), encode the query against the FROZEN
+    * cells (flat, bounded prune), encode the query against the FROZEN
     * `thresholds`, Hamming-scan ONLY those cells' word rows, shortlist,
     * and exactly re-rank against the stored vectors (`vectors` is
     * touched for queries·shortlist rows only). The re-rank stage is
@@ -1917,7 +1925,7 @@ object Dedup {
     val activeCoarse = coarse.join(
       fineParent.select(col("parent")).distinct(),
       col("co_id") === col("parent"), "left_semi")
-    // the two n-scale argmaxes route through the bounded heap (the
+    // the two n-scale argmaxes route through the bounded top-k prune (the
     // k·kc fineParent frame above stays a window — it is k rows)
     val vCoarse = Ranks.topKPerGroup(
       norms.crossJoin(broadcast(activeCoarse))

@@ -591,7 +591,7 @@ object GoldAnalogs {
         ) ++ metrics.map(m => col(s"avg_${m.key}")): _*
       )
     // W3 bounded: explode the 5 branch metrics FIRST, then global top-5
-    // per branch via Ranks.topKPerGroup — per-partition bounded heaps
+    // per branch via Ranks.topKPerGroup — per-partition bounded prunes
     // mean at most 5 rows per (partition, branch) ever reach the
     // exchange, where the reference shape (5 unpartitioned row_number
     // windows over the pool) sorts every pooled part in ONE task — the

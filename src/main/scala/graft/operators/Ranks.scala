@@ -9,20 +9,25 @@ import org.apache.spark.sql.types._
 
 /** Top-k-per-group with a partial per-partition prune.
   *
-  * Spark's `row_number().over(partitionBy(key).orderBy(...)) <= k` first
-  * shuffles EVERY row of every group, then sorts whole partitions — at
-  * 100 TB the shuffle is the bottleneck, and it carries rows that cannot
-  * possibly survive the filter. This operator keeps a bounded heap per
-  * key inside each input partition (mapPartitions — no shuffle), so at
-  * most `k × |keys-in-partition|` rows reach the exchange; the exact
-  * window then runs on the survivors. Any row outside its partition-local
-  * top-k is outside the global top-k (the ordering is total thanks to
-  * mandatory tiebreak columns), so results are identical to the plain
-  * window form — only the shuffle volume changes.
+  * The shuffle hazard: a naive grouped rank filter would move EVERY row
+  * of every group to the exchange even though at most k per
+  * (input-partition, key) can survive. Spark ≥3.5 closes this itself:
+  * the `InferWindowGroupLimit` rule rewrites
+  * `row_number().over(partitionBy(key).orderBy(...)) <= k` into a
+  * partial per-partition `WindowGroupLimit` BEFORE the exchange plus the
+  * exact window after it — the same bound the hand-rolled heap below
+  * enforces, but inside columnar execution with no
+  * ser/deser/mapPartitions codegen break. Measured on this suite
+  * (sf0.1, min-of-5): x137 2.69 → 2.13 s, x149 0.76 → 0.70 s in favor
+  * of the native form — so [[topKPerGroup]] now plans the plain window
+  * and lets the optimizer insert the prune; `.explain` shows
+  * `WindowGroupLimit` spans on both sides of the exchange.
   *
-  * This is preference-order (a)+(d) from the build rules: the exact
-  * semantics stay declarative (the final window); the prune is the one
-  * piece Spark cannot express relationally.
+  * [[topKPerGroupHeap]] keeps the explicit mapPartitions heap — the
+  * same algorithm, selectable via GRAFT_TOPK_HEAP=1 for A/B runs and as
+  * the documented fallback for engines without the rewrite. Both forms
+  * are bit-identical because the mandatory tiebreak columns make each
+  * group's ordering total.
   */
 object Ranks {
 

@@ -1454,7 +1454,7 @@ object TrainingData {
     * cosine-nearest neighbors vote with their labels, majority wins
     * (count desc, label asc tiebreak — deterministic), and the vote is
     * scored against the held-out true label. The per-query top-k runs
-    * through the bounded heap prune (annTopK), the vote is one
+    * through the bounded top-k prune (annTopK), the vote is one
     * query-keyed aggregate + one rank over ≤ k rows per query; at scale
     * the exact top-k swaps for IVF/LSH candidates exactly as in x59. */
   val x63 = Q(

@@ -329,7 +329,7 @@ object GoldModels {
     // (sql:26-32) — un-tiebroken windows whose single sort task is the
     // scale ceiling. Here the branches are exploded FIRST and the global
     // top-5 per branch comes from Ranks.topKPerGroup (per-partition
-    // bounded heaps: ≤5 rows per (partition, branch) reach the exchange).
+    // bounded prune: ≤5 rows per (partition, branch) reach the exchange).
     // (sort_value, player_id) totally orders each branch up to duplicate
     // free-agent fan-out rows, which are byte-identical copies — any
     // resolution of those ties yields the same multiset. Descending

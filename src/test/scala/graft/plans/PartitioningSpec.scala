@@ -99,6 +99,58 @@ class PartitioningSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the skewed shingle bucket on the REAL x02 path, results unchanged") {
+    import spark.implicits._
+    // deliberately skewed corpus: one boilerplate 3-gram ("lorem ipsum
+    // dolor …") opens ~90% of documents, so the shingle inverted-index
+    // self-join (the x02 plan) funnels most candidate pairs through one
+    // shuffle bucket — the hot-key configuration SCALE.md claims AQE
+    // absorbs. Docs are padded with unique filler so each (doc, shingle)
+    // row carries real bytes and the hot bucket crosses the lowered
+    // skew threshold.
+    val hot = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val docs = (0 until 800).map { i =>
+      // 10 crafted near-dup pairs (docs 2j/2j+1 share their filler too →
+      // J ≈ 0.9); everyone else shares ONLY the boilerplate (J = 0.2,
+      // below threshold) — so the skew lives in the candidate join, not
+      // in the surviving pair set
+      val fill = if (i < 20) i / 2 * 1000 else i
+      val filler = (0 until 12).map(j => s"w${fill}_$j").mkString(" ")
+      (i.toLong, s"$hot $filler")
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val expected = pairs(graft.operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5))
+    assert(expected.size === 10, s"fixture should yield the 10 crafted pairs: $expected")
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val skewed = graft.operators.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      val got = pairs(skewed)
+      val finalPlan = skewed.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE should have split the hot shingle bucket:\n$finalPlan")
+      assert(got === expected, "skew split must not change the pair set")
+      assert(got.nonEmpty)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footer stats") {
     val dir = java.nio.file.Files.createTempDirectory("agg-push").toString
     t.lineitem.select(col("l_orderkey"), col("l_quantity"))
