@@ -89,6 +89,93 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** The APPLY step over [[duplicateSpans]]' detections — Lee et al.
+    * 2022's actual dedup: REWRITE the corpus with duplicated spans
+    * removed, keeping one canonical occurrence of every duplicated
+    * window. Canonical = the occurrence with the smallest
+    * k = id·2²⁰ + pos (the first-writer convention x62/x139 use); every
+    * token covered by a NON-canonical duplicated window (positions
+    * [pos, pos+k-1]) is dropped, and each document is rebuilt from its
+    * surviving tokens in order. Output: (id, n_tokens, n_removed,
+    * text_kept).
+    *
+    * Scale shape: windows enumerate in one projection (no per-doc
+    * Window pass), identity shuffles as the 8-byte poly_hash, the
+    * canonical pick is one keyed min, and coverage marks explode to at
+    * most k rows per non-canonical window before a distinct + keyed
+    * anti-join against the token stream — every step linear in corpus
+    * tokens, shuffles keyed by hash or (id, pos), no skew beyond the
+    * duplicated mass itself. Document positions must fit the 2²⁰
+    * packing (the stated x139 convention). */
+  def duplicateSpanRewrite(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val wins = spanGrams(df, idCol, textCol, k)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"), min(col("kk")).as("kmin"))
+      .filter(col("occ") >= 2)
+      .select(col("h"), col("kmin"))
+    duplicateSpanRewriteAgainst(df, idCol, textCol, wins, k)
+  }
+
+  /** Every k-token window occurrence of the corpus with its 8-byte
+    * identity and first-writer key: (id, pos, h, kk = id·2²⁰ + pos).
+    * The shared enumeration under [[duplicateSpans]],
+    * [[duplicateSpanRewrite]] and the streaming twin
+    * ([[graft.streaming.SpanDedupStream]]). */
+  private[graft] def spanGrams(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"span window must cover at least 2 tokens, got $k")
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol), expr(
+        s"posexplode(CASE WHEN size(split($textCol, ' ')) >= $k " +
+          s"THEN transform(sequence(0, size(split($textCol, ' ')) - $k), " +
+          s"i -> array_join(slice(split($textCol, ' '), i + 1, $k), ' ')) " +
+          "ELSE array() END)").as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        expr("poly_hash(gram)").as("h"))
+      .select(col(idCol), col("pos"), col("h"),
+        (col(idCol) * lit(1048576L) + col("pos")).as("kk"))
+  }
+
+  /** The rewrite tail against an EXPLICIT winner table (`h`, `kmin`) —
+    * how the streaming gate replays batch semantics: a window whose
+    * hash is absent from `wins` is its own canonical (kept); one whose
+    * `kk` ≠ the table's `kmin` marks its k positions for removal.
+    * Passing the corpus' own duplicated-hash minima reproduces
+    * [[duplicateSpanRewrite]] exactly; passing a converged streaming
+    * registry reproduces it over any arrival order
+    * (SpanDedupStreamSpec). */
+  def duplicateSpanRewriteAgainst(df: DataFrame, idCol: String,
+      textCol: String, wins: DataFrame, k: Int = 8): DataFrame = {
+    val grams = spanGrams(df, idCol, textCol, k)
+    val removedPos = grams.join(wins, Seq("h"))
+      .filter(col("kk") =!= col("kmin"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("rpos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("tpos", "w")))
+      .select(col(idCol), col("tpos").cast("long").as("tpos"), col("w"))
+    val kept = toks
+      .join(removedPos,
+        toks(idCol) === removedPos(idCol) && col("tpos") === col("rpos"),
+        "left_anti")
+      .groupBy(toks(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(tpos, w))), x -> x.w)"))
+          .as("text_kept"))
+    // left join from the corpus side: a document whose every token sat
+    // inside non-canonical duplicated windows (an exact later-id copy)
+    // still gets its row — fully rewritten away, not silently dropped
+    df.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Word-n-gram shingles per document, not yet deduplicated: (id, sh). */
   private def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("w"))

@@ -5913,6 +5913,48 @@ object TrainingData {
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
   }
 
+  /** Span-dedup REWRITE ([[Dedup.duplicateSpanRewrite]]) — the apply
+    * step over x173's detections, i.e. Lee et al. 2022's actual
+    * deduplication: every token covered by a non-canonical duplicated
+    * 8-window (canonical = min doc_id·2²⁰+pos, the x62/x139
+    * first-writer convention) is removed and documents are rebuilt
+    * from the survivors. Unlike x62's rewrite this drops duplicate
+    * text at ANY offset, not just grid-aligned chunks; a later-id
+    * exact copy rewrites away to the empty string but keeps its
+    * accounting row. */
+  val x175 = Q(
+    "x175_span_dedup_rewrite",
+    Some(
+      "WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "dg AS (SELECT doc_id, unnest(list_transform(" +
+        "range(1, greatest(len(w) - 6, 1)), " +
+        "i -> {'pos': i - 1, 'gram': array_to_string(w[i : i + 7], ' ')})) AS s FROM dw), " +
+        s"dgr AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, " +
+        s"${duckPolyHash("s.gram")} AS h, " +
+        "doc_id * 1048576 + CAST(s.pos AS BIGINT) AS kk FROM dg), " +
+        "dwin AS (SELECT h, MIN(kk) AS kmin FROM dgr GROUP BY h " +
+        "HAVING COUNT(*) >= 2), " +
+        "drm AS (SELECT DISTINCT g.doc_id, g.pos + u.o AS rpos " +
+        "FROM dgr g JOIN dwin x ON g.h = x.h AND g.kk <> x.kmin " +
+        "CROSS JOIN (SELECT unnest(range(0, 8)) AS o) u), " +
+        "dtok AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), " +
+        "i -> {'tpos': i - 1, 'tok': w[i]})) AS s FROM dw), " +
+        "dt AS (SELECT doc_id, CAST(s.tpos AS BIGINT) AS tpos, s.tok AS tok FROM dtok), " +
+        "dkeep AS (SELECT t.doc_id, t.tpos, t.tok FROM dt t " +
+        "LEFT JOIN drm r ON t.doc_id = r.doc_id AND t.tpos = r.rpos " +
+        "WHERE r.rpos IS NULL), " +
+        "dagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+        "COALESCE(string_agg(tok, ' ' ORDER BY tpos), '') AS text_kept " +
+        "FROM dkeep GROUP BY doc_id) " +
+        "SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens, " +
+        "CAST(len(w.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed, " +
+        "COALESCE(a.text_kept, '') AS text_kept " +
+        "FROM dw w LEFT JOIN dagg a ON w.doc_id = a.doc_id"
+    )
+  ) { t =>
+    Dedup.duplicateSpanRewrite(t.documents, "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5926,6 +5968,6 @@ object TrainingData {
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
-    x166, x167, x168, x169, x170, x171, x172, x173, x174
+    x166, x167, x168, x169, x170, x171, x172, x173, x174, x175
   )
 }

@@ -685,6 +685,29 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(spans === Set((1L, 3L, 22L, 20L), (2L, 5L, 24L, 20L)))
   }
 
+  test("duplicateSpanRewrite: off-boundary duplicate removed, exact copy annihilated") {
+    import spark.implicits._
+    val run = (1 to 20).map(i => s"s$i").mkString(" ")
+    val base = ((1 to 3).map(i => s"a$i") :+ run) ++ (4 to 13).map(i => s"a$i")
+    val crafted = Seq(
+      (1L, base.mkString(" ")),                                  // canonical
+      (2L, (((1 to 5).map(i => s"b$i") :+ run) ++ (6 to 7).map(i => s"b$i")).mkString(" ")),
+      (3L, base.mkString(" "))                                   // exact copy of 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanRewrite(crafted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 is canonical everywhere → untouched
+    assert(out(1L) === ((33L, 0L, crafted.filter(col("doc_id") === 1)
+      .head().getString(1))))
+    // doc 2 loses exactly its copy of the 20-token run (positions 5..24)
+    assert(out(2L)._1 === 27L && out(2L)._2 === 20L)
+    assert(out(2L)._3 ===
+      (((1 to 5).map(i => s"b$i") ++ (6 to 7).map(i => s"b$i")).mkString(" ")))
+    // doc 3 (exact later-id copy) rewrites away entirely — but keeps its row
+    assert(out(3L) === ((33L, 33L, "")))
+  }
+
   test("duplicateSpans merges touching windows and ignores short docs") {
     import spark.implicits._
     // two copies of the same 8-word text: one full-width window each,
