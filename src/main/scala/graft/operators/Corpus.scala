@@ -1151,4 +1151,131 @@ object Corpus {
       .groupBy(col(wordCol))
       .agg(min(coalesce(col("total"), lit(0L))).as("est_cnt"))
   }
+
+  // ── BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909) ──
+
+  /** The BPE working frame: the corpus WORD VOCABULARY exploded to
+    * per-word symbol sequences — (w, pos, sym, cnt) with initial
+    * symbols = single characters plus a trailing '</w>' end-of-word
+    * marker, cnt = the word's corpus frequency. This is why BPE
+    * training scales: the corpus is scanned ONCE to count word
+    * frequencies, and every subsequent round runs on this vocab-sized
+    * table (Heaps' law: vocab ≪ corpus tokens — at 100 TB the corpus
+    * has ~10¹³ tokens but ~10⁸ word types, so the iterated frame is
+    * 5 orders of magnitude smaller than the data). */
+  def bpeVocabSymbols(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    words(df, idCol, textCol)
+      .groupBy(col("word").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"),
+        posexplode(expr(
+          "transform(sequence(1, length(w) + 1), " +
+            "i -> CASE WHEN i <= length(w) THEN substring(w, i, 1) " +
+            "ELSE '</w>' END)")).as(Seq("p", "sym")))
+      .select(col("w"), (col("p") + 1).cast("long").as("pos"),
+        col("sym"), col("cnt"))
+
+  /** Weighted adjacent-pair counts over a symbol table from
+    * [[bpeVocabSymbols]]/[[bpeMergeStep]]: (a, b, pc) with
+    * pc = Σ word-frequency over every adjacent occurrence — overlapping
+    * occurrences each count, the reference `get_stats` convention
+    * ("aaa" contributes (a,a) twice). One vocab-partitioned window +
+    * one map-side-combined sum. */
+  def bpePairCounts(syms: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("w")).orderBy(col("pos"))
+    syms.withColumn("b", lead(col("sym"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("sym").as("a"), col("b"))
+      .agg(sum(col("cnt")).as("pc"))
+  }
+
+  /** One BPE merge application: rewrite every word's symbol sequence,
+    * replacing left-to-right non-overlapping occurrences of (a, b) with
+    * the fused symbol a+b. Overlap only arises when a == b (runs of the
+    * same symbol — a match at pos i and i+1 both require sym(i+1) = b =
+    * a); within each maximal run of adjacent matches the 1st, 3rd, …
+    * merge and the even ones are consumed, the greedy convention
+    * reference implementations use ("aaaa" + (a,a) → "aa aa"). Islands
+    * of adjacent matches are keyed by pos − match-rank (strictly
+    * increasing across islands, so no collisions), merge parity is the
+    * match-rank offset within the island, and a row whose predecessor
+    * merged is dropped. Every window is partitioned by word — the
+    * frames stay vocab-sized at any corpus scale. */
+  def bpeMergeStep(syms: DataFrame, a: String, b: String): DataFrame = {
+    val w = Window.partitionBy(col("w")).orderBy(col("pos"))
+    syms
+      .withColumn("nxt", lead(col("sym"), 1).over(w))
+      .withColumn("im",
+        coalesce(col("sym") === lit(a) && col("nxt") === lit(b), lit(false)))
+      .withColumn("mseq",
+        sum(when(col("im"), lit(1L)).otherwise(lit(0L))).over(w))
+      .withColumn("isl", when(col("im"), col("pos") - col("mseq")))
+      .withColumn("ir",
+        when(col("im"), col("mseq") -
+          min(col("mseq")).over(Window.partitionBy(col("w"), col("isl")))))
+      .withColumn("sel", col("im") && col("ir") % 2 === 0)
+      .withColumn("cons", coalesce(lag(col("sel"), 1).over(w), lit(false)))
+      .filter(!col("cons"))
+      .select(col("w"),
+        row_number().over(w).cast("long").as("pos"),
+        when(col("sel"), lit(a + b)).otherwise(col("sym")).as("sym"),
+        col("cnt"))
+  }
+
+  /** BPE training: `rounds` merge rounds over the corpus vocabulary.
+    * Returns (merge table rows (round, left, right, pair_count), final
+    * symbol table). Each round is one vocab-sized pair count, a
+    * deterministic argmax (max weighted count, ties to the
+    * lexicographically smallest (a, b)), and one [[bpeMergeStep]]; the
+    * symbol table is localCheckpointed per round (the iterative-template
+    * rule — bounded plan depth, no lineage blowup). The winning pair is
+    * a driver-side 1-row fetch per round — the bounded-scalar
+    * convention (x157's vertex count); everything corpus-sized stays
+    * distributed. Stops early if no adjacent pair remains; callers that
+    * need a fixed-arity oracle replay must pick `rounds` below the
+    * corpus' merge capacity (31-type corpora support hundreds). */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var syms = bpeVocabSymbols(df, idCol, textCol).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = bpePairCounts(syms)
+        .orderBy(desc("pc"), asc("a"), asc("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, pc))
+        syms = bpeMergeStep(syms, a, b).localCheckpoint(true)
+        r += 1
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  /** Tokens-per-word under a trained BPE segmentation: the final symbol
+    * count per word, excluding a still-unmerged bare '</w>' marker (a
+    * marker FUSED into a symbol — "w</w>" — is part of that token and
+    * counts; every word keeps ≥ 1 counted symbol). Vocab-sized. */
+  def bpeTokensPerWord(finalSyms: DataFrame): DataFrame =
+    finalSyms.filter(col("sym") =!= "</w>")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wtok"))
+
+  /** Per-document fertility under a trained BPE segmentation: join the
+    * corpus word stream against the vocab-sized tokens-per-word table
+    * (broadcast — it is the vocabulary, not the corpus) and aggregate
+    * (n_words, n_bpe_tokens, fertility_bp = tokens·10⁴ div words —
+    * integer basis points, exact in both engines). */
+  def bpeFertility(df: DataFrame, idCol: String, textCol: String,
+      finalSyms: DataFrame): DataFrame =
+    words(df, idCol, textCol)
+      .join(broadcast(bpeTokensPerWord(finalSyms)),
+        col("word") === col("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("wtok")).as("n_bpe_tokens"))
+      .select(col(idCol), col("n_words"), col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 10000 div n_words").as("fertility_bp"))
 }

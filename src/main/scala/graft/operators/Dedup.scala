@@ -1968,6 +1968,73 @@ object Dedup {
     if (nassign == 1) scored else scored.distinct()
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by keep-policy over cosine near-dup clusters.
+    * Paraphrases and re-templated copies share embeddings, not
+    * n-grams — near-dup CLUSTERS (IVF-cell candidates → exact cosine ≥
+    * `threshold` → connected components, the x143/x64 machinery) are
+    * semantic duplicate groups, and the paper's policy keeps the
+    * member FARTHEST from its cluster's density center (low
+    * similarity-to-centroid examples carry the most residual
+    * information) and drops the rest. Centroid = the member's IVF
+    * cell's dim-wise sum of ⌊x·10⁶⌋-quantized members — the same
+    * DIRECTION as the mean (cosine is scale-invariant, and edges only
+    * form within a cell, so one shared |centroid| cancels from every
+    * within-cluster comparison); member score = exact-integer
+    * dot(q, cellsum) / nrm, ordered ascending with id tiebreak. Output:
+    * one row per DROPPED member — (vec_id, kept_id, cluster_size).
+    *
+    * Scale shape: one deterministic assignment scan (reused, via
+    * localCheckpoint, by candidate generation AND centroid sums — no
+    * second n·k pass), within-cell candidate blocking exactly as x143,
+    * the guarded CC solve, then cell-keyed sums and one
+    * cluster-partitioned bounded window. Integer envelope: |q| ≤ 10⁶,
+    * so dot ≤ dims·10¹²·cellsize — safe below ~10⁵ members/cell at 64
+    * dims; the auto-k = ⌊√n⌋ policy keeps cells far under that. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(df, idCol, vecCol, k)
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+      .localCheckpoint(true)
+    val a = assigned.select(col("cell"), col(idCol).as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col(idCol).as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr("float_vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val comps = connectedComponents(pairs, "vec_a", "vec_b")
+    val cellSums = assigned
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("v")).as("sv"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("sv")))),
+        x => x.getField("sv")).as("cs"))
+    val scored = assigned
+      .join(comps, assigned(idCol) === comps("node"))
+      .join(cellSums, "cell")
+      .select(col(idCol), col("cluster_root"),
+        (expr("aggregate(zip_with(qv, cs, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .cast("double") / col("nrm")).as("score"))
+    val w = Window.partitionBy(col("cluster_root"))
+      .orderBy(col("score").asc, col(idCol).asc)
+    val ranked = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_root"))))
+      .withColumn("kept_id",
+        first(col(idCol)).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    ranked.filter(col("rn") > 1)
+      .select(col(idCol), col("kept_id"), col("cluster_size"))
+  }
+
   /** Two-level (coarse → fine) deterministic IVF assignment — the cut
     * past SCALE.md's measured a·n·k + b·n²/k law: flat assignment pays
     * n·k centroid cosines, which at the law's optimum k ∝ √n makes the

@@ -5955,6 +5955,157 @@ object TrainingData {
     Dedup.duplicateSpanRewrite(t.documents, "doc_id", "text")
   }
 
+  /** CTE chain replaying [[Corpus.bpeTrain]] round by round — base
+    * vocab + per-char symbols (s0), then per round r: weighted pair
+    * counts (pc_r), the deterministic winner (sel_r: max count, ties to
+    * lexicographic (a, b)), the greedy non-overlapping merge rewrite
+    * (island/parity windows, identical to [[Corpus.bpeMergeStep]]) into
+    * s_r. Terminal CTEs: s$rounds (final symbol table) and one sel_r
+    * per round for the merge table. */
+  private def duckBpeCtes(rounds: Int): String = {
+    def round(p: Int, c: Int): String =
+      s"bpc$c AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pc FROM (" +
+        "SELECT sym AS a, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b, " +
+        s"cnt FROM bs$p) WHERE b IS NOT NULL GROUP BY a, b), " +
+        s"bsel$c AS MATERIALIZED (SELECT a, b, pc FROM bpc$c ORDER BY pc DESC, a, b LIMIT 1), " +
+        s"bm$c AS (SELECT w, cnt, pos, sym, " +
+        s"lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM bs$p), " +
+        s"bf$c AS (SELECT m.w, m.cnt, m.pos, m.sym, " +
+        "COALESCE(m.sym = s.a AND m.nxt = s.b, FALSE) AS im " +
+        s"FROM bm$c m CROSS JOIN bsel$c s), " +
+        s"bg$c AS (SELECT *, SUM(CASE WHEN im THEN 1 ELSE 0 END) " +
+        s"OVER (PARTITION BY w ORDER BY pos) AS mseq FROM bf$c), " +
+        s"bh$c AS (SELECT *, CASE WHEN im THEN pos - mseq END AS isl FROM bg$c), " +
+        s"bi$c AS (SELECT *, CASE WHEN im THEN mseq - MIN(mseq) " +
+        s"OVER (PARTITION BY w, isl) END AS ir FROM bh$c), " +
+        s"bj$c AS (SELECT *, COALESCE(im AND ir % 2 = 0, FALSE) AS sel FROM bi$c), " +
+        s"bk$c AS (SELECT *, COALESCE(lag(sel) " +
+        s"OVER (PARTITION BY w ORDER BY pos), FALSE) AS cons FROM bj$c), " +
+        s"bs$c AS MATERIALIZED (SELECT w, cnt, " +
+        "CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos, " +
+        s"CASE WHEN sel THEN (SELECT a || b FROM bsel$c) ELSE sym END AS sym " +
+        s"FROM bk$c WHERE NOT cons)"
+    "bwv AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (" +
+      "SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
+      "bs0 AS MATERIALIZED (SELECT w, cnt, CAST(i AS BIGINT) AS pos, " +
+      "CASE WHEN i <= len(w) THEN substr(w, CAST(i AS INT), 1) " +
+      "ELSE '</w>' END AS sym " +
+      "FROM (SELECT w, cnt, unnest(range(1, len(w) + 2)) AS i FROM bwv)), " +
+      (1 to rounds).map(c => round(c - 1, c)).mkString(", ")
+  }
+
+  /** BPE tokenizer training as relational aggregates
+    * ([[Corpus.bpeTrain]] — Sennrich et al. 2016's subword tokenizer,
+    * the standard pre-training tokenization pipeline step): 8 merge
+    * rounds over the corpus word vocabulary, each round one weighted
+    * adjacent-pair count, a deterministic argmax (max count, ties
+    * lexicographic), and a greedy non-overlapping merge rewrite.
+    * Training runs on the VOCAB table, not the corpus — the corpus is
+    * scanned once for word frequencies (Heaps' law does the rest).
+    * Output: the merge table, the tokenizer's training artifact. All
+    * integer counts and string concatenation — hash-exact replay. */
+  val x176 = Q(
+    "x176_bpe_train",
+    Some {
+      val rounds = 8
+      s"WITH ${duckBpeCtes(rounds)} " +
+        (1 to rounds).map(c =>
+          s"SELECT CAST($c AS BIGINT) AS merge_round, a AS left_sym, " +
+            "b AS right_sym, a || b AS merged, pc AS pair_count " +
+            s"FROM bsel$c").mkString(" UNION ALL ")
+    }
+  ) { t =>
+    val (merges, _) = Corpus.bpeTrain(t.documents, "doc_id", "text", 8)
+    import t.spark.implicits._
+    merges.map { case (r, a, b, pc) => (r.toLong, a, b, a + b, pc) }
+      .toDF("merge_round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** Tokenizer fertility under the TRAINED x176 BPE segmentation
+    * ([[Corpus.bpeFertility]]): apply the 8 trained merges to the
+    * vocabulary, count final symbols per word (a bare unmerged '</w>'
+    * marker is not a token), and aggregate per document — n_words,
+    * n_bpe_tokens, fertility in integer basis points (tokens·10⁴ div
+    * words). The apply side touches the corpus exactly once, joining
+    * the word stream against the broadcast vocab-sized
+    * tokens-per-word table — x109 measures fertility of a FIXED
+    * hypothetical tokenizer; this one measures the tokenizer the
+    * corpus itself trains. */
+  val x177 = Q(
+    "x177_bpe_fertility",
+    Some(
+      s"WITH ${duckBpeCtes(8)}, " +
+        "bwt AS (SELECT w, CAST(COUNT(*) FILTER (WHERE sym <> '</w>') " +
+        "AS BIGINT) AS wtok FROM bs8 GROUP BY w), " +
+        "bdw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) " +
+        "SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(SUM(t.wtok) AS BIGINT) AS n_bpe_tokens, " +
+        "CAST((SUM(t.wtok) * 10000) // COUNT(*) AS BIGINT) AS fertility_bp " +
+        "FROM bdw d JOIN bwt t ON d.w = t.w GROUP BY d.doc_id"
+    )
+  ) { t =>
+    val (_, finalSyms) = Corpus.bpeTrain(t.documents, "doc_id", "text", 8)
+    Corpus.bpeFertility(t.documents, "doc_id", "text", finalSyms)
+  }
+
+  /** SemDeDup ([[Dedup.semDedup]] — Abbas et al. 2023): semantic
+    * dedup by keep-policy over the x143/x64 cosine near-dup clusters.
+    * Within each connected component of the ≥ 0.4 cosine graph
+    * (IVF-cell candidates at the auto-k policy), keep the member
+    * FARTHEST from its cell's density center — similarity measured as
+    * exact-integer dot(⌊x·10⁶⌋ member, cell quantized-sum) / nrm, the
+    * sum having the same direction as the mean — and emit one row per
+    * dropped member with its kept representative. The oracle replays
+    * the deterministic seed-centroid assignment, the recursive-CTE
+    * closure, and the quantized cell sums end-to-end. */
+  val x178 = Q(
+    "x178_semdedup",
+    Some {
+      def cos(a: String, an: String, b: String, bn: String) =
+        s"${duckDot(a, b)} / ($an * $bn)"
+      s"WITH RECURSIVE $duckNorms, $duckAutoKCte, " +
+        "cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+        "FROM norms WHERE vec_id < (SELECT k FROM kk)), " +
+        "assigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
+        "SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell, " +
+        s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+        s"${cos("n.embedding", "n.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
+        "FROM norms n CROSS JOIN cents c) WHERE rn = 1), " +
+        "prs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        s"WHERE ${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= 0.4), " +
+        "edges AS (SELECT vec_a AS u, vec_b AS v FROM prs " +
+        "UNION SELECT vec_b, vec_a FROM prs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "roots AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS root FROM reach GROUP BY u), " +
+        "sq AS (SELECT vec_id, cell, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM assigned), " +
+        "sqd AS (SELECT vec_id, cell, i, q[i] AS v FROM sq " +
+        "CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd), " +
+        "scsum AS (SELECT cell, i, CAST(SUM(v) AS BIGINT) AS sv " +
+        "FROM sqd GROUP BY cell, i), " +
+        "sido AS (SELECT d.vec_id, CAST(SUM(d.v * s.sv) AS BIGINT) AS idot " +
+        "FROM sqd d JOIN scsum s ON d.cell = s.cell AND d.i = s.i " +
+        "GROUP BY d.vec_id), " +
+        "ssc AS (SELECT i.vec_id, r.root, CAST(i.idot AS DOUBLE) / n.nrm AS score " +
+        "FROM sido i JOIN roots r ON i.vec_id = r.vec_id " +
+        "JOIN norms n ON i.vec_id = n.vec_id), " +
+        "srk AS (SELECT vec_id, root, " +
+        "row_number() OVER (PARTITION BY root ORDER BY score, vec_id) AS rn, " +
+        "CAST(COUNT(*) OVER (PARTITION BY root) AS BIGINT) AS cluster_size, " +
+        "first_value(vec_id) OVER (PARTITION BY root ORDER BY score, vec_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept_id " +
+        "FROM ssc) " +
+        "SELECT vec_id, kept_id, cluster_size FROM srk WHERE rn > 1"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.semDedup(t.embeddings, "vec_id", "embedding",
+      threshold = 0.4, k = ivfAutoK(t))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -5968,6 +6119,7 @@ object TrainingData {
     x131, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141, x142,
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
-    x166, x167, x168, x169, x170, x171, x172, x173, x174, x175
+    x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
+    x178
   )
 }

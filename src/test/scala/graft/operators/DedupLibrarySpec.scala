@@ -721,4 +721,38 @@ class DedupLibrarySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(spans === Set((1L, 0L, 7L), (2L, 0L, 7L)))
   }
+
+  test("semDedup keeps the member farthest from the cell center, drops the rest") {
+    import spark.implicits._
+    // 16 axis vectors seed 16 well-separated cells; 16/17 are tilted
+    // copies of vector 0, so cell 0 holds the cluster {0, 16, 17}.
+    // 17 is the most off-axis member (farthest from the cell's
+    // density center) → SemDeDup keeps it and drops 0 and 16.
+    def axis(i: Int): Array[Float] = {
+      val v = Array.fill(64)(0f); v(i) = 1f; v
+    }
+    val base = (0 until 16).map(i => (i.toLong, axis(i)))
+    val tilt16 = { val v = Array.fill(64)(0f); v(0) = 0.9f; v(1) = 0.1f; v }
+    val tilt17 = { val v = Array.fill(64)(0f); v(0) = 0.7f; v(1) = 0.3f; v }
+    val df = (base ++ Seq((16L, tilt16), (17L, tilt17)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", threshold = 0.4, k = 16)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 17L, 3L), (16L, 17L, 3L)))
+  }
+
+  test("x178 semDedup accounting: every cluster keeps exactly one, keeper never dropped") {
+    val out = graft.SparkEntry.queries("x178_semdedup")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val droppedIds = out.map(_._1).toSet
+    out.groupBy(_._2).foreach { case (kept, rows) =>
+      assert(!droppedIds.contains(kept), s"keeper $kept also dropped")
+      val size = rows.head._3
+      assert(rows.forall(_._3 == size))
+      assert(rows.length == size - 1,
+        s"cluster of $kept: ${rows.length} dropped, size $size")
+    }
+  }
 }
