@@ -1264,6 +1264,23 @@ object Corpus {
       .groupBy(col("w"))
       .agg(count(lit(1)).as("wtok"))
 
+  /** Apply an ORDERED trained merge list to arbitrary documents — the
+    * BPE serving path. The tokenizer ARTIFACT is the merge table (not
+    * a closed vocabulary), so novel words segment correctly: symbols
+    * are built for the batch's own vocab and the merges replay in
+    * training order, exactly what reference BPE encoders do. Each
+    * merge step is localCheckpointed (rounds-many bounded jobs per
+    * call — the train loop's own discipline) so the plan stays shallow
+    * instead of stacking rounds × window-chains for Catalyst to
+    * re-analyze. Returns the [[bpeFertility]] frame. */
+  def bpeApplyMerges(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val syms = merges.foldLeft(bpeVocabSymbols(df, idCol, textCol)) {
+      case (s, (a, b)) => bpeMergeStep(s, a, b).localCheckpoint(true)
+    }
+    bpeFertility(df, idCol, textCol, syms)
+  }
+
   /** Per-document fertility under a trained BPE segmentation: join the
     * corpus word stream against the vocab-sized tokens-per-word table
     * (broadcast — it is the vocabulary, not the corpus) and aggregate
