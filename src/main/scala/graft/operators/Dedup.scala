@@ -1992,9 +1992,26 @@ object Dedup {
     * so dot ≤ dims·10¹²·cellsize — safe below ~10⁵ members/cell at 64
     * dims; the auto-k = ⌊√n⌋ policy keeps cells far under that. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, k: Int = 16): DataFrame = {
+      threshold: Double, k: Int = 16): DataFrame =
+    semDedupFromAssigned(ivfAssign(df, idCol, vecCol, k), idCol, threshold)
+
+  /** [[semDedup]] on the two-level routed assignment
+    * ([[ivfAssignTwoLevel]]) — the registered SCALE path: the flat
+    * variant's n·k centroid scan is the Θ(n^1.5) term the round-10
+    * three-point curve measured super-linear in the 10→30× segment
+    * (x178 re-measured it at exp 1.89 on 1→3×), while coarse→fine
+    * routing pays n·(kc + k/kc). Same candidate rule, CC, and
+    * keep-policy; cells differ only by the routing approximation,
+    * which the x148-family recall pins already bound. */
+  def semDedupTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int, kc: Int): DataFrame =
+    semDedupFromAssigned(
+      ivfAssignTwoLevel(df, idCol, vecCol, k, kc), idCol, threshold)
+
+  private def semDedupFromAssigned(assignedRaw: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssign(df, idCol, vecCol, k)
+    val assigned = assignedRaw
       .withColumn("qv", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
       .localCheckpoint(true)

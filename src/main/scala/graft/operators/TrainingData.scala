@@ -6059,6 +6059,42 @@ object TrainingData {
     * dropped member with its kept representative. The oracle replays
     * the deterministic seed-centroid assignment, the recursive-CTE
     * closure, and the quantized cell sums end-to-end. */
+  /** The SemDeDup tail over any `(vec_id, embedding, nrm, cell)`
+    * assignment CTE named `asg`: within-cell cosine ≥ 0.4 pairs →
+    * recursive-CTE closure → quantized cell sums → keep-farthest
+    * ranking. Shared by the flat (x178) and two-level (x179) oracles. */
+  private def duckSemDedupTail(asg: String): String = {
+    def cos(a: String, an: String, b: String, bn: String) =
+      s"${duckDot(a, b)} / ($an * $bn)"
+    s"prs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+      s"FROM $asg a JOIN $asg b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      s"WHERE ${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= 0.4), " +
+      "edges AS (SELECT vec_a AS u, vec_b AS v FROM prs " +
+      "UNION SELECT vec_b, vec_a FROM prs), " +
+      "reach(u, v) AS (SELECT u, v FROM edges " +
+      "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+      "roots AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS root FROM reach GROUP BY u), " +
+      "sq AS (SELECT vec_id, cell, list_transform(embedding, " +
+      s"x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM $asg), " +
+      "sqd AS (SELECT vec_id, cell, i, q[i] AS v FROM sq " +
+      "CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd), " +
+      "scsum AS (SELECT cell, i, CAST(SUM(v) AS BIGINT) AS sv " +
+      "FROM sqd GROUP BY cell, i), " +
+      "sido AS (SELECT d.vec_id, CAST(SUM(d.v * s.sv) AS BIGINT) AS idot " +
+      "FROM sqd d JOIN scsum s ON d.cell = s.cell AND d.i = s.i " +
+      "GROUP BY d.vec_id), " +
+      "ssc AS (SELECT i.vec_id, r.root, CAST(i.idot AS DOUBLE) / n.nrm AS score " +
+      "FROM sido i JOIN roots r ON i.vec_id = r.vec_id " +
+      "JOIN norms n ON i.vec_id = n.vec_id), " +
+      "srk AS (SELECT vec_id, root, " +
+      "row_number() OVER (PARTITION BY root ORDER BY score, vec_id) AS rn, " +
+      "CAST(COUNT(*) OVER (PARTITION BY root) AS BIGINT) AS cluster_size, " +
+      "first_value(vec_id) OVER (PARTITION BY root ORDER BY score, vec_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept_id " +
+      "FROM ssc) " +
+      "SELECT vec_id, kept_id, cluster_size FROM srk WHERE rn > 1"
+  }
+
   val x178 = Q(
     "x178_semdedup",
     Some {
@@ -6072,38 +6108,30 @@ object TrainingData {
         s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
         s"${cos("n.embedding", "n.nrm", "c.ce", "c.cn")} DESC, c.cent_id) AS rn " +
         "FROM norms n CROSS JOIN cents c) WHERE rn = 1), " +
-        "prs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b " +
-        "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
-        s"WHERE ${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= 0.4), " +
-        "edges AS (SELECT vec_a AS u, vec_b AS v FROM prs " +
-        "UNION SELECT vec_b, vec_a FROM prs), " +
-        "reach(u, v) AS (SELECT u, v FROM edges " +
-        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
-        "roots AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS root FROM reach GROUP BY u), " +
-        "sq AS (SELECT vec_id, cell, list_transform(embedding, " +
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM assigned), " +
-        "sqd AS (SELECT vec_id, cell, i, q[i] AS v FROM sq " +
-        "CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd), " +
-        "scsum AS (SELECT cell, i, CAST(SUM(v) AS BIGINT) AS sv " +
-        "FROM sqd GROUP BY cell, i), " +
-        "sido AS (SELECT d.vec_id, CAST(SUM(d.v * s.sv) AS BIGINT) AS idot " +
-        "FROM sqd d JOIN scsum s ON d.cell = s.cell AND d.i = s.i " +
-        "GROUP BY d.vec_id), " +
-        "ssc AS (SELECT i.vec_id, r.root, CAST(i.idot AS DOUBLE) / n.nrm AS score " +
-        "FROM sido i JOIN roots r ON i.vec_id = r.vec_id " +
-        "JOIN norms n ON i.vec_id = n.vec_id), " +
-        "srk AS (SELECT vec_id, root, " +
-        "row_number() OVER (PARTITION BY root ORDER BY score, vec_id) AS rn, " +
-        "CAST(COUNT(*) OVER (PARTITION BY root) AS BIGINT) AS cluster_size, " +
-        "first_value(vec_id) OVER (PARTITION BY root ORDER BY score, vec_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept_id " +
-        "FROM ssc) " +
-        "SELECT vec_id, kept_id, cluster_size FROM srk WHERE rn > 1"
+        duckSemDedupTail("assigned")
     }
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     Dedup.semDedup(t.embeddings, "vec_id", "embedding",
       threshold = 0.4, k = ivfAutoK(t))
+  }
+
+  /** SemDeDup on the two-level routed assignment
+    * ([[Dedup.semDedupTwoLevel]]) — the registered scale path: x178's
+    * flat n·k assignment re-measured super-linear on the 1→3× segment
+    * (exp 1.89, the Θ(n^1.5) flat-assignment law), so the serving
+    * variant routes coarse→fine exactly as the x148/x153/x158 family
+    * does, same candidate rule, closure, and keep-policy. */
+  val x179 = Q(
+    "x179_semdedup_2l",
+    Some(
+      s"WITH RECURSIVE ${duckIvfListCtes(nprobe = 2, topK = 3)}, " +
+        duckSemDedupTail("iassigned")
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    Dedup.semDedupTwoLevel(t.embeddings, "vec_id", "embedding",
+      threshold = 0.4, k = ivfAutoK(t), kc = ivfAutoKc(t))
   }
 
   val all: Seq[Q] = Seq(
@@ -6120,6 +6148,6 @@ object TrainingData {
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
-    x178
+    x178, x179
   )
 }

@@ -742,17 +742,19 @@ class DedupLibrarySpec extends AnyFunSuite {
     assert(out.toSeq === Seq((0L, 17L, 3L), (16L, 17L, 3L)))
   }
 
-  test("x178 semDedup accounting: every cluster keeps exactly one, keeper never dropped") {
-    val out = graft.SparkEntry.queries("x178_semdedup")(spark, "/root/testdata/sf0.01")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(out.nonEmpty)
-    val droppedIds = out.map(_._1).toSet
-    out.groupBy(_._2).foreach { case (kept, rows) =>
-      assert(!droppedIds.contains(kept), s"keeper $kept also dropped")
-      val size = rows.head._3
-      assert(rows.forall(_._3 == size))
-      assert(rows.length == size - 1,
-        s"cluster of $kept: ${rows.length} dropped, size $size")
+  test("x178/x179 semDedup accounting: every cluster keeps exactly one, keeper never dropped") {
+    for (q <- Seq("x178_semdedup", "x179_semdedup_2l")) {
+      val out = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.nonEmpty, q)
+      val droppedIds = out.map(_._1).toSet
+      out.groupBy(_._2).foreach { case (kept, rows) =>
+        assert(!droppedIds.contains(kept), s"$q: keeper $kept also dropped")
+        val size = rows.head._3
+        assert(rows.forall(_._3 == size))
+        assert(rows.length == size - 1,
+          s"$q: cluster of $kept: ${rows.length} dropped, size $size")
+      }
     }
   }
 }
