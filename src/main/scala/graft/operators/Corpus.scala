@@ -1152,6 +1152,39 @@ object Corpus {
       .agg(min(coalesce(col("total"), lit(0L))).as("est_cnt"))
   }
 
+  /** Phrase-blocklist gate — the multi-word wordlist filter standard
+    * curation pipelines run ahead of model gates (x28 filters single
+    * stopwords; real blocklists carry PHRASES). The blocklist is a
+    * static artifact: grouped by word length, each length's phrases
+    * broadcast against one n-gram pass over the corpus at that length —
+    * passes = distinct phrase lengths (1-3 in practice), the corpus
+    * never shuffles on the gram key. Every document gets a verdict row
+    * (left join): (id, n_matches = total occurrences, n_phrases =
+    * distinct blocklist phrases hit, kept = no match). The match frame
+    * is tiny (hits only), so its count+distinct Expand is harmless —
+    * the repetitionSignals caveat doesn't bite here. */
+  def blocklistGate(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val matches = phrases.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
+      .map { case (n, ps) =>
+        df.select(col(idCol), split(col(textCol), " ").as("w"))
+          .select(col(idCol), explode(Text.wordNgrams("w", n)).as("phrase"))
+          .join(broadcast(ps.toDF("phrase")), "phrase")
+          .select(col(idCol), col("phrase"))
+      }.reduce(_ unionAll _)
+    val agg = matches.groupBy(col(idCol))
+      .agg(count(lit(1)).as("m"), countDistinct(col("phrase")).as("p"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("m"), lit(0L)).as("n_matches"),
+        coalesce(col("p"), lit(0L)).as("n_phrases"),
+        (coalesce(col("m"), lit(0L)) === 0L).as("kept"))
+  }
+
   // ── BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909) ──
 
   /** The BPE working frame: the corpus WORD VOCABULARY exploded to

@@ -6134,6 +6134,47 @@ object TrainingData {
       threshold = 0.4, k = ivfAutoK(t), kc = ivfAutoKc(t))
   }
 
+  /** The static phrase blocklist x180 gates on — multi-word phrases of
+    * mixed lengths, the shape real wordlist artifacts have. */
+  private val blockPhrases =
+    Seq("slow scan", "fast table", "big vector", "key agg row",
+      "scan slow fast")
+
+  /** Phrase-blocklist gate ([[Corpus.blocklistGate]]) — the multi-word
+    * wordlist filter standard curation stacks run ahead of the model
+    * gates (x28 covers single stopwords only; production blocklists
+    * carry phrases). One broadcast n-gram join per distinct phrase
+    * length; every document gets a verdict row, so gate accounting is
+    * total. Exact integer counts → hash oracle. */
+  val x180 = Q(
+    "x180_blocklist_gate",
+    Some {
+      val byLen = blockPhrases.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
+      val gramCtes = byLen.map { case (n, _) =>
+        s"bg$n AS (SELECT doc_id, unnest(list_transform(" +
+          s"range(1, greatest(len(w) - ${n - 2}, 1)), " +
+          s"i -> array_to_string(w[i : i + ${n - 1}], ' '))) AS phrase FROM bdw)"
+      }.mkString(", ")
+      val unioned = byLen.map { case (n, _) => s"SELECT * FROM bg$n" }
+        .mkString(" UNION ALL ")
+      val list = blockPhrases.map(p => s"('$p')").mkString(", ")
+      s"WITH bbl AS (SELECT * FROM (VALUES $list) t(phrase)), " +
+        "bdw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        s"$gramCtes, " +
+        s"bms AS (SELECT g.doc_id, g.phrase FROM ($unioned) g " +
+        "JOIN bbl b ON g.phrase = b.phrase), " +
+        "bagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, " +
+        "CAST(COUNT(DISTINCT phrase) AS BIGINT) AS n_phrases " +
+        "FROM bms GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(a.n_matches, 0) AS n_matches, " +
+        "COALESCE(a.n_phrases, 0) AS n_phrases, " +
+        "(COALESCE(a.n_matches, 0) = 0) AS kept " +
+        "FROM documents d LEFT JOIN bagg a ON d.doc_id = a.doc_id"
+    }
+  ) { t =>
+    Corpus.blocklistGate(t.documents, "doc_id", "text", blockPhrases)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -6148,6 +6189,6 @@ object TrainingData {
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
-    x178, x179
+    x178, x179, x180
   )
 }

@@ -343,4 +343,29 @@ class CurationSpec extends AnyFunSuite {
     // zero shuffles: pure per-row projection at any corpus size
     assert(!plan("x57_embedding_quantize").contains("Exchange"))
   }
+
+  test("x180 blocklist gate: phrase matches at any offset, overlaps counted, totality") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox"),           // 'quick brown' mid-doc
+      (2L, "quick brown quick brown end"),   // two occurrences, one phrase
+      (3L, "entirely clean document here"),  // no match → kept
+      (4L, "bad bad bad")                    // unigram 'bad' ×3
+    ).toDF("doc_id", "text")
+    val out = Corpus.blocklistGate(df, "doc_id", "text",
+      Seq("quick brown", "bad"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, false),
+      (2L, 2L, 1L, false),
+      (3L, 0L, 0L, true),
+      (4L, 3L, 1L, false)))
+  }
+
+  test("x180 blocklist joins are broadcast (corpus side never shuffles on the gram key)") {
+    val p = plan("x180_blocklist_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
