@@ -6049,6 +6049,27 @@ object TrainingData {
     Corpus.bpeFertility(t.documents, "doc_id", "text", finalSyms)
   }
 
+  /** The trained tokenizer's VOCAB artifact — the symbol inventory
+    * after x176's merges, the second file a tokenizer release ships
+    * next to the merge table: per final symbol, the number of word
+    * TYPES carrying it and its total corpus occurrences (type count ×
+    * word frequency). One aggregate over the vocab-sized final symbol
+    * table; exact integers. */
+  val x181 = Q(
+    "x181_bpe_vocab",
+    Some(
+      s"WITH ${duckBpeCtes(8)} " +
+        "SELECT sym, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types, " +
+        "CAST(SUM(cnt) AS BIGINT) AS n_occurrences " +
+        "FROM bs8 GROUP BY sym"
+    )
+  ) { t =>
+    val (_, finalSyms) = Corpus.bpeTrain(t.documents, "doc_id", "text", 8)
+    finalSyms.groupBy(col("sym"))
+      .agg(countDistinct(col("w")).as("n_types"),
+        sum(col("cnt")).as("n_occurrences"))
+  }
+
   /** SemDeDup ([[Dedup.semDedup]] — Abbas et al. 2023): semantic
     * dedup by keep-policy over the x143/x64 cosine near-dup clusters.
     * Within each connected component of the ≥ 0.4 cosine graph
@@ -6189,6 +6210,6 @@ object TrainingData {
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
-    x178, x179, x180
+    x178, x179, x180, x181
   )
 }

@@ -87,6 +87,19 @@ class BpeSpec extends AnyFunSuite {
       (3L, 3L, 12L, 40000L))) // 3×widest → 12
   }
 
+  test("vocab artifact: symbol inventory with type and occurrence counts") {
+    // after 5 merges: low=[low,</w>] lower=[low,e,r,</w>]
+    // newest=[n,e,w,est</w>] widest=[w,i,d,est</w>]
+    val (_, syms) = Corpus.bpeTrain(sennrich, "doc_id", "text", 5)
+    val vocab = syms.groupBy(col("sym"))
+      .agg(countDistinct(col("w")).as("t"), sum(col("cnt")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(vocab === Map(
+      "low" -> ((2L, 7L)), "</w>" -> ((2L, 7L)), "e" -> ((2L, 8L)),
+      "r" -> ((1L, 2L)), "n" -> ((1L, 6L)), "w" -> ((2L, 9L)),
+      "est</w>" -> ((2L, 9L)), "i" -> ((1L, 3L)), "d" -> ((1L, 3L))))
+  }
+
   test("training stops early when no adjacent pair remains") {
     val df = Seq((0L, "a a a")).toDF("doc_id", "text")
     // vocab = {a:3} → symbols [a, </w>]: round 1 merges (a,</w>);
