@@ -2052,6 +2052,58 @@ object Dedup {
       .select(col(idCol), col("kept_id"), col("cluster_size"))
   }
 
+  /** Residual vector quantization (RVQ — Juang & Gray 1982; the
+    * additive-codebook rung of the FAISS quantizer family next to
+    * PQ/OPQ/SQ8/BQ): stage 1 assigns each vector to its nearest
+    * full-dimension seed centroid (ids < ks, the pqCodebook/x39
+    * convention), stage 2 quantizes the RESIDUAL against a second
+    * codebook — the residuals of vectors ks ≤ id < 2·ks under their own
+    * stage-1 assignment, the same deterministic seeding one rung up.
+    * Reconstruction = c1[code1] + c2[code2]; storage is 2·log₂ks bits
+    * (8 bits at ks=16 — 256× under raw floats) and the code is ADDITIVE,
+    * so unlike PQ the two stages refine the SAME dimensions rather than
+    * partitioning them. Everything runs on the ⌊x·10⁶⌋ integer grid:
+    * distances ≤ 64·(4·10⁶)² < 2⁶³, so argmins (ties to the smaller
+    * centroid id) are bit-reproducible and the oracle replays the full
+    * two-stage chain. Output: (id, code1, code2, err2 = exact squared
+    * quantization error after both stages).
+    *
+    * Scale shape: two broadcast joins of ks-row codebooks against the
+    * corpus (n·ks codegen'd array rows each), two map-side-combined
+    * min_by argmins — linear, no shuffle wider than n rows. Exact
+    * per-seed pins: ids < ks carry zero stage-1 residual; codebook-2
+    * donors (ks ≤ id < 2·ks) encode their own residual, so err2 = 0
+    * and code2 = own id (PqSpec). */
+  def rvqEncode(df: DataFrame, idCol: String, vecCol: String,
+      ks: Int = 16): DataFrame = {
+    val q = df.select(col(idCol),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .as("q"))
+    val c1 = q.filter(col(idCol) < ks)
+      .select(col(idCol).cast("long").as("c1_id"), col("q").as("c1"))
+    val best1 = q.crossJoin(broadcast(c1))
+      .select(col(idCol), col("c1_id"), col("c1"),
+        expr("aggregate(zip_with(q, c1, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (a, v) -> a + v)").as("d"))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("c1_id"), col("c1")),
+        struct(col("d"), col("c1_id"))).as("b1"))
+      .select(col(idCol), col("b1.c1_id").as("code1"), col("b1.c1").as("cv1"))
+    val resid = q.join(best1, Seq(idCol))
+      .select(col(idCol), col("code1"),
+        expr("zip_with(q, cv1, (x, y) -> x - y)").as("res"))
+    val c2 = resid.filter(col(idCol) >= ks && col(idCol) < 2L * ks)
+      .select(col(idCol).cast("long").as("c2_id"), col("res").as("c2"))
+    resid.crossJoin(broadcast(c2))
+      .select(col(idCol), col("code1"), col("c2_id"),
+        expr("aggregate(zip_with(res, c2, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (a, v) -> a + v)").as("d"))
+      .groupBy(col(idCol), col("code1"))
+      .agg(min(struct(col("d"), col("c2_id"))).as("b2"))
+      .select(col(idCol), col("code1"), col("b2.c2_id").as("code2"),
+        col("b2.d").as("err2"))
+  }
+
   /** Two-level (coarse → fine) deterministic IVF assignment — the cut
     * past SCALE.md's measured a·n·k + b·n²/k law: flat assignment pays
     * n·k centroid cosines, which at the law's optimum k ∝ √n makes the

@@ -6358,6 +6358,45 @@ object TrainingData {
     out
   }
 
+  /** Residual vector quantization codes ([[Dedup.rvqEncode]] — the
+    * additive-codebook rung completing the quantizer family next to
+    * PQ/OPQ/SQ8/BQ): stage-1 nearest seed centroid, stage-2 residual
+    * against the deterministic residual codebook, 2·log₂16 = 8 bits per
+    * vector. Full chain on the integer grid, so codes AND the exact
+    * squared error replay in the oracle; PqSpec pins the per-seed exact
+    * properties (zero residual for seeds, err2 = 0 for codebook-2
+    * donors). */
+  val x184 = Q(
+    "x184_rvq_codes",
+    Some(
+      "WITH rq AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q " +
+        "FROM embeddings), " +
+        "rc1 AS (SELECT vec_id AS c1_id, q AS c1 FROM rq WHERE vec_id < 16), " +
+        "ra1 AS (SELECT r.vec_id, c.c1_id, c.c1, " +
+        "CAST(list_sum(list_transform(range(1, 65), " +
+        "i -> (r.q[i] - c.c1[i]) * (r.q[i] - c.c1[i]))) AS BIGINT) AS d " +
+        "FROM rq r CROSS JOIN rc1 c), " +
+        "rb1 AS (SELECT vec_id, c1_id AS code1, c1 AS cv1 FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY d, c1_id) AS rn FROM ra1) t WHERE rn = 1), " +
+        "rres AS (SELECT r.vec_id, b.code1, " +
+        "list_transform(range(1, 65), i -> r.q[i] - b.cv1[i]) AS res " +
+        "FROM rq r JOIN rb1 b ON r.vec_id = b.vec_id), " +
+        "rc2 AS (SELECT vec_id AS c2_id, res AS c2 FROM rres " +
+        "WHERE vec_id >= 16 AND vec_id < 32), " +
+        "ra2 AS (SELECT r.vec_id, r.code1, c.c2_id, " +
+        "CAST(list_sum(list_transform(range(1, 65), " +
+        "i -> (r.res[i] - c.c2[i]) * (r.res[i] - c.c2[i]))) AS BIGINT) AS d " +
+        "FROM rres r CROSS JOIN rc2 c) " +
+        "SELECT vec_id, code1, c2_id AS code2, d AS err2 FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY d, c2_id) AS rn FROM ra2) t WHERE rn = 1"
+    )
+  ) { t =>
+    Dedup.rvqEncode(t.embeddings, "vec_id", "embedding")
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -6372,6 +6411,6 @@ object TrainingData {
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
-    x178, x179, x180, x181, x182, x183
+    x178, x179, x180, x181, x182, x183, x184
   )
 }

@@ -244,4 +244,27 @@ class PqSpec extends AnyFunSuite {
     assert(rOpq >= rRaw,
       f"OPQ rotation must not lose recall on the skewed layout: $rOpq%.3f vs $rRaw%.3f")
   }
+
+  test("RVQ per-seed exact properties and totality") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val out = Dedup.rvqEncode(emb, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // totality: one code row per vector
+    assert(out.length === emb.count())
+    assert(out.map(_._1).distinct.length === out.length)
+    val byId = out.map(r => r._1 -> r).toMap
+    // stage-1 seeds encode themselves: code1 = own id (zero residual)
+    (0L until 16L).foreach { id =>
+      assert(byId(id)._2 === id, s"seed $id code1=${byId(id)._2}")
+    }
+    // codebook-2 donors encode their own residual exactly: err2 = 0,
+    // code2 = own id
+    (16L until 32L).foreach { id =>
+      assert(byId(id)._3 === id, s"donor $id code2=${byId(id)._3}")
+      assert(byId(id)._4 === 0L, s"donor $id err2=${byId(id)._4}")
+    }
+    // exact errors are non-negative integers on the quantized grid
+    assert(out.forall(_._4 >= 0L))
+  }
 }
