@@ -2075,7 +2075,17 @@ object Dedup {
     * donors (ks ≤ id < 2·ks) encode their own residual, so err2 = 0
     * and code2 = own id (PqSpec). */
   def rvqEncode(df: DataFrame, idCol: String, vecCol: String,
-      ks: Int = 16): DataFrame = {
+      ks: Int = 16): DataFrame =
+    rvqIndex(df, idCol, vecCol, ks)._1
+
+  /** The shared RVQ build: (codes, recon) where `recon` enumerates all
+    * ks² additive reconstructions (code1, code2, rv = c1 + c2) — the
+    * whole decode table is ks² rows (256 at the default), the lookup
+    * economics that make additive codes servable: a scan of the 8-bit
+    * code registry plus one broadcast of the tiny recon table recovers
+    * approximate vectors with no float math. */
+  def rvqIndex(df: DataFrame, idCol: String, vecCol: String,
+      ks: Int = 16): (DataFrame, DataFrame) = {
     val q = df.select(col(idCol),
       expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
         .as("q"))
@@ -2094,7 +2104,7 @@ object Dedup {
         expr("zip_with(q, cv1, (x, y) -> x - y)").as("res"))
     val c2 = resid.filter(col(idCol) >= ks && col(idCol) < 2L * ks)
       .select(col(idCol).cast("long").as("c2_id"), col("res").as("c2"))
-    resid.crossJoin(broadcast(c2))
+    val codes = resid.crossJoin(broadcast(c2))
       .select(col(idCol), col("code1"), col("c2_id"),
         expr("aggregate(zip_with(res, c2, (x, y) -> (x - y) * (x - y)), " +
           "0L, (a, v) -> a + v)").as("d"))
@@ -2102,6 +2112,37 @@ object Dedup {
       .agg(min(struct(col("d"), col("c2_id"))).as("b2"))
       .select(col(idCol), col("code1"), col("b2.c2_id").as("code2"),
         col("b2.d").as("err2"))
+    val recon = c1.crossJoin(c2)
+      .select(col("c1_id").as("code1"), col("c2_id").as("code2"),
+        expr("zip_with(c1, c2, (x, y) -> x + y)").as("rv"))
+    (codes, recon)
+  }
+
+  /** RVQ asymmetric top-k — the serving tier over [[rvqEncode]]'s
+    * codes, completing the rung to parity with its siblings (PQ ADC
+    * x149, SQ8 x160, BQ x169): each query scans the 8-bit code
+    * registry, decodes neighbors through the broadcast ks² recon table
+    * (integer adds only), and ranks by exact integer squared distance
+    * on the quantized grid, ties to the smaller neighbor id. Per-query
+    * work is one registry scan — n·|queries| narrow codegen rows, the
+    * broadcast frames are ks² and |queries| rows. */
+  def rvqSearch(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, topK: Int = 5,
+      ks: Int = 16): DataFrame = {
+    val (codes, recon) = rvqIndex(df, idCol, vecCol, ks)
+    val queries = df.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("qv"))
+    val scored = codes.join(broadcast(recon), Seq("code1", "code2"))
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        expr("aggregate(zip_with(qv, rv, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (a, v) -> a + v)").as("adc_dist"))
+    Ranks.topKPerGroup(scored, Seq("query_id"),
+      Seq(("adc_dist", true), ("neighbor_id", true)), topK)
+      .select("query_id", "neighbor_id", "adc_dist")
   }
 
   /** Two-level (coarse → fine) deterministic IVF assignment — the cut

@@ -6366,35 +6366,70 @@ object TrainingData {
     * squared error replay in the oracle; PqSpec pins the per-seed exact
     * properties (zero residual for seeds, err2 = 0 for codebook-2
     * donors). */
+  /** The x184 two-stage chain up to the code table — CTEs `rq` (grid
+    * vectors), `rc1`/`rc2` (both codebooks), `rvqcodes` (vec_id, code1,
+    * code2, err2). Shared by x184 and the x185 serving twin. */
+  private def duckRvqCtes: String =
+    "rq AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q " +
+      "FROM embeddings), " +
+      "rc1 AS MATERIALIZED (SELECT vec_id AS c1_id, q AS c1 FROM rq WHERE vec_id < 16), " +
+      "ra1 AS (SELECT r.vec_id, c.c1_id, c.c1, " +
+      "CAST(list_sum(list_transform(range(1, 65), " +
+      "i -> (r.q[i] - c.c1[i]) * (r.q[i] - c.c1[i]))) AS BIGINT) AS d " +
+      "FROM rq r CROSS JOIN rc1 c), " +
+      "rb1 AS (SELECT vec_id, c1_id AS code1, c1 AS cv1 FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY d, c1_id) AS rn FROM ra1) t WHERE rn = 1), " +
+      "rres AS MATERIALIZED (SELECT r.vec_id, b.code1, " +
+      "list_transform(range(1, 65), i -> r.q[i] - b.cv1[i]) AS res " +
+      "FROM rq r JOIN rb1 b ON r.vec_id = b.vec_id), " +
+      "rc2 AS MATERIALIZED (SELECT vec_id AS c2_id, res AS c2 FROM rres " +
+      "WHERE vec_id >= 16 AND vec_id < 32), " +
+      "ra2 AS (SELECT r.vec_id, r.code1, c.c2_id, " +
+      "CAST(list_sum(list_transform(range(1, 65), " +
+      "i -> (r.res[i] - c.c2[i]) * (r.res[i] - c.c2[i]))) AS BIGINT) AS d " +
+      "FROM rres r CROSS JOIN rc2 c), " +
+      "rvqcodes AS (SELECT vec_id, code1, c2_id AS code2, d AS err2 FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY d, c2_id) AS rn FROM ra2) t WHERE rn = 1)"
+
   val x184 = Q(
     "x184_rvq_codes",
     Some(
-      "WITH rq AS (SELECT vec_id, list_transform(embedding, " +
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q " +
-        "FROM embeddings), " +
-        "rc1 AS (SELECT vec_id AS c1_id, q AS c1 FROM rq WHERE vec_id < 16), " +
-        "ra1 AS (SELECT r.vec_id, c.c1_id, c.c1, " +
-        "CAST(list_sum(list_transform(range(1, 65), " +
-        "i -> (r.q[i] - c.c1[i]) * (r.q[i] - c.c1[i]))) AS BIGINT) AS d " +
-        "FROM rq r CROSS JOIN rc1 c), " +
-        "rb1 AS (SELECT vec_id, c1_id AS code1, c1 AS cv1 FROM (" +
-        "SELECT *, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY d, c1_id) AS rn FROM ra1) t WHERE rn = 1), " +
-        "rres AS (SELECT r.vec_id, b.code1, " +
-        "list_transform(range(1, 65), i -> r.q[i] - b.cv1[i]) AS res " +
-        "FROM rq r JOIN rb1 b ON r.vec_id = b.vec_id), " +
-        "rc2 AS (SELECT vec_id AS c2_id, res AS c2 FROM rres " +
-        "WHERE vec_id >= 16 AND vec_id < 32), " +
-        "ra2 AS (SELECT r.vec_id, r.code1, c.c2_id, " +
-        "CAST(list_sum(list_transform(range(1, 65), " +
-        "i -> (r.res[i] - c.c2[i]) * (r.res[i] - c.c2[i]))) AS BIGINT) AS d " +
-        "FROM rres r CROSS JOIN rc2 c) " +
-        "SELECT vec_id, code1, c2_id AS code2, d AS err2 FROM (" +
-        "SELECT *, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY d, c2_id) AS rn FROM ra2) t WHERE rn = 1"
+      s"WITH $duckRvqCtes SELECT vec_id, code1, code2, err2 FROM rvqcodes"
     )
   ) { t =>
     Dedup.rvqEncode(t.embeddings, "vec_id", "embedding")
+  }
+
+  /** RVQ asymmetric top-k ([[Dedup.rvqSearch]]) — the serving tier
+    * over x184's 8-bit codes, at rung parity with PQ ADC (x149), SQ8
+    * (x160), and BQ (x169): neighbors decode through the ks² = 256-row
+    * additive recon table (integer adds only) and rank by exact
+    * integer squared distance to the query's grid vector, ties to the
+    * smaller neighbor id. */
+  val x185 = Q(
+    "x185_rvq_topk",
+    Some(
+      s"WITH $duckRvqCtes, " +
+        "rrec AS (SELECT a.c1_id AS code1, b.c2_id AS code2, " +
+        "list_transform(range(1, 65), i -> a.c1[i] + b.c2[i]) AS rv " +
+        "FROM rc1 a CROSS JOIN rc2 b), " +
+        "rqq AS (SELECT vec_id AS query_id, q FROM rq WHERE vec_id < 10), " +
+        "rsd AS (SELECT t.query_id, n.vec_id AS neighbor_id, " +
+        "CAST(list_sum(list_transform(range(1, 65), " +
+        "i -> (t.q[i] - r.rv[i]) * (t.q[i] - r.rv[i]))) AS BIGINT) AS adc_dist " +
+        "FROM rvqcodes n JOIN rrec r ON n.code1 = r.code1 AND n.code2 = r.code2 " +
+        "CROSS JOIN rqq t WHERE n.vec_id <> t.query_id) " +
+        "SELECT query_id, neighbor_id, adc_dist FROM (" +
+        "SELECT query_id, neighbor_id, adc_dist, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY adc_dist, neighbor_id) AS rn FROM rsd) t WHERE rn <= 5"
+    )
+  ) { t =>
+    Dedup.rvqSearch(t.embeddings, "vec_id", "embedding",
+      col("vec_id") < 10, topK = 5)
   }
 
   val all: Seq[Q] = Seq(
@@ -6411,6 +6446,6 @@ object TrainingData {
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
-    x178, x179, x180, x181, x182, x183, x184
+    x178, x179, x180, x181, x182, x183, x184, x185
   )
 }
