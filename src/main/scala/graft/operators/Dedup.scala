@@ -125,16 +125,29 @@ object Dedup {
   private[graft] def spanGrams(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"span window must cover at least 2 tokens, got $k")
-    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol), expr(
-        s"posexplode(CASE WHEN size(split($textCol, ' ')) >= $k " +
-          s"THEN transform(sequence(0, size(split($textCol, ' ')) - $k), " +
-          s"i -> array_join(slice(split($textCol, ' '), i + 1, $k), ' ')) " +
-          "ELSE array() END)").as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        expr("poly_hash(gram)").as("h"))
+    // one rolling-hash pass per document: 8 bytes per window pre-shuffle
+    // instead of k joined tokens of text — bit-identical h values
+    // (SpanHashesUtil's scaladoc carries the identity proof; the old
+    // array_join(slice(...)) form survives in SpanHashesSpec as the
+    // equivalence oracle)
+    graft.functions.SpanHashesFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        expr(s"posexplode(span_hashes($textCol, $k))").as(Seq("pos", "h")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("h"))
       .select(col(idCol), col("pos"), col("h"),
-        (col(idCol) * lit(1048576L) + col("pos")).as("kk"))
+        // the 2²⁰ packing is the shared x139 convention (the streaming
+        // registry and the DuckDB oracles replay it), so a doc with
+        // ≥2²⁰ tokens or a negative id would SILENTLY collide keys
+        // across documents — fail loudly instead. The guard is one
+        // codegen'd branch per window; raise_error's NullType casts
+        // cleanly into the LongType arithmetic and never fires on
+        // well-formed input, so the hot path is unchanged.
+        (col(idCol) * lit(1048576L) +
+          when(col("pos") < lit(1048576L) && col(idCol) >= 0, col("pos"))
+            .otherwise(raise_error(concat(
+              lit("spanGrams packing overflow: need 0 <= id and pos < 2^20, got id="),
+              col(idCol).cast("string"), lit(" pos="),
+              col("pos").cast("string"))).cast("long"))).as("kk"))
   }
 
   /** The rewrite tail against an EXPLICIT winner table (`h`, `kmin`) —
@@ -2075,35 +2088,94 @@ object Dedup {
     * donors (ks ≤ id < 2·ks) encode their own residual, so err2 = 0
     * and code2 = own id (PqSpec). */
   def rvqEncode(df: DataFrame, idCol: String, vecCol: String,
-      ks: Int = 16): DataFrame =
-    rvqIndex(df, idCol, vecCol, ks)._1
+      ks: Int = 16, lloydIters: Int = 0): DataFrame =
+    rvqIndex(df, idCol, vecCol, ks, lloydIters)._1
 
   /** The shared RVQ build: (codes, recon) where `recon` enumerates all
     * ks² additive reconstructions (code1, code2, rv = c1 + c2) — the
     * whole decode table is ks² rows (256 at the default), the lookup
     * economics that make additive codes servable: a scan of the 8-bit
     * code registry plus one broadcast of the tiny recon table recovers
-    * approximate vectors with no float math. */
+    * approximate vectors with no float math.
+    *
+    * `lloydIters > 0` TRAINS both codebooks (residual k-means, the fit
+    * production RVQ indexes perform — Chen et al. 2010 optimize each
+    * stage's codebook on the residual distribution the previous stage
+    * leaves): stage 1 runs `lloydIters` Lloyd rounds on the grid
+    * vectors, residuals are recomputed under the TRAINED stage-1 book,
+    * and stage 2 runs its own rounds on those residuals. Each round is
+    * the x53/x155 determinism contract (exact-long cell means, one
+    * double divide, one float cast, seed-coalesced empty cells), so the
+    * trained chain is bit-reproducible and the x186 oracle replays it
+    * end to end. `lloydIters = 0` is the seed rung x184/x185 pin. */
   def rvqIndex(df: DataFrame, idCol: String, vecCol: String,
-      ks: Int = 16): (DataFrame, DataFrame) = {
+      ks: Int = 16, lloydIters: Int = 0): (DataFrame, DataFrame) = {
     val q = df.select(col(idCol),
       expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
         .as("q"))
-    val c1 = q.filter(col(idCol) < ks)
+
+    /** nearest-codebook assignment under exact integer squared distance,
+      * ties to the smaller codebook id: (id, code, cv). Shared by both
+      * stages (vectors vs residuals) and by seed and trained books. */
+    def assign(vecs: DataFrame, vc: String, book: DataFrame,
+        bid: String, bv: String): DataFrame =
+      vecs.crossJoin(broadcast(book))
+        .select(col(idCol), col(bid), col(bv),
+          expr(s"aggregate(zip_with($vc, $bv, (x, y) -> (x - y) * (x - y)), " +
+            "0L, (a, v) -> a + v)").as("d"))
+        .groupBy(col(idCol))
+        .agg(min_by(struct(col(bid), col(bv)),
+          struct(col("d"), col(bid))).as("b"))
+        .select(col(idCol), col(s"b.$bid").as("code"), col(s"b.$bv").as("cv"))
+
+    /** One Lloyd round on the ⌊·10⁶⌋ grid — the x53/x155 determinism
+      * contract verbatim: entry c's dimension p becomes the exact-long
+      * mean of the vectors assigned to c (order-independent integer
+      * sum, ONE fixed-order double divide, one float cast, requantize),
+      * empty cells keep their seed entry (coalesce) so the book never
+      * loses entries. Cost per round: one assignment scan (n·ks codegen
+      * rows), one posexplode joined on id (co-keyed), one (code, pos)
+      * aggregate whose output is ks·d rows — linear in the corpus. */
+    def refine(vecs: DataFrame, vc: String, book: DataFrame,
+        bid: String, bv: String): DataFrame = {
+      val codes = assign(vecs, vc, book, bid, bv).select(col(idCol), col("code"))
+      val means = vecs
+        .select(col(idCol), posexplode(col(vc)).as(Seq("pos", "v")))
+        .join(codes, Seq(idCol))
+        .groupBy(col("code"), col("pos"))
+        .agg((sum(col("v")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1000000.0))).as("mv"))
+      val seedDims = book
+        .select(col(bid), posexplode(col(bv)).as(Seq("pos", "sv")))
+      seedDims
+        .join(means,
+          seedDims(bid) === means("code") && seedDims("pos") === means("pos"),
+          "left")
+        .select(seedDims(bid), seedDims("pos"),
+          coalesce(
+            floor(col("mv").cast("float").cast("double") * lit(1000000.0))
+              .cast("long"),
+            col("sv")).as("cv"))
+        .groupBy(col(bid))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as(bv))
+    }
+
+    var c1 = q.filter(col(idCol) < ks)
       .select(col(idCol).cast("long").as("c1_id"), col("q").as("c1"))
-    val best1 = q.crossJoin(broadcast(c1))
-      .select(col(idCol), col("c1_id"), col("c1"),
-        expr("aggregate(zip_with(q, c1, (x, y) -> (x - y) * (x - y)), " +
-          "0L, (a, v) -> a + v)").as("d"))
-      .groupBy(col(idCol))
-      .agg(min_by(struct(col("c1_id"), col("c1")),
-        struct(col("d"), col("c1_id"))).as("b1"))
-      .select(col(idCol), col("b1.c1_id").as("code1"), col("b1.c1").as("cv1"))
+    for (_ <- 0 until lloydIters) c1 = refine(q, "q", c1, "c1_id", "c1")
+    val best1 = assign(q, "q", c1, "c1_id", "c1")
+      .select(col(idCol), col("code").as("code1"), col("cv").as("cv1"))
     val resid = q.join(best1, Seq(idCol))
       .select(col(idCol), col("code1"),
         expr("zip_with(q, cv1, (x, y) -> x - y)").as("res"))
-    val c2 = resid.filter(col(idCol) >= ks && col(idCol) < 2L * ks)
+    // stage-2 seeds are the residuals of ids ks..2ks−1 under the FINAL
+    // stage-1 book (trained or seed) — residual k-means trains stage 2
+    // on the residual distribution the trained stage 1 actually leaves
+    var c2 = resid.filter(col(idCol) >= ks && col(idCol) < 2L * ks)
       .select(col(idCol).cast("long").as("c2_id"), col("res").as("c2"))
+    for (_ <- 0 until lloydIters) c2 = refine(resid, "res", c2, "c2_id", "c2")
     val codes = resid.crossJoin(broadcast(c2))
       .select(col(idCol), col("code1"), col("c2_id"),
         expr("aggregate(zip_with(res, c2, (x, y) -> (x - y) * (x - y)), " +
@@ -2128,8 +2200,8 @@ object Dedup {
     * broadcast frames are ks² and |queries| rows. */
   def rvqSearch(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, topK: Int = 5,
-      ks: Int = 16): DataFrame = {
-    val (codes, recon) = rvqIndex(df, idCol, vecCol, ks)
+      ks: Int = 16, lloydIters: Int = 0): DataFrame = {
+    val (codes, recon) = rvqIndex(df, idCol, vecCol, ks, lloydIters)
     val queries = df.filter(queryPred)
       .select(col(idCol).as("query_id"),
         expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")

@@ -89,9 +89,14 @@ object Ranks {
         .partitionBy(keyCols.map(col): _*)
         .orderBy(orderCols.map { case (c, asc) =>
           if (asc) col(c).asc else col(c).desc }: _*)
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= k)
-        .drop("__rn")
+      // collision-free temp name: an input that already carries "__rn"
+      // must survive untouched (the heap variant preserves arbitrary
+      // schemas; this path must too)
+      val rn = Iterator.iterate("__rn")(_ + "_")
+        .dropWhile(df.columns.contains).next()
+      df.withColumn(rn, row_number().over(w))
+        .filter(col(rn) <= k)
+        .drop(rn)
     }
   }
 

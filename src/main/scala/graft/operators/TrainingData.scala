@@ -6378,7 +6378,7 @@ object TrainingData {
       "CAST(list_sum(list_transform(range(1, 65), " +
       "i -> (r.q[i] - c.c1[i]) * (r.q[i] - c.c1[i]))) AS BIGINT) AS d " +
       "FROM rq r CROSS JOIN rc1 c), " +
-      "rb1 AS (SELECT vec_id, c1_id AS code1, c1 AS cv1 FROM (" +
+      "rb1 AS MATERIALIZED (SELECT vec_id, c1_id AS code1, c1 AS cv1 FROM (" +
       "SELECT *, row_number() OVER (PARTITION BY vec_id " +
       "ORDER BY d, c1_id) AS rn FROM ra1) t WHERE rn = 1), " +
       "rres AS MATERIALIZED (SELECT r.vec_id, b.code1, " +
@@ -6409,6 +6409,75 @@ object TrainingData {
     * additive recon table (integer adds only) and rank by exact
     * integer squared distance to the query's grid vector, ties to the
     * smaller neighbor id. */
+  /** Trained-RVQ CTEs (oracle side), replicating
+    * [[Dedup.rvqIndex]]`(lloydIters = 1)` exactly on top of
+    * `duckRvqCtes`: stage-1 cell means over the SEED assignment (rb1),
+    * the x155 long→double→float→⌊·10⁶⌋ round-trip, seed-coalesced
+    * empty cells, re-encode, residuals under the TRAINED stage-1 book,
+    * stage-2 seeds from ids 16..31's trained residuals, one more
+    * mean/coalesce/re-encode round for stage 2, final codes + exact
+    * err2. Per-dim formulation throughout (join on i, SUM) — the x155
+    * oracle pattern. */
+  private def duckRvqTrainedCtes: String =
+    "trd AS MATERIALIZED (SELECT vec_id, i, q[i] AS v " +
+      "FROM rq CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd), " +
+      "tm1 AS (SELECT b.code1, d.i, CAST(SUM(d.v) AS DOUBLE) / " +
+      "(CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mv " +
+      "FROM trd d JOIN rb1 b ON d.vec_id = b.vec_id GROUP BY 1, 2), " +
+      "rc1d AS (SELECT c1_id, i, c1[i] AS sv " +
+      "FROM rc1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd), " +
+      "tb1d AS MATERIALIZED (SELECT g.c1_id, g.i, " +
+      "COALESCE(CAST(floor(CAST(CAST(t.mv AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT), " +
+      "g.sv) AS tv FROM rc1d g LEFT JOIN tm1 t ON g.c1_id = t.code1 AND g.i = t.i), " +
+      "ta1 AS (SELECT d.vec_id, b.c1_id, " +
+      "CAST(SUM((d.v - b.tv) * (d.v - b.tv)) AS BIGINT) AS dist " +
+      "FROM trd d JOIN tb1d b ON d.i = b.i GROUP BY 1, 2), " +
+      "tb1best AS (SELECT vec_id, c1_id AS tcode1 FROM (" +
+      "SELECT vec_id, c1_id, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY dist, c1_id) AS rn FROM ta1) t WHERE rn = 1), " +
+      "tresd AS MATERIALIZED (SELECT d.vec_id, bb.tcode1, d.i, d.v - b.tv AS rv " +
+      "FROM trd d JOIN tb1best bb ON d.vec_id = bb.vec_id " +
+      "JOIN tb1d b ON b.c1_id = bb.tcode1 AND b.i = d.i), " +
+      "trc2d AS MATERIALIZED (SELECT vec_id AS c2_id, i, rv AS sv FROM tresd " +
+      "WHERE vec_id >= 16 AND vec_id < 32), " +
+      "tsa2 AS (SELECT r.vec_id, c.c2_id, " +
+      "CAST(SUM((r.rv - c.sv) * (r.rv - c.sv)) AS BIGINT) AS dist " +
+      "FROM tresd r JOIN trc2d c ON r.i = c.i GROUP BY 1, 2), " +
+      "ts2best AS (SELECT vec_id, c2_id AS scode2 FROM (" +
+      "SELECT vec_id, c2_id, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY dist, c2_id) AS rn FROM tsa2) t WHERE rn = 1), " +
+      "tm2 AS (SELECT b.scode2 AS code2, r.i, CAST(SUM(r.rv) AS DOUBLE) / " +
+      "(CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mv " +
+      "FROM tresd r JOIN ts2best b ON r.vec_id = b.vec_id GROUP BY 1, 2), " +
+      "tb2d AS (SELECT g.c2_id, g.i, " +
+      "COALESCE(CAST(floor(CAST(CAST(t.mv AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT), " +
+      "g.sv) AS tv FROM trc2d g LEFT JOIN tm2 t ON g.c2_id = t.code2 AND g.i = t.i), " +
+      "ta2 AS (SELECT r.vec_id, r.tcode1, b.c2_id, " +
+      "CAST(SUM((r.rv - b.tv) * (r.rv - b.tv)) AS BIGINT) AS dist " +
+      "FROM tresd r JOIN tb2d b ON r.i = b.i GROUP BY 1, 2, 3), " +
+      "trvqcodes AS (SELECT vec_id, tcode1 AS code1, c2_id AS code2, " +
+      "dist AS err2 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY dist, c2_id) AS rn FROM ta2) t WHERE rn = 1)"
+
+  /** RVQ codes under TRAINED codebooks ([[Dedup.rvqIndex]] with one
+    * residual-k-means round per stage — Chen et al. 2010 fit each
+    * stage's codebook on the residual distribution the previous stage
+    * leaves; x184's seed books are the deterministic initialization,
+    * exactly as x149→x155 for PQ). The full train→re-encode chain
+    * stays on the integer grid with the x53/x155 mean contract, so
+    * codes AND err2 replay in the oracle; PqSpec pins distortion
+    * monotonicity and trained-vs-seed recall on a mis-seeded clustered
+    * corpus. */
+  val x186 = Q(
+    "x186_rvq_trained_codes",
+    Some(
+      s"WITH $duckRvqCtes, $duckRvqTrainedCtes " +
+        "SELECT vec_id, code1, code2, err2 FROM trvqcodes"
+    )
+  ) { t =>
+    Dedup.rvqEncode(t.embeddings, "vec_id", "embedding", lloydIters = 1)
+  }
+
   val x185 = Q(
     "x185_rvq_topk",
     Some(
@@ -6446,6 +6515,6 @@ object TrainingData {
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
-    x178, x179, x180, x181, x182, x183, x184, x185
+    x178, x179, x180, x181, x182, x183, x184, x185, x186
   )
 }

@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The retry loop is plain JDK HTTP (no extra dependency), with the
   * tenacity wait law replayed exactly: wait before attempt n+1 is
-  * clamp(multiplier·2ⁿ⁻¹, min, max). Sleeping is injectable so specs
+  * clamp(multiplier·2ⁿ, min, max) — tenacity raises exp_base to the
+  * attempt number itself. Sleeping is injectable so specs
   * assert the schedule instead of waiting it out.
   *
   * Two shapes:
@@ -27,11 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object HttpJsonSource {
 
   /** tenacity `wait_exponential(multiplier, min, max)` in ms: the wait
-    * AFTER attempt `attempt` (1-based) = clamp(multiplier·2^(attempt-1),
-    * min, max). */
+    * AFTER attempt `attempt` (1-based) = clamp(multiplier·2^attempt,
+    * min, max) — tenacity's wait_exponential raises exp_base to
+    * `attempt_number` itself (not attempt_number−1), so the schedule for
+    * (1, min=4, max=10) is 4s, 4s, 8s, 10s, 10s, … */
   private[sources] def backoffMs(attempt: Int, multiplierMs: Long,
       minMs: Long, maxMs: Long): Long =
-    math.min(math.max(multiplierMs << math.min(attempt - 1, 40), minMs), maxMs)
+    math.min(math.max(multiplierMs << math.min(attempt, 40), minMs), maxMs)
 
   /** Fetch one URL with up to `maxAttempts` attempts; non-2xx and I/O
     * errors both back off and retry. A SUCCESSFUL fetch is followed by

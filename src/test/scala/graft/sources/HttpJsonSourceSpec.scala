@@ -42,12 +42,13 @@ class HttpJsonSourceSpec extends AnyFunSuite {
   }
 
   test("backoff replays tenacity wait_exponential(1, min=4, max=10)") {
-    // waits after attempts 1..5 in ms: 1·2⁰ → clamped to 4s, 2s → 4s,
-    // 4s → 4s, 8s → 8s, 16s → capped at 10s
+    // tenacity computes multiplier·2^attempt_number: waits after
+    // attempts 1..5 in ms: 2s → clamped to 4s, 4s → 4s, 8s → 8s,
+    // 16s → capped at 10s, 32s → 10s
     val got = (1 to 5).map(
       HttpJsonSource.backoffMs(_, multiplierMs = 1000, minMs = 4000,
         maxMs = 10000))
-    assert(got === Seq(4000L, 4000L, 4000L, 8000L, 10000L))
+    assert(got === Seq(4000L, 4000L, 8000L, 10000L, 10000L))
   }
 
   test("fail twice then serve: success on attempt 3, schedule recorded") {
