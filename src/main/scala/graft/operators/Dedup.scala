@@ -2202,14 +2202,31 @@ object Dedup {
       queryPred: org.apache.spark.sql.Column, topK: Int = 5,
       ks: Int = 16, lloydIters: Int = 0): DataFrame = {
     val (codes, recon) = rvqIndex(df, idCol, vecCol, ks, lloydIters)
-    val queries = df.filter(queryPred)
-      .select(col(idCol).as("query_id"),
-        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
-          .as("qv"))
+    rvqAnswer(
+      df.filter(queryPred)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+      codes.select(col(idCol).as("vid"), col("code1"), col("code2")),
+      recon, topK, excludeSelf = true)
+  }
+
+  /** The RVQ answer path against EXPLICIT index frames — the serving-
+    * family convention ([[ivfPqAnswer]]/[[ivfSqAnswer]]/[[ivfBqAnswer]]):
+    * `qraw` carries (query_id, qvec), `codes` the 8-bit registry (vid,
+    * code1, code2), `recon` the ks² additive decode table. Batch x185 is
+    * this with the corpus' own frames and `excludeSelf = true`;
+    * [[graft.streaming.RvqServeStream]] replays it per micro-batch with
+    * external ids (`excludeSelf = false`). Per-query work is one
+    * registry scan; both index frames and the query batch broadcast. */
+  private[graft] def rvqAnswer(
+      qraw: DataFrame, codes: DataFrame, recon: DataFrame,
+      topK: Int, excludeSelf: Boolean): DataFrame = {
+    val queries = qraw.select(col("query_id"),
+      expr("transform(qvec, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .as("qv"))
     val scored = codes.join(broadcast(recon), Seq("code1", "code2"))
       .crossJoin(broadcast(queries))
-      .filter(col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
+      .filter(if (excludeSelf) col("query_id") =!= col("vid") else lit(true))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
         expr("aggregate(zip_with(qv, rv, (x, y) -> (x - y) * (x - y)), " +
           "0L, (a, v) -> a + v)").as("adc_dist"))
     Ranks.topKPerGroup(scored, Seq("query_id"),
