@@ -117,8 +117,8 @@ object BenchLab {
         Dedup.minhashCandidatePairs(t.documents, "doc_id", "text", 0.5)
       }
       time("x35 checkpointed shingles") {
-        val sh = Dedup.shingles(t.documents, "doc_id", "text", 3).localCheckpoint(true)
-        val sigs = Dedup.minhashSignaturesFromShingles(sh, "doc_id").localCheckpoint(true)
+        val sh = Dedup.shingles(t.documents, "doc_id", "text", 3).transform(graft.plans.Pin.pin)
+        val sigs = Dedup.minhashSignaturesFromShingles(sh, "doc_id").transform(graft.plans.Pin.pin)
         val bandStructs = (0 until 4).map { k =>
           struct(lit(k).as("band"), col(s"band$k").as("key"))
         }
@@ -192,7 +192,7 @@ object BenchLab {
       // variant: materialize the distinct shingle set once
       def pairsCached(): DataFrame = {
         val sh = graft.operators.Dedup.shingles(t.documents, "doc_id", "text", 3)
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
         val b = sh.select(col("doc_id").as("doc_b"), col("sh"))

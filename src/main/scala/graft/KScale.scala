@@ -52,12 +52,12 @@ object KScale {
       else {
         val (pairs, tPairs) = timed {
           val p = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
-            .select("vec_a", "vec_b").localCheckpoint(true)
+            .select("vec_a", "vec_b").transform(graft.plans.Pin.pin)
           (p, p.count())
         }
         val (lists, tLists) = timed {
           val l = Dedup.annTopK(emb, "vec_id", "embedding", lit(true), k = 5)
-            .select("query_id", "neighbor_id").localCheckpoint(true)
+            .select("query_id", "neighbor_id").transform(graft.plans.Pin.pin)
           (l, l.count())
         }
         Some((pairs._1, pairs._2, tPairs, lists._1, lists._2, tLists))
@@ -70,7 +70,7 @@ object KScale {
     for (k <- ks) {
       val (ivfPairs, tPair) = timed {
         val p = Dedup.embeddingNearDupsIvf(emb, "vec_id", "embedding", 0.4, k)
-          .select("vec_a", "vec_b").localCheckpoint(true)
+          .select("vec_a", "vec_b").transform(graft.plans.Pin.pin)
         (p, p.count())
       }
       val pairRecall = exact.map { case (ep, nEp, _, _, _, _) =>
@@ -83,7 +83,7 @@ object KScale {
       val (ivfPairs2, tPair2) = timed {
         val p = Dedup.embeddingNearDupsIvf(emb, "vec_id", "embedding", 0.4, k,
           nassign = 2)
-          .select("vec_a", "vec_b").localCheckpoint(true)
+          .select("vec_a", "vec_b").transform(graft.plans.Pin.pin)
         (p, p.count())
       }
       val pairRecall2 = exact.map { case (ep, nEp, _, _, _, _) =>
@@ -97,7 +97,7 @@ object KScale {
       val (ivfPairs2L, tPair2L) = timed {
         val p = Dedup.embeddingNearDupsIvfTwoLevel(emb, "vec_id", "embedding",
           0.4, k, kc)
-          .select("vec_a", "vec_b").localCheckpoint(true)
+          .select("vec_a", "vec_b").transform(graft.plans.Pin.pin)
         (p, p.count())
       }
       val pairRecall2L = exact.map { case (ep, nEp, _, _, _, _) =>
@@ -111,7 +111,7 @@ object KScale {
       val (lists5, tLists5) = timed {
         val l = Dedup.ivfSearch(emb, "vec_id", "embedding", lit(true),
           k = k, nprobe = 2, topK = 5)
-          .select("query_id", "neighbor_id").localCheckpoint(true)
+          .select("query_id", "neighbor_id").transform(graft.plans.Pin.pin)
         (l, l.count())
       }
       val listRecall = exact.map { case (_, _, _, el, nEl, _) =>

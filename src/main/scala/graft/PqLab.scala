@@ -113,11 +113,11 @@ object PqLab {
           s""""distortion":${distortion(book)},"sf":"$dir"}""")
       }
       row("seed", 0, 0.0,
-        Dedup.pqCodebook(emb, "vec_id", "embedding", ks).localCheckpoint(true))
+        Dedup.pqCodebook(emb, "vec_id", "embedding", ks).transform(graft.plans.Pin.pin))
       for (iters <- Seq(1, 2)) {
         val (book, tTrain) = timed(
           Dedup.pqCodebookLloyd(emb, "vec_id", "embedding", iters, ks = ks)
-            .localCheckpoint(true))
+            .transform(graft.plans.Pin.pin))
         row("lloyd", iters, tTrain, book)
       }
     }

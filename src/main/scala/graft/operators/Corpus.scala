@@ -125,7 +125,7 @@ object Corpus {
     * consumed in a long-lived session. See
     * [[graft.streaming.NoveltyStream]] for the incremental form. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val grams = gramHashes(df, idCol, textCol, n).localCheckpoint(true)
+    val grams = gramHashes(df, idCol, textCol, n).transform(graft.plans.Pin.pin)
     val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val novel = grams.groupBy(col("h")).agg(min(col(idCol)).as("first_doc"))
       .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
@@ -134,7 +134,7 @@ object Corpus {
       .select(col(idCol), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams")).as("novelty"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     Dedup.release(grams)
     result
   }
@@ -1064,7 +1064,7 @@ object Corpus {
     val cnt = tok.groupBy(col("__b"))
       .agg(count(lit(1)).as("__r"),
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("__t"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val p2 = broadcast(spark.range(63).select(col("id").as("__k"),
       expr("shiftleft(CAST(1 AS BIGINT), cast(id as int))").as("__p")))
     val fr = cnt.join(p2, col("__p") <= col("__r") + 1L)
@@ -1269,7 +1269,7 @@ object Corpus {
     * corpus' merge capacity (31-type corpora support hundreds). */
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
       rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
-    var syms = bpeVocabSymbols(df, idCol, textCol).localCheckpoint(true)
+    var syms = bpeVocabSymbols(df, idCol, textCol).transform(graft.plans.Pin.pin)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -1281,7 +1281,7 @@ object Corpus {
         val (a, b, pc) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, pc))
-        syms = bpeMergeStep(syms, a, b).localCheckpoint(true)
+        syms = bpeMergeStep(syms, a, b).transform(graft.plans.Pin.pin)
         r += 1
       }
     }
@@ -1309,7 +1309,7 @@ object Corpus {
   def bpeApplyMerges(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val syms = merges.foldLeft(bpeVocabSymbols(df, idCol, textCol)) {
-      case (s, (a, b)) => bpeMergeStep(s, a, b).localCheckpoint(true)
+      case (s, (a, b)) => bpeMergeStep(s, a, b).transform(graft.plans.Pin.pin)
     }
     bpeFertility(df, idCol, textCol, syms)
   }

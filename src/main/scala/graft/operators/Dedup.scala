@@ -641,7 +641,7 @@ object Dedup {
   def mutualEdgesFromTopK(lists: DataFrame): DataFrame = {
     val topk = lists
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     // a rev row (rq, rv) = (q2's neighbor, q2): the edge (q, n) survives
     // iff some topk row has q2 = n, n2 = q — i.e. q matches the REVERSED
     // neighbor (rq) and n the reversed query (rv)
@@ -650,7 +650,7 @@ object Dedup {
       .join(rev, col("query_id") === col("rq") && col("neighbor_id") === col("rv"))
       .filter(col("query_id") < col("neighbor_id"))
       .select(col("query_id").as("u"), col("neighbor_id").as("v"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     release(topk)
     result
   }
@@ -1684,7 +1684,7 @@ object Dedup {
     // same checkpoint-for-the-call discipline as minhashCandidatePairs:
     // the shared shingle frame lives only until the (small) pair result
     // is materialized, then its blocks are released
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
+    val sh = shingles(df, idCol, textCol, n).transform(graft.plans.Pin.pin)
     val gdf = sh.groupBy(col("sh")).agg(count(lit(1)).as("gdf"))
     val wDoc = Window.partitionBy(col(idCol))
     val wPos = wDoc.orderBy(col("gdf").asc, col("sh").asc)
@@ -1713,7 +1713,7 @@ object Dedup {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "jaccard")
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     release(sh)
     result
   }
@@ -1768,7 +1768,7 @@ object Dedup {
     // the union doubles the plan — both directions then read the
     // checkpointed rows instead of recomputing the upstream join twice
     val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     if (p.count() <= localSolveMaxEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -1799,7 +1799,7 @@ object Dedup {
     val edgesWide = p.select(col("a").as("u"), col("b").as("v"))
       .unionAll(p.select(col("b").as("u"), col("a").as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     // near-dup graphs are usually a tiny fraction of the corpus: once the
     // edge count is known, collapse small graphs to few partitions so
     // each propagation round is a handful of tasks instead of full-width
@@ -1807,11 +1807,11 @@ object Dedup {
     val nEdges = edgesWide.count()
     val parts = math.max(1, math.min(
       edgesWide.rdd.getNumPartitions, (nEdges / 100000L).toInt))
-    val edges = edgesWide.coalesce(parts).localCheckpoint(true)
+    val edges = edgesWide.coalesce(parts).transform(graft.plans.Pin.pin)
     release(p); release(edgesWide) // edges is materialized — drop inputs
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     var prevRound = labels // last round's checkpoint, released once superseded
     var converged = false
     var i = 0
@@ -1824,7 +1824,7 @@ object Dedup {
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("hop_lbl"))
         // materialized once: the jump below self-joins this frame, and
         // without the checkpoint both sides would recompute the hop join
-        .localCheckpoint(true)
+        .transform(graft.plans.Pin.pin)
       // pointer jump: a label is itself a node id, so following it one
       // more step through this round's labels doubles every path length
       // covered per round (path compression)
@@ -1833,7 +1833,7 @@ object Dedup {
         .join(jump, stepped("hop_lbl") === jump("jn"), "left")
         .select(col("node"), col("lbl"),
           least(col("hop_lbl"), coalesce(col("jl"), col("hop_lbl"))).as("new_lbl"))
-        .localCheckpoint(true)
+        .transform(graft.plans.Pin.pin)
       release(stepped)
       converged = updated.filter(col("new_lbl") =!= col("lbl")).count() == 0L
       release(prevRound)
@@ -2027,7 +2027,7 @@ object Dedup {
     val assigned = assignedRaw
       .withColumn("qv", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val a = assigned.select(col("cell"), col(idCol).as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col(idCol).as("vec_b"),
@@ -2381,7 +2381,7 @@ object Dedup {
     // corpus-sized shingle blocks are released before returning. Call
     // [[release]] on the returned frame once consumed to free its
     // (small) blocks too.
-    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
+    val sh = shingles(df, idCol, textCol).transform(graft.plans.Pin.pin)
     val sigs = minhashSignaturesFromShingles(sh, idCol)
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), col(s"band$k").as("key"))
@@ -2408,7 +2408,7 @@ object Dedup {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "jaccard")
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     release(sh)
     result
   }
@@ -2426,7 +2426,7 @@ object Dedup {
     * before returning); the curve frame is ≤ 11 rows. */
   def bandingRecallCurve(
       df: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
+    val sh = shingles(df, idCol, textCol).transform(graft.plans.Pin.pin)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
@@ -2461,7 +2461,7 @@ object Dedup {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_hit"))
       .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     release(sh)
     result
   }
@@ -2538,8 +2538,8 @@ object Dedup {
     * scoring only on candidates, never all-pairs. */
   def minhashEstimateAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.MinHashAggregator.NumHashes
-    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
-    val sigs = minhashSignaturesFromShingles(sh, idCol).localCheckpoint(true)
+    val sh = shingles(df, idCol, textCol).transform(graft.plans.Pin.pin)
+    val sigs = minhashSignaturesFromShingles(sh, idCol).transform(graft.plans.Pin.pin)
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), col(s"band$k").as("key"))
     }
@@ -2578,7 +2578,7 @@ object Dedup {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
       .select("doc_a", "doc_b", "n_agree", "est_jaccard", "common", "jaccard", "abs_err")
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     release(sh); release(sigs)
     result
   }
@@ -2682,7 +2682,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       isNew: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
     val (plan, sh) = incrementalDedupPlan(df, idCol, textCol, isNew, threshold)
-    val result = plan.localCheckpoint(true)
+    val result = plan.transform(graft.plans.Pin.pin)
     release(sh)
     result
   }
@@ -2711,7 +2711,7 @@ object Dedup {
     // checkpoint-for-the-call discipline and executor-loss caveat: the
     // corpus-sized shingle blocks are released before returning, the
     // small eager verdict frame is the caller's to [[release]])
-    val sh = shingles(df, idCol, textCol).localCheckpoint(true)
+    val sh = shingles(df, idCol, textCol).transform(graft.plans.Pin.pin)
     val sigs = minhashSignaturesFromShingles(sh, idCol)
     val bandStructs = (0 until 4).map { k =>
       struct(lit(k).as("band"), col(s"band$k").as("key"))

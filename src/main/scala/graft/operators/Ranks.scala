@@ -167,7 +167,7 @@ object Ranks {
       bucket: Column,
       outCol: String
   ): DataFrame = {
-    val b = df.withColumn("__b", bucket.cast("long")).localCheckpoint(true)
+    val b = df.withColumn("__b", bucket.cast("long")).transform(graft.plans.Pin.pin)
     val perBucket = b.groupBy(col("__b")).agg(sum(col(weightCol)).as("__bw"))
     val rhs = perBucket.select(col("__b").as("__ob"), col("__bw").as("__obw"))
     val off = perBucket

@@ -2460,7 +2460,7 @@ object TrainingData {
   ) { t =>
     graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
     val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
-      .select("doc_a", "doc_b").localCheckpoint(true)
+      .select("doc_a", "doc_b").transform(graft.plans.Pin.pin)
     val naive = t.documents.select(col("doc_id"),
       when(expr("poly_hash(text) % 100") < 80, "train")
         .when(expr("poly_hash(text) % 100") < 90, "val")
@@ -2899,7 +2899,7 @@ object TrainingData {
     )
   ) { t =>
     val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     Dedup.clusterCohesion(pairs, "doc_a", "doc_b", "jaccard")
   }
 
@@ -3562,7 +3562,7 @@ object TrainingData {
     // checkpoint-for-the-call: the capped head is built once (one
     // TakeOrdered over the vocab), the rank self-join reads the ≤1000
     // checkpointed rows twice instead of re-running the scan
-    val capped = zipfCappedVocab(t).localCheckpoint(true)
+    val capped = zipfCappedVocab(t).transform(graft.plans.Pin.pin)
     val rhs = capped.select(col("c").as("c2"), col("w").as("w2"))
     val r = capped
       .join(broadcast(rhs),
@@ -3745,7 +3745,7 @@ object TrainingData {
     // one events scan: the count-of-counts grid feeds both the totals
     // and the CDF helper
     val cc = uc.groupBy(col("c")).agg(count(lit(1)).as("mu"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val tot = cc.agg(sum(col("mu")).as("n_total"),
       sum(col("c") * col("mu")).as("ev_total"))
     Ranks.suffixSumDistinct(cc, "c", "mu", floor(col("c") / lit(1024L)), "gt")
@@ -3972,7 +3972,7 @@ object TrainingData {
       count(lit(1)).as("freq"),
       sum(col("o_totalprice").cast(Dec)).as("mon"))
       .withColumn("mq", floor(col("mon")).cast("long"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val tot = cust.agg(count(lit(1)).as("n"))
     def tercileMap(valueCol: String, bucket: org.apache.spark.sql.Column,
         out: String): DataFrame =
@@ -4334,7 +4334,7 @@ object TrainingData {
       .select(graft.functions.Text.tokenCount("text").as("n_toks"))
     // one documents scan: the token-count grid feeds totals + CDF
     val cc = tc.groupBy(col("n_toks")).agg(count(lit(1)).as("mu"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val tot = cc.agg(sum(col("mu")).as("n_total"),
       sum(col("n_toks") * col("mu")).as("tok_total"))
     // strictly-greater CDF from the helper; strictly-smaller = N - gt - mu
@@ -4881,9 +4881,9 @@ object TrainingData {
     val und = pairs.select(col("pa").as("pk"), col("pb").as("other"))
       .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other")))
       .repartition(col("other"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val deg = und.groupBy(col("pk")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val parts = t.part.select(col("p_partkey").as("pk"))
     val n = parts.count()
     val r0 = S / n
@@ -5074,7 +5074,7 @@ object TrainingData {
     val und = pairs.select(col("pa").as("pk"), col("pb").as("other"))
       .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other")))
       .repartition(col("other"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val parts = t.part.select(col("p_partkey").as("pk"))
     var labels = parts.withColumn("lbl", col("pk"))
     for (_ <- 1 to 3) {
@@ -5143,9 +5143,9 @@ object TrainingData {
     val und = pairs.select(col("pa").as("pk"), col("pb").as("other"), col("w"))
       .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other"), col("w")))
       .repartition(col("pk"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val wd = und.groupBy(col("pk")).agg(sum(col("w")).as("wsum"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val parts = t.part.select(col("p_partkey").as("pk"))
     val n = parts.count()
     val r0 = S / n
@@ -5376,7 +5376,7 @@ object TrainingData {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val a1 = nrm(ed.groupBy(col("p")).agg((count(lit(1)) * S).as("a")), "p", "a")
     val h1 = nrm(ed.join(a1, "p").groupBy(col("c")).agg(sum(col("a")).as("h")),
       "c", "h")
@@ -5516,7 +5516,7 @@ object TrainingData {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("pa"), col("pb"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     val deg = pairs.select(col("pa").as("node"))
       .unionAll(pairs.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))

@@ -191,7 +191,7 @@ object GoldModels {
         when(col("wl") === "W", 1).otherwise(0).as("is_win"),
         when(col("wl") === "L", 1).otherwise(0).as("is_loss")
       )
-      .localCheckpoint(true)
+      .transform(graft.plans.Pin.pin)
     // W1: gaps-and-islands — running sum over game_date (ISO strings order
     // correctly). Unpartitioned, as in the reference; the scale-out variant
     // partitions by season/team first (SURVEY.md §7.4). One window pass

@@ -40,7 +40,7 @@ object AnomalyStream {
       alertPath: String,
       checkpoint: String): StreamingQuery = {
     // learned once at start: one row per event type, reused every batch
-    val stats = Analytics.eventTypeStats(reference).localCheckpoint(true)
+    val stats = Analytics.eventTypeStats(reference).transform(graft.plans.Pin.pin)
     newEvents.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -49,7 +49,7 @@ object AnomalyStream {
           .join(broadcast(stats), Seq("event_type"))
           .select(col("event_id"), col("event_type"), col("value"),
             z.as("z_score"), (abs(z) > 3.0).as("is_anomaly"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         scored.write.mode("overwrite").parquet(s"$scoredPath/batch_id=$batchId")
         scored.filter(col("is_anomaly"))
           .write.mode("overwrite").parquet(s"$alertPath/batch_id=$batchId")

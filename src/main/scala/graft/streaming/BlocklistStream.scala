@@ -34,7 +34,7 @@ object BlocklistStream {
         val gated = Corpus.blocklistGate(
           batch.select(col(idCol), col(textCol)), idCol, textCol, phrases)
           .join(batch.select(col(idCol), col(textCol)), Seq(idCol))
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         gated.filter(col("kept"))
           .select(col(idCol), col(textCol))
           .write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")

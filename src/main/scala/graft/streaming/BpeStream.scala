@@ -68,7 +68,7 @@ object BpeStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val fert = Corpus.bpeApplyMerges(
           batch.select(col(idCol), col(textCol)), idCol, textCol, merges)
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         fert.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         fert.agg(
           count(lit(1)).as("n_docs"),

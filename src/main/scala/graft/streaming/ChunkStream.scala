@@ -79,7 +79,7 @@ object ChunkStream {
         // the library's checkpoint-for-the-call discipline)
         val chunks = chunkFrame(
           batch.select(col(idCol), col(textCol)), idCol, textCol, chunkWords)
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         // first in-batch carrier per hash: min (doc, pos) — the same
         // total order the batch operator resolves corpus-wide
         val firstIn = chunks.groupBy(col("h"))
@@ -97,12 +97,12 @@ object ChunkStream {
             concat_ws(" ", expr(
               "transform(filter(array_sort(collect_list(struct(pos, chunk, kept))), " +
                 "x -> x.kept), x -> x.chunk)")).as("text_kept"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         // materialize admitted hashes BEFORE writing into the directory
         // their plan scans
         val newChunks = firstIn.select(col("h"))
           .join(standing, Seq("h"), "left_anti")
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         rewrites.write.mode("overwrite").parquet(s"$rewritesPath/batch_id=$batchId")
         newChunks.write.mode("overwrite").parquet(s"$chunksPath/batch_id=$batchId")
         Dedup.release(chunks); Dedup.release(rewrites); Dedup.release(newChunks)

@@ -76,7 +76,7 @@ object DsirStream {
           batch.select(col(idCol), col(textCol)), idCol, textCol,
           weights, buckets)
           .join(batch.select(col(idCol), col(textCol)), Seq(idCol))
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         scored.filter(col("keep"))
           .select(col(idCol), col(textCol), col("n_tokens"), col("score"))
           .write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")

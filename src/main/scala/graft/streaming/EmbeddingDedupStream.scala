@@ -73,7 +73,7 @@ object EmbeddingDedupStream {
         val assigned = Dedup.assignToCells(
             Dedup.withNorm(batch.toDF(), "vec_id", "embedding"), cents, "vec_id")
           .withColumn("cell", col("cell").cast("long"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
 
         def sideA(df: DataFrame) = df.select(col("cell"),
           col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))

@@ -70,7 +70,7 @@ object NoveltyStream {
         // Dedup.minhashCandidatePairs for the executor-loss caveat)
         val grams = Corpus.gramHashes(
           batch.select(col(idCol), col(textCol)), idCol, textCol, n)
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         val firstInBatch = grams.groupBy(col("h")).agg(min(col(idCol)).as("first_doc"))
         // a gram is novel for doc d iff it is absent from the standing
         // set AND d is its lowest-id carrier in this batch — the exact
@@ -83,13 +83,13 @@ object NoveltyStream {
             countIf(col("seen").isNull && col("first_doc") === col(idCol)).as("n_novel"))
           .select(col(idCol), col("n_grams"), col("n_novel"),
             (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         // materialize the admitted grams BEFORE writing into the
         // directory their plan scans — after this the standing read is done
         val newGrams = firstInBatch
           .join(standing, Seq("h"), "left_anti")
           .select(col("h"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         verdicts.write.mode("overwrite").parquet(s"$verdictsPath/batch_id=$batchId")
         newGrams.write.mode("overwrite").parquet(s"$gramsPath/batch_id=$batchId")
         Dedup.release(grams); Dedup.release(verdicts); Dedup.release(newGrams)

@@ -42,7 +42,7 @@ object PiiStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val scanned = Corpus.piiScan(
           batch.select(col(idCol), col(textCol)), textCol, patterns)
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         val countCols = patterns.map { case (n, _) => col(s"${n}_count") }
         scanned
           .select(col(idCol) +: col(s"${textCol}_redacted").as(textCol)

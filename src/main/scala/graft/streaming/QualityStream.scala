@@ -42,7 +42,7 @@ object QualityStream {
         val gated = Corpus.qualityGate(
           batch.select(col(idCol), col(textCol)), idCol, textCol)
           .join(batch.select(col(idCol), col(textCol)), Seq(idCol))
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         gated.filter(col("kept"))
           .select(col(idCol), col(textCol), col("n_words"))
           .write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")

@@ -34,7 +34,7 @@ object ScorecardStream {
       textCol: String,
       srcCol: String): StreamingQuery = {
     // learned once: vocabulary-sized, pinned for the stream's lifetime
-    val lm = Corpus.unigramLm(reference, textCol).localCheckpoint(true)
+    val lm = Corpus.unigramLm(reference, textCol).transform(graft.plans.Pin.pin)
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

@@ -89,7 +89,7 @@ object SegmentDedupStream {
         val judged = occ
           .join(batchWin, Seq("h"), "left")
           .withColumn("kept", col("kmin").isNotNull && col("k") === col("kmin"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         judged
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_segments"),

@@ -61,16 +61,16 @@ object SpanDedupStream {
           .groupBy(col("h")).agg(min(col("kk")).as("kprev"))
         val docs = batch.select(col("doc_id"), col("text"))
         val grams = Dedup.spanGrams(docs, "doc_id", "text", k)
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         val batchMin = grams.groupBy(col("h")).agg(min(col("kk")).as("kb"))
         // judged winner per hash over registry ∪ batch — the min-k rule
         val wins = batchMin.join(standingMin, Seq("h"), "left")
           .select(col("h"), least(col("kb"),
             coalesce(col("kprev"), col("kb"))).as("kmin"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         val rewritten = Dedup
           .duplicateSpanRewriteAgainst(docs, "doc_id", "text", wins, k)
-          .localCheckpoint(true)
+          .transform(graft.plans.Pin.pin)
         rewritten
           .write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")
         rewritten.agg(
