@@ -101,13 +101,12 @@ object Corpus {
     * their streaming twins — shuffles carry the 8-byte hash, never gram
     * text. Docs shorter than `n` words produce no grams. */
   def gramHashes(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol), split(col(textCol), " ").as("ws"))
-      .select(col(idCol), explode(expr(
-        s"CASE WHEN size(ws) >= $n THEN transform(sequence(1, size(ws) - ${n - 1}), " +
-          s"i -> array_join(slice(ws, i, $n), ' ')) ELSE array() END"
-      )).as("gm"))
-      .select(col(idCol), expr("poly_hash(gm)").as("h"))
+    // one rolling-hash pass per document (SpanHashesUtil): bit-identical
+    // to poly_hash over the joined n-token window, without materializing
+    // n× the corpus text pre-hash
+    graft.functions.SpanHashesFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        explode(expr(s"span_hashes($textCol, $n)")).as("h"))
       .distinct()
   }
 

@@ -55,22 +55,22 @@ object Dedup {
     * the oracle replays the same hash), duplicate detection is one
     * map-side-combined count by hash, and the islands Window runs on
     * the SEED frame only — duplicated positions, partitioned by doc —
-    * never on the full corpus. At 100 TB the gram materialization
-    * (n·k token bytes before hashing) is the term to optimize: swap the
-    * array_join for a rolling polynomial hash over the token stream to
-    * make the pre-shuffle pass O(n) bytes; the plan shape is unchanged. */
+    * never on the full corpus. The former 100 TB term — n·k gram bytes
+    * materialized before hashing — is closed: `span_hashes` computes
+    * every window's identity in one rolling O(chars) pass per document
+    * (bit-identical to poly_hash of the joined gram; SpanHashesSpec),
+    * so the pre-shuffle pass is O(n) bytes and 8 bytes/window ship. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, s"span window must cover at least 2 tokens, got $k")
-    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    graft.functions.SpanHashesFunctions.ensureRegistered(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val grams = df.select(col(idCol), expr(
-        s"posexplode(CASE WHEN size(split($textCol, ' ')) >= $k " +
-          s"THEN transform(sequence(0, size(split($textCol, ' ')) - $k), " +
-          s"i -> array_join(slice(split($textCol, ' '), i + 1, $k), ' ')) " +
-          "ELSE array() END)").as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        expr("poly_hash(gram)").as("h"))
+    // one rolling-hash pass per document (SpanHashesUtil) — the scaladoc's
+    // named 100 TB term closed: O(chars) pre-shuffle work, 8 bytes per
+    // window, bit-identical hashes
+    val grams = df.select(col(idCol),
+        expr(s"posexplode(span_hashes($textCol, $k))").as(Seq("pos", "h")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("h"))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("h")
     val seeds = grams.join(dup, Seq("h")).select(col(idCol), col("pos"))

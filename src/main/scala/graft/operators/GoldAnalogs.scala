@@ -398,10 +398,21 @@ object GoldAnalogs {
         "(SELECT point_differential FROM biggest_loss) AS biggest_loss_margin"
     )
   ) { t =>
+    // ONE broadcast build instead of two: nation's n_name filter cuts
+    // 25 → 1 nation BEFORE the dims join, the pre-joined (customer ⋈
+    // nation) frame is 1/25th of customer, and the fact side probes a
+    // single broadcast hash table once — at 100 TB that is one
+    // pipelined BHJ over the orders scan with a semi-join-reduced build
+    // side, instead of probing ALL customers and filtering after. At
+    // sf0.01 it also removes one of g05's two broadcast-build jobs
+    // (BENCH_NOTES_r12 records the warm floor decomposition).
+    val dims = t.customer
+      .join(t.nation.filter(col("n_name") === streakNation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
     val teamGames = t.orders
-      .join(t.customer, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-      .filter(col("n_name") === streakNation && col("o_orderstatus").isin("F", "O"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderstatus").isin("F", "O"))
       .select(
         seasonCol(col("o_orderdate")).as("season"),
         col("o_orderdate").as("game_date"),

@@ -1187,13 +1187,9 @@ object TrainingData {
     val keepLen = n.crossJoin(broadcast(bounds))
       .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
       .select("doc_id")
+    graft.functions.SpanHashesFunctions.ensureRegistered(t.spark)
     val grams = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7), " +
-          "i -> array_join(slice(ws, i, 8), ' ')) ELSE array() END"
-      )).as("gm"))
-      .select(col("doc_id"), expr("poly_hash(gm)").as("h"))
+      .select(col("doc_id"), explode(expr("span_hashes(text, 8)")).as("h"))
       .distinct()
     val bench = grams.filter(col("doc_id") % 97 === 0).select("h").distinct()
     val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
