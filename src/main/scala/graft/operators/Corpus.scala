@@ -1327,4 +1327,48 @@ object Corpus {
       .agg(count(lit(1)).as("n_words"), sum(col("wtok")).as("n_bpe_tokens"))
       .select(col(idCol), col("n_words"), col("n_bpe_tokens"),
         expr("n_bpe_tokens * 10000 div n_words").as("fertility_bp"))
+
+  /** Per-source data card — the release-report row every dataset ship
+    * publishes next to its artifact: volume (docs, tokens, chars),
+    * redundancy (exact-dup count), lexical richness (type-token
+    * ratio), and language spread, one row per source.
+    *
+    * Plan discipline: NO multi-distinct aggregate anywhere (two
+    * COUNT(DISTINCT)s in one Aggregate plan an Expand that triplicates
+    * the corpus rows pre-shuffle — the repetitionSignals caveat).
+    * Instead four independent map-side-combinable aggregates — plain
+    * per-source stats, a (source, hash) sub-aggregate for dup
+    * accounting, a (source, lang) distinct, and the word explode for
+    * vocabulary — joined on the source key, which is
+    * sources-cardinality-sized (tiny) after each aggregate. Every
+    * output is an integer except the type-token ratio, which is ONE
+    * int/int division (IEEE-exact, bit-identical in both engines) —
+    * never a float sum. */
+  def datacard(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, langCol: String, charsCol: String): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    val base = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.Text.tokenCount(textCol)).as("n_tokens"),
+        min(col(charsCol)).as("min_chars"),
+        max(col(charsCol)).as("max_chars"),
+        sum(col(charsCol)).as("total_chars"))
+    val dups = df.select(col(srcCol), expr(s"poly_hash($textCol)").as("h"))
+      .groupBy(col(srcCol), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col(srcCol))
+      .agg(sum(col("c") - 1).as("n_exact_dups"))
+    val langs = df.select(col(srcCol), col(langCol)).distinct()
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("n_langs"))
+    val vocab = df
+      .select(col(srcCol), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col(srcCol), col("word")).agg(count(lit(1)).as("wc"))
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("vocab_size"))
+    base.join(dups, srcCol).join(langs, srcCol).join(vocab, srcCol)
+      .select(col(srcCol), col("n_docs"), col("n_tokens"),
+        col("vocab_size"),
+        (col("vocab_size").cast("double") / col("n_tokens"))
+          .as("type_token_ratio"),
+        col("n_exact_dups"), col("n_langs"),
+        col("min_chars"), col("max_chars"), col("total_chars"))
+  }
 }

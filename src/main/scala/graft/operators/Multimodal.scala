@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed multimodal column handling: media payloads ride as opaque
@@ -98,6 +98,59 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** 64-bit perceptual hash per media row
+    * ([[graft.functions.BlockHashUtil]]'s block-mean law over the raw
+    * payload bytes — the decode-free stand-in; a real deployment hashes
+    * decoded luma with the identical downstream plan). One codegen'd
+    * O(bytes) expression inside the scan projection: no shuffle, no
+    * intermediate array, 8 output bytes per row. */
+  def perceptualHashes(media: DataFrame, idCol: String, binCol: String): DataFrame = {
+    graft.functions.BlockHashFunctions.ensureRegistered(media.sparkSession)
+    media.select(col(idCol), expr(s"block_hash64($binCol)").as("phash"))
+  }
+
+  /** Perceptual near-dup pairs within `maxHamming` bits of the 64-bit
+    * [[perceptualHashes]] signature — image/video near-dup without a
+    * codec, the binary-column twin of `Dedup.simhashHammingPairs`.
+    *
+    * Blocking: the signature splits into 8 byte-bands; by pigeonhole a
+    * pair within Hamming ≤ 7 agrees on at least one whole band, so
+    * candidate generation is an equi-join on (band, byte) with recall
+    * 1.0 for `maxHamming <= 7` — never an all-pairs comparison, and the
+    * guard refuses thresholds the blocking can't honor. Candidates are
+    * verified exactly with `bit_count(xor)`. Like the SimHash form, the
+    * band join runs on DISTINCT signatures (identical payloads collapse
+    * to one node; each unordered doc pair emerges exactly once from its
+    * ordered signature pair), so re-encoded template assets compress the
+    * join instead of exploding it. Band extraction is an arithmetic
+    * shift + 0xFF mask — sign-safe under two's complement in both
+    * engines, so bit 0 (the sign bit) needs no special case. */
+  def perceptualNearDups(media: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8-band blocking guarantees recall only for maxHamming in [0,7], got $maxHamming")
+    val sigs = perceptualHashes(media, idCol, binCol)
+    val distinctSigs = sigs.select(col("phash").as("siga")).distinct()
+    val bandBytes: Int => Column =
+      b => shiftright(col("siga"), 8 * b).bitwiseAND(255)
+    val keyed = distinctSigs.select(col("siga"),
+      posexplode(array((0 until 8).map(bandBytes): _*)).as(Seq("band", "bb")))
+    val sigPairs = keyed
+      .join(keyed.select(col("siga").as("sigb"), col("band"), col("bb")),
+        Seq("band", "bb"))
+      .filter(col("siga") <= col("sigb")) // = keeps same-signature groups
+      .select(col("siga"), col("sigb"),
+        expr("CAST(bit_count(siga ^ sigb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // signature-pair-sized, not doc-pair-sized
+    val da = sigs.select(col(idCol).as("doc_a"), col("phash").as("siga"))
+    val db = sigs.select(col(idCol).as("doc_b"), col("phash").as("sigb"))
+    sigPairs.join(da, "siga").join(db, "sigb")
+      .filter(col("siga") =!= col("sigb") || col("doc_a") < col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("hamming"))
   }
 
   /** Resize STUB: deterministic byte subsampling to a target "resolution"

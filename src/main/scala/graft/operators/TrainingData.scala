@@ -6497,6 +6497,154 @@ object TrainingData {
       col("vec_id") < 10, topK = 5)
   }
 
+  /** Perceptual-hash near-dup over the multimodal byte column (x187) —
+    * image/video near-dup without a codec:
+    * [[Multimodal.perceptualNearDups]] runs the 64-bit block-mean hash
+    * ([[graft.functions.BlockHashUtil]], codegen, one O(bytes) pass in
+    * the scan projection) over packed media payloads and finds pairs
+    * within Hamming ≤ 7 via 8-byte-band blocking on DISTINCT signatures
+    * (pigeonhole recall 1.0, never all-pairs). The corpus plants its own
+    * near-dups the x67 way: every doc_id % 5 = 0 payload re-enters under
+    * a shifted id with ONE byte overwritten mid-payload — the
+    * "re-encoded asset" shape, which perturbs one block's mean and
+    * leaves the other 63 bands intact, so every planted pair must
+    * surface through some agreeing band. The oracle replays the hash
+    * bit-for-bit from the payload bytes (ASCII text ⇒ ascii(char) =
+    * UTF-8 byte), including the integer cross-multiplied mean compare
+    * and the sign-bit packing. */
+  val x187 = Q(
+    "x187_perceptual_near_dups",
+    Some(
+      "WITH pert AS (SELECT doc_id + 10000000 AS doc_id, " +
+        "substr(text, 1, len(text) // 2) || '~' || substr(text, len(text) // 2 + 2) AS text " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "corp AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id, text FROM pert), " +
+        "bv AS (SELECT doc_id, list_transform(range(1, len(text) + 1), " +
+        "i -> CAST(ascii(text[i:i]) AS BIGINT)) AS bl, " +
+        "CAST(len(text) AS BIGINT) AS n FROM corp), " +
+        "st AS (SELECT doc_id, bl, n, list_sum(bl) AS tot FROM bv), " +
+        "bits AS (SELECT doc_id, b, (b * n) // 64 AS lo, ((b + 1) * n) // 64 AS hi, " +
+        "n, tot, bl FROM st CROSS JOIN (SELECT unnest(range(0, 64)) AS b) d), " +
+        "bset AS (SELECT doc_id, b, CASE WHEN hi > lo AND " +
+        "list_sum(bl[lo + 1:hi]) * n > tot * (hi - lo) THEN 1 ELSE 0 END AS bit " +
+        "FROM bits), " +
+        "ph AS MATERIALIZED (SELECT doc_id, CAST(SUM(CASE " +
+        "WHEN bit = 1 AND b = 0 THEN -9223372036854775807 - 1 " +
+        "WHEN bit = 1 THEN CAST(1 AS BIGINT) << (63 - b) ELSE 0 END) AS BIGINT) AS phash " +
+        "FROM bset GROUP BY doc_id), " +
+        "bnd AS (SELECT DISTINCT phash AS sig FROM ph), " +
+        "bk AS MATERIALIZED (SELECT sig, b, (sig >> (8 * CAST(b AS INT))) & 255 AS bb " +
+        "FROM bnd CROSS JOIN (SELECT unnest(range(0, 8)) AS b) d2), " +
+        "cand AS (SELECT DISTINCT a.sig AS siga, c.sig AS sigb " +
+        "FROM bk a JOIN bk c ON a.b = c.b AND a.bb = c.bb AND a.sig <= c.sig), " +
+        "vc AS (SELECT siga, sigb, CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS hamming " +
+        "FROM cand WHERE bit_count(xor(siga, sigb)) <= 7) " +
+        "SELECT LEAST(da.doc_id, db.doc_id) AS doc_a, " +
+        "GREATEST(da.doc_id, db.doc_id) AS doc_b, v.hamming " +
+        "FROM vc v JOIN ph da ON da.phash = v.siga JOIN ph db ON db.phash = v.sigb " +
+        "WHERE v.siga <> v.sigb OR da.doc_id < db.doc_id"
+    )
+  ) { t =>
+    // planted near-dups, the x67 derived-corpus way: one mid-payload
+    // byte overwritten under a shifted id ("re-encoded asset")
+    val pert = t.documents.filter(col("doc_id") % 5 === 0)
+      .selectExpr("doc_id + 10000000 AS doc_id",
+        "concat(substring(text, 1, cast(floor(length(text) / 2) as int)), '~', " +
+          "substring(text, cast(floor(length(text) / 2) as int) + 2)) AS text")
+    val corpus = t.documents.select(col("doc_id"), col("text")).unionAll(pert)
+    val media = Multimodal.packMedia(corpus)(t.spark).toDF()
+    Multimodal.perceptualNearDups(media, "doc_id", "content", maxHamming = 7)
+  }
+
+  /** Per-source data card (x188) — [[Corpus.datacard]]: the
+    * release-report row set (volume, redundancy, lexical richness,
+    * language spread per source) in four independent
+    * map-side-combinable aggregates joined on the tiny source key — no
+    * multi-distinct Aggregate, so no Expand multiplying corpus rows
+    * pre-shuffle. Integers throughout except the single int/int
+    * type-token division (IEEE-exact both engines). */
+  val x188 = Q(
+    "x188_datacard",
+    Some(
+      "WITH b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens, " +
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source), " +
+        s"hh AS (SELECT source, ${duckPolyHash("text")} AS h, COUNT(*) AS c " +
+        "FROM documents GROUP BY 1, 2), " +
+        "d AS (SELECT source, CAST(SUM(c - 1) AS BIGINT) AS n_exact_dups " +
+        "FROM hh GROUP BY source), " +
+        "l AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs FROM " +
+        "(SELECT DISTINCT source, lang FROM documents) sl GROUP BY source), " +
+        "w AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size FROM " +
+        "(SELECT DISTINCT source, word FROM (SELECT source, " +
+        "unnest(string_split(text, ' ')) AS word FROM documents) u0) sw " +
+        "GROUP BY source) " +
+        "SELECT b.source, n_docs, n_tokens, vocab_size, " +
+        "CAST(vocab_size AS DOUBLE) / n_tokens AS type_token_ratio, " +
+        "n_exact_dups, n_langs, min_chars, max_chars, total_chars " +
+        "FROM b JOIN d ON b.source = d.source JOIN l ON b.source = l.source " +
+        "JOIN w ON b.source = w.source"
+    )
+  ) { t =>
+    Corpus.datacard(t.documents, "doc_id", "text", "source", "lang", "n_chars")
+  }
+
+  /** Contrastive triplet mining (x189) — (anchor, positive, negative)
+    * training examples for embedding-model fine-tuning, the way
+    * retrieval/embedding pipelines bootstrap contrastive data from an
+    * unlabeled corpus: the POSITIVE is each vector's top-1 approximate
+    * neighbor from the registered IVF scale path
+    * ([[Dedup.ivfSearchTwoLevel]] at the auto-k policy — per-anchor
+    * probe work √n·nprobe, never corpus-wide), the NEGATIVE is an
+    * arithmetic-LCG pick over the id space (the F6 discipline — no
+    * rand(), reproducible on any cluster layout) verified against the
+    * triplet margin: a triplet survives iff neg_cos ≤ pos_cos − 0.1,
+    * and degenerate picks (the anchor itself or its positive) drop.
+    * One broadcast-probed search + one hash join against the norms
+    * frame — linear beyond the search itself; every cosine is the
+    * same IEEE expression both engines evaluate, so the whole mine
+    * carries a hash oracle. */
+  val x189 = Q(
+    "x189_contrastive_triplets",
+    Some {
+      def cos(a: String, an: String, b: String, bn: String) =
+        s"${duckDot(a, b)} / ($an * $bn)"
+      s"WITH ${duckIvfListCtes(nprobe = 2, topK = 1)}, " +
+        "cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings), " +
+        "pick AS (SELECT l.query_id, l.neighbor_id AS pos_id, " +
+        "l.cosine AS pos_cos, " +
+        "(l.query_id * 48271) % (SELECT n FROM cnt) AS neg_id FROM ivflists l) " +
+        "SELECT p.query_id AS anchor_id, p.pos_id, p.neg_id, p.pos_cos, " +
+        s"${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS neg_cos " +
+        "FROM pick p JOIN norms a ON a.vec_id = p.query_id " +
+        "JOIN norms b ON b.vec_id = p.neg_id " +
+        "WHERE p.neg_id <> p.query_id AND p.neg_id <> p.pos_id " +
+        s"AND ${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} <= p.pos_cos - 0.1"
+    }
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val lists = Dedup.ivfSearchTwoLevel(t.embeddings, "vec_id", "embedding",
+      lit(true), k = ivfAutoK(t), kc = ivfAutoKc(t), nprobe = 2, topK = 1)
+    val n = t.embeddings.count() // the ivfAutoK count, one cheap action
+    val norms = Dedup.withNorm(t.embeddings, "vec_id", "embedding")
+    val pick = lists.select(col("query_id"), col("neighbor_id").as("pos_id"),
+      col("cosine").as("pos_cos"),
+      ((col("query_id") * lit(48271L)) % lit(n)).as("neg_id"))
+    pick
+      .join(norms.select(col("vec_id").as("aid"), col("embedding").as("ae"),
+        col("nrm").as("an")), col("aid") === col("query_id"))
+      .join(norms.select(col("vec_id").as("bid"), col("embedding").as("be"),
+        col("nrm").as("bn")), col("bid") === col("neg_id"))
+      .select(col("query_id").as("anchor_id"), col("pos_id"), col("neg_id"),
+        col("pos_cos"),
+        (expr("float_vec_dot(ae, be)") / (col("an") * col("bn"))).as("neg_cos"))
+      .filter(col("neg_id") =!= col("anchor_id") &&
+        col("neg_id") =!= col("pos_id") &&
+        col("neg_cos") <= col("pos_cos") - 0.1)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -6511,6 +6659,6 @@ object TrainingData {
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
-    x178, x179, x180, x181, x182, x183, x184, x185, x186
+    x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189
   )
 }

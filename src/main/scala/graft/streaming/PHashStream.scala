@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of the x187 perceptual near-dup — the ingest-time
+  * media gate of a continuously assembled multimodal corpus: each
+  * arriving micro-batch's payloads are hashed with the codegen 64-bit
+  * block-mean hash (`block_hash64`, the same expression the batch
+  * operator plans), banded into 8 byte-bands, and near-dup'd against
+  * the STANDING signature registry plus the batch's own rows; every
+  * pair within `maxHamming` bits is reported and the batch's
+  * signatures extend the registry — so later arrivals are judged
+  * against everything indexed before them, and the union of per-batch
+  * pair reports is exactly the batch operator's pair inventory over
+  * the same corpus (PHashStreamSpec pins stream ≡ batch across
+  * shuffled batching).
+  *
+  * Scale shape: the registry holds 16 bytes per media row (id + hash)
+  * — no payload bytes ever re-shuffle after ingest — and candidate
+  * generation is the (band, byte) equi-join, so per-batch work is
+  * O(batch + matching band buckets), never batch × corpus. The band
+  * expansion is a projection of the registry scan (8 rows per
+  * signature); a cluster deployment that outgrows the scan keeps the
+  * registry pre-bucketed by (band, byte) — same join, partition-pruned
+  * probe — without touching this operator's semantics. Pairs and
+  * registry extensions land under `batch_id=<id>` partitions with the
+  * batch's own partition excluded on read, so a replayed batch
+  * overwrites its previous attempt instead of judging against it (the
+  * [[SegmentDedupStream]] idempotence pattern). Unlike the batch
+  * operator there is no distinct-signature collapse before the band
+  * join: the registry is probed per batch and the per-batch DISTINCT
+  * on candidate pairs bounds the multi-band duplication at 8× a
+  * batch's own candidates.
+  */
+object PHashStream {
+
+  /** Start the gate over a streaming frame carrying (doc_id, content:
+    * binary). Near-dup pairs (doc_a < doc_b, hamming) land under
+    * `pairsPath/batch_id=<id>`; the growing signature registry under
+    * `registryPath/batch_id=<id>` (seed any pre-existing corpus under
+    * batch_id=-1 with columns (doc_id, phash)). */
+  def startPerceptualNearDup(
+      newMedia: DataFrame,
+      registryPath: String,
+      pairsPath: String,
+      checkpoint: String,
+      maxHamming: Int = 7): StreamingQuery = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8-band blocking guarantees recall only for maxHamming in [0,7], got $maxHamming")
+    newMedia.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.BlockHashFunctions.ensureRegistered(spark)
+        val fresh = batch.toDF()
+          .select(col("doc_id"), expr("block_hash64(content)").as("phash"))
+          .transform(graft.plans.Pin.pin) // hashed once; banded + written below
+        val standing = spark.read
+          .schema("doc_id BIGINT, phash BIGINT, batch_id BIGINT")
+          .parquet(registryPath)
+          .filter(col("batch_id") =!= batchId)
+          .select(col("doc_id"), col("phash"))
+
+        def banded(df: DataFrame, side: String): DataFrame = df.select(
+          col("doc_id").as(s"doc_$side"), col("phash").as(s"sig_$side"),
+          posexplode(array((0 until 8).map(b =>
+            shiftright(col("phash"), 8 * b).bitwiseAND(255)): _*))
+            .as(Seq("band", "bb")))
+
+        // standing × new plus new × new within the batch — each
+        // unordered pair meets exactly once across the stream's life:
+        // cross-batch through the registry (standing side strictly
+        // precedes the batch), within-batch through the id-ordered
+        // self-join
+        val vsStanding = banded(standing, "a")
+          .join(banded(fresh, "b"), Seq("band", "bb"))
+        val within = banded(fresh, "a")
+          .join(banded(fresh, "b"), Seq("band", "bb"))
+          .filter(col("doc_a") < col("doc_b"))
+        vsStanding.unionAll(within)
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+            col("sig_a"), col("sig_b"))
+          .distinct() // multi-band candidate dupes, bounded at 8×
+          .select(col("doc_a"), col("doc_b"),
+            expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+          .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
+        fresh.write.mode("overwrite").parquet(s"$registryPath/batch_id=$batchId")
+        graft.operators.Dedup.release(fresh)
+      }
+      .start()
+  }
+}

@@ -70,4 +70,59 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.embedding.forall(v => v >= -0.5f && v <= 0.5f))
     }
   }
+
+  test("blockHash: block-mean law on hand-computable payloads") {
+    import graft.functions.BlockHashUtil.hash
+    assert(hash(Array.emptyByteArray) === 0L)
+    // uniform payload: no block mean strictly exceeds the global mean
+    assert(hash(Array.fill[Byte](256)(42)) === 0L)
+    // first half low, second half high: exactly blocks 32..63 set
+    val split = Array.tabulate[Byte](128)(i => if (i < 64) 0 else 100)
+    val expected = (32 until 64).foldLeft(0L)((acc, b) => acc | (1L << (63 - b)))
+    assert(hash(split) === expected)
+    // n < 64: only blocks with ⌊b·n/64⌋ < ⌊(b+1)·n/64⌋ are non-empty —
+    // for n=2 that is block 31 (byte 0, low) and block 63 (byte 1,
+    // high); only the high one exceeds the global mean
+    val tiny = Array[Byte](0, 100)
+    assert(hash(tiny) === 1L)
+  }
+
+  test("perceptual hash: SQL expression ≡ static helper, sign bit included") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BlockHashUtil
+    val media = Multimodal.packMedia(docs).toDF()
+    val viaExpr = Multimodal.perceptualHashes(media, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStatic = media.select(col("doc_id"), col("content")).collect()
+      .map(r => r.getLong(0) -> BlockHashUtil.hash(r.getAs[Array[Byte]](1))).toMap
+    assert(viaExpr === viaStatic)
+    assert(viaExpr.nonEmpty)
+  }
+
+  test("perceptualNearDups: recall 1.0 vs brute force at hamming <= 7") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BlockHashUtil
+    // planted single-byte perturbations, the x187 shape
+    val pert = docs.filter(col("doc_id") % 5 === 0)
+      .selectExpr("doc_id + 10000000 AS doc_id",
+        "concat(substring(text, 1, cast(floor(length(text) / 2) as int)), '~', " +
+          "substring(text, cast(floor(length(text) / 2) as int) + 2)) AS text")
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(pert)
+    val media = Multimodal.packMedia(corpus).toDF()
+    val got = Multimodal.perceptualNearDups(media, "doc_id", "content", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force ground truth over all pairs
+    val sigs = media.collect()
+      .map(r => r.getAs[Long]("doc_id") -> BlockHashUtil.hash(r.getAs[Array[Byte]]("content")))
+    val truth = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === truth)
+    assert(got.nonEmpty) // the planted pairs actually surface
+    // blocking guard: 8 bands cannot guarantee recall past 7 bits
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualNearDups(media, "doc_id", "content", maxHamming = 8)
+    }
+  }
 }
