@@ -14,10 +14,12 @@ import org.apache.spark.sql.SparkSession
   * Three additions beyond the one-line contract:
   *   - the full JSON is ALSO written to SPARK_GRAFT_BENCH_OUT (default
   *     ./BENCH_LOCAL.json) so a truncated stdout capture can't lose it;
-  *   - the six gold analogs are re-timed at SPARK_GRAFT_SF_DIR_SMALL
-  *     (default sf0.01, ~60k lineitem rows — the scale actually
-  *     comparable to BASELINE.md's 28.5k rows) and reported under
-  *     `queries_small` / `total_small` in the same JSON object;
+  *   - the six gold analogs are timed FIRST, in the clean JVM, at
+  *     SPARK_GRAFT_SF_DIR_SMALL (default sf0.01, ~60k lineitem rows —
+  *     the scale actually comparable to BASELINE.md's 28.5k rows) and
+  *     reported under `queries_small` / `total_small` in the same JSON
+  *     object; the full-registry pass runs after, so its same-JVM
+  *     old-gen pressure can't inflate the gate-graded numbers;
   *   - a SECOND, compact JSON line (total + the baseline-comparable
   *     small-SF timings + a pointer to the full file, no per-query map)
   *     prints last: the driver keeps only the final ~2000 chars of
@@ -97,7 +99,6 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = bench(qs, sfDir)
 
     // the baseline-comparable set IS the gold-analog registry — derived,
     // not a name-prefix match, so renames can't silently empty the pass
@@ -118,6 +119,15 @@ object Bench {
     // (SCALE.md "Bench-drift postmortem"). min-of-3 keeps the artifact
     // honest about the engine's repeatable cost while still being a
     // real end-to-end execution each pass.
+    //
+    // ORDER MATTERS (round-12 verdict item 1b): this micro-suite runs
+    // FIRST, in the clean JVM, BEFORE the full-registry sf0.1 pass.
+    // BENCH_NOTES_r12.md measured that a ~24-minute same-JVM 223-query
+    // pass leaves old-gen pressure that inflates later queries up to
+    // 2.6× (min-of-N does not cure it); running the gate-graded gold
+    // suite after it recorded 4.23 s where a clean JVM measures 2.87 s.
+    // Clean-JVM-first makes the official artifact measure the same
+    // quantity as the controlled experiment.
     val goldSmall =
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
         spark.conf.set("spark.sql.shuffle.partitions", "1")
@@ -125,6 +135,8 @@ object Bench {
           defaultPasses = 3)
         finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
       } else Seq.empty
+
+    val results = bench(qs, sfDir)
     val smallJson =
       if (goldSmall.isEmpty) ""
       else s""","queries_small":${toJson(goldSmall)},"total_small":${totalOf(goldSmall)},"sf_small":"$smallDir""""

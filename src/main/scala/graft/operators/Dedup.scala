@@ -22,12 +22,22 @@ object Dedup {
     * plans are a no-op. Call this once the result has been consumed in a
     * long-lived session; otherwise the blocks stay pinned until the RDD
     * object is garbage collected. */
-  def release(df: DataFrame): Unit =
+  def release(df: DataFrame): Unit = {
+    // localCheckpoint / checkpoint pins surface as LogicalRDD leaves
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+    // `spark.graft.pin=eager` pins via persist(MEMORY_AND_DISK), which
+    // leaves NO LogicalRDD in the plan — the frame itself is registered
+    // with the cache manager. Without this, every release() under the
+    // eager posture was a silent no-op and iterative operators
+    // accumulated persisted blocks for the job's lifetime (round-12
+    // advice). unpersist on a never-persisted frame is a no-op, and
+    // non-cascading, so independently cached downstream frames survive.
+    df.unpersist(blocking = false)
+  }
 
   /** Exact dedup: one shuffle on content; canonical row = min id. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
@@ -137,15 +147,18 @@ object Dedup {
       .select(col(idCol), col("pos"), col("h"),
         // the 2²⁰ packing is the shared x139 convention (the streaming
         // registry and the DuckDB oracles replay it), so a doc with
-        // ≥2²⁰ tokens or a negative id would SILENTLY collide keys
-        // across documents — fail loudly instead. The guard is one
-        // codegen'd branch per window; raise_error's NullType casts
-        // cleanly into the LongType arithmetic and never fires on
-        // well-formed input, so the hot path is unchanged.
+        // ≥2²⁰ tokens, a negative id, or an id ≥ 2⁴³ (whose ·2²⁰
+        // product wraps Long BEFORE the sum — the wrap itself is the
+        // collision) would SILENTLY collide keys across documents —
+        // fail loudly instead. The guard is one codegen'd branch per
+        // window; raise_error's NullType casts cleanly into the
+        // LongType arithmetic and never fires on well-formed input, so
+        // the hot path is unchanged.
         (col(idCol) * lit(1048576L) +
-          when(col("pos") < lit(1048576L) && col(idCol) >= 0, col("pos"))
+          when(col("pos") < lit(1048576L) && col(idCol) >= 0 &&
+              col(idCol) <= lit(Long.MaxValue / 1048576L), col("pos"))
             .otherwise(raise_error(concat(
-              lit("spanGrams packing overflow: need 0 <= id and pos < 2^20, got id="),
+              lit("spanGrams packing overflow: need 0 <= id < 2^43 and pos < 2^20, got id="),
               col(idCol).cast("string"), lit(" pos="),
               col("pos").cast("string"))).cast("long"))).as("kk"))
   }

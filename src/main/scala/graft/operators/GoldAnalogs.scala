@@ -398,20 +398,23 @@ object GoldAnalogs {
         "(SELECT point_differential FROM biggest_loss) AS biggest_loss_margin"
     )
   ) { t =>
-    // ONE broadcast build instead of two: nation's n_name filter cuts
-    // 25 → 1 nation BEFORE the dims join, the pre-joined (customer ⋈
-    // nation) frame is 1/25th of customer, and the fact side probes a
-    // single broadcast hash table once — at 100 TB that is one
-    // pipelined BHJ over the orders scan with a semi-join-reduced build
-    // side, instead of probing ALL customers and filtering after. At
-    // sf0.01 it also removes one of g05's two broadcast-build jobs
-    // (BENCH_NOTES_r12 records the warm floor decomposition).
+    // Nation's n_name filter cuts 25 → 1 nation BEFORE the dims join,
+    // so the (customer ⋈ nation) frame is 1/25th of customer and the
+    // fact side probes one hash table with a semi-join-reduced build
+    // side instead of probing ALL customers and filtering after. The
+    // broadcast hint sits ONLY on the constant-25-row nation side: the
+    // customer-reduced frame is broadcast-sized at any test SF (size
+    // statistics pick BHJ without a hint, so the sf0.01 one-build job
+    // floor in BENCH_NOTES_r12 is unchanged), but at 100 TB it is
+    // hundreds of millions of keys — a forced broadcast there would
+    // blow the 8 GB broadcast limit, so stats/AQE must be free to pick
+    // a shuffle join (round-12 advice).
     val dims = t.customer
-      .join(t.nation.filter(col("n_name") === streakNation),
+      .join(broadcast(t.nation.filter(col("n_name") === streakNation)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"))
     val teamGames = t.orders
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .filter(col("o_orderstatus").isin("F", "O"))
       .select(
         seasonCol(col("o_orderdate")).as("season"),

@@ -80,6 +80,13 @@ object PHashStream {
           .join(banded(fresh, "b"), Seq("band", "bb"))
           .filter(col("doc_a") < col("doc_b"))
         vsStanding.unionAll(within)
+          // a doc_id re-ingested in a later batch (or seeded at
+          // batch_id=-1 and re-arriving) would meet itself through the
+          // registry as a degenerate (d, d, hamming 0) pair the batch
+          // operator never emits — drop self-pairs to keep the
+          // documented stream ≡ batch pair inventory under duplicate
+          // ingest (the within side already enforces doc_a < doc_b)
+          .filter(col("doc_a") =!= col("doc_b"))
           .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
             greatest(col("doc_a"), col("doc_b")).as("doc_b"),
             col("sig_a"), col("sig_b"))
