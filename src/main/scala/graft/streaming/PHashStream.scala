@@ -33,6 +33,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * join: the registry is probed per batch and the per-batch DISTINCT
   * on candidate pairs bounds the multi-band duplication at 8× a
   * batch's own candidates.
+  *
+  * Duplicate ingest: an arriving doc_id that already exists in the
+  * standing registry is dropped before pair generation and before the
+  * registry write (doc_id anti-join), so the registry stays one row
+  * per doc_id and each unordered pair meets exactly once across the
+  * stream's life even when a doc re-arrives (PHashStreamSpec pins
+  * this).
   */
 object PHashStream {
 
@@ -54,14 +61,30 @@ object PHashStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         graft.functions.BlockHashFunctions.ensureRegistered(spark)
-        val fresh = batch.toDF()
+        val hashed = batch.toDF()
           .select(col("doc_id"), expr("block_hash64(content)").as("phash"))
-          .transform(graft.plans.Pin.pin) // hashed once; banded + written below
         val standing = spark.read
           .schema("doc_id BIGINT, phash BIGINT, batch_id BIGINT")
           .parquet(registryPath)
           .filter(col("batch_id") =!= batchId)
           .select(col("doc_id"), col("phash"))
+        // Duplicate-ingest gate: a doc_id already in the registry (seeded
+        // at batch_id=-1 or ingested by an earlier batch) is dropped here
+        // BEFORE pair generation and the registry write. Without it a
+        // re-ingested doc leaves two registry rows (its original batch
+        // partition plus this one), so every LATER batch re-meets that
+        // doc's partners through the duplicated row and the per-batch
+        // DISTINCT — scoped to one batch — cannot dedup across batches.
+        // Anti-joining up front keeps both invariants at once: the
+        // registry holds exactly one row per doc_id for the stream's
+        // life, and each unordered pair meets exactly once (a re-arrival
+        // already met everyone when first indexed, so it emits nothing).
+        // The anti-join is doc_id-only — registry-row-sized (16 bytes/
+        // row), no payload bytes, same join key the registry would be
+        // bucketed by at cluster scale.
+        val fresh = hashed
+          .join(standing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .transform(graft.plans.Pin.pin) // hashed once; banded + written below
 
         def banded(df: DataFrame, side: String): DataFrame = df.select(
           col("doc_id").as(s"doc_$side"), col("phash").as(s"sig_$side"),
@@ -80,12 +103,10 @@ object PHashStream {
           .join(banded(fresh, "b"), Seq("band", "bb"))
           .filter(col("doc_a") < col("doc_b"))
         vsStanding.unionAll(within)
-          // a doc_id re-ingested in a later batch (or seeded at
-          // batch_id=-1 and re-arriving) would meet itself through the
-          // registry as a degenerate (d, d, hamming 0) pair the batch
-          // operator never emits — drop self-pairs to keep the
-          // documented stream ≡ batch pair inventory under duplicate
-          // ingest (the within side already enforces doc_a < doc_b)
+          // defensive only: with the duplicate-ingest anti-join above a
+          // doc in `fresh` is never in `standing`, so self-pairs cannot
+          // occur — kept so a future seeding path that bypasses the gate
+          // still cannot emit the degenerate (d, d, 0) pair
           .filter(col("doc_a") =!= col("doc_b"))
           .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
             greatest(col("doc_a"), col("doc_b")).as("doc_b"),

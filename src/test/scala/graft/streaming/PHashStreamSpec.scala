@@ -88,6 +88,70 @@ class PHashStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("duplicate ingest: re-arrived docs neither duplicate the registry nor re-meet prior partners") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("phash-dup").toString
+    val (registryPath, pairsPath, ckpt) =
+      (s"$root/registry", s"$root/pairs", s"$root/ckpt")
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, phash BIGINT"))
+      .write.parquet(s"$registryPath/batch_id=-1")
+
+    val docs = Tables(spark, sf).documents.filter(col("doc_id") < 60)
+    val pert = docs.filter(col("doc_id") % 5 === 0)
+      .selectExpr("doc_id + 10000000 AS doc_id",
+        "concat(substring(text, 1, cast(floor(length(text) / 2) as int)), '~', " +
+          "substring(text, cast(floor(length(text) / 2) as int) + 2)) AS text")
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(pert)
+    val media = Multimodal.packMedia(corpus)(spark).toDF()
+      .select("doc_id", "content")
+    val rows = media.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy { case (id, _) => ((id * 48271L) % 2147483647L, id) }
+    val (first, rest) = rows.splitAt(rows.length / 2)
+
+    val src = MemoryStream[(Long, Array[Byte])]
+    val q = PHashStream.startPerceptualNearDup(
+      src.toDF().toDF("doc_id", "content"),
+      registryPath, pairsPath, ckpt, maxHamming = 7)
+    try {
+      // batch 0: the first half; batch 1: the REST plus a full re-ingest
+      // of the first half (every batch-0 doc arrives a second time);
+      // batch 2: a third arrival of a few batch-0 docs, alone
+      src.addData(first: _*); q.processAllAvailable()
+      src.addData((rest ++ first): _*); q.processAllAvailable()
+      src.addData(first.take(5): _*); q.processAllAvailable()
+
+      // registry: exactly one row per doc_id over the stream's life
+      val regIds = spark.read.parquet(registryPath)
+        .filter(col("batch_id") >= 0).select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(regIds.length === regIds.distinct.length)
+      assert(regIds.toSet === rows.map(_._1).toSet)
+
+      // pairs: each unordered pair appears EXACTLY once across all
+      // batch partitions (counting rows, not the deduped set)
+      val pairCounts = spark.read.parquet(pairsPath)
+        .groupBy("doc_a", "doc_b").count()
+        .filter(col("count") > 1).count()
+      assert(pairCounts === 0L)
+
+      // and the union still equals the batch inventory
+      val streamed = spark.read.parquet(pairsPath)
+        .select("doc_a", "doc_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Multimodal.perceptualNearDups(media, "doc_id", "content", maxHamming = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("blocking guard refuses thresholds past the pigeonhole bound") {
     intercept[IllegalArgumentException] {
       PHashStream.startPerceptualNearDup(
