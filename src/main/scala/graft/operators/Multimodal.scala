@@ -111,6 +111,22 @@ object Multimodal {
     media.select(col(idCol), expr(s"block_hash64($binCol)").as("phash"))
   }
 
+  /** Real-decode hook: when a decoder exists upstream (a `mapInPandas`
+    * / codec stage producing a grayscale plane), pass its output as a
+    * pre-decoded `lumaCol` (binary) and the block-mean hash runs over
+    * the LUMA bytes — the actual perceptual-hash definition — while
+    * rows the decoder skipped (NULL luma) fall back to the raw payload,
+    * so a partially-decoded corpus still hashes every row. Everything
+    * downstream ([[perceptualNearDups]] banding, the streaming gate) is
+    * byte-identical: same expression, same 8-byte signature, same
+    * plan. */
+  def perceptualHashes(media: DataFrame, idCol: String, binCol: String,
+      lumaCol: String): DataFrame = {
+    graft.functions.BlockHashFunctions.ensureRegistered(media.sparkSession)
+    media.select(col(idCol),
+      expr(s"block_hash64(coalesce($lumaCol, $binCol))").as("phash"))
+  }
+
   /** Perceptual near-dup pairs within `maxHamming` bits of the 64-bit
     * [[perceptualHashes]] signature — image/video near-dup without a
     * codec, the binary-column twin of `Dedup.simhashHammingPairs`.
@@ -128,10 +144,22 @@ object Multimodal {
     * shift + 0xFF mask — sign-safe under two's complement in both
     * engines, so bit 0 (the sign bit) needs no special case. */
   def perceptualNearDups(media: DataFrame, idCol: String, binCol: String,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7): DataFrame =
+    perceptualNearDupsFromSigs(perceptualHashes(media, idCol, binCol),
+      idCol, maxHamming)
+
+  /** [[perceptualNearDups]] over the real-decode hook: signatures come
+    * from [[perceptualHashes]]' luma overload, the pair plan is the
+    * same code. */
+  def perceptualNearDups(media: DataFrame, idCol: String, binCol: String,
+      lumaCol: String, maxHamming: Int): DataFrame =
+    perceptualNearDupsFromSigs(perceptualHashes(media, idCol, binCol, lumaCol),
+      idCol, maxHamming)
+
+  private def perceptualNearDupsFromSigs(sigs: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8-band blocking guarantees recall only for maxHamming in [0,7], got $maxHamming")
-    val sigs = perceptualHashes(media, idCol, binCol)
     val distinctSigs = sigs.select(col("phash").as("siga")).distinct()
     val bandBytes: Int => Column =
       b => shiftright(col("siga"), 8 * b).bitwiseAND(255)
@@ -154,21 +182,42 @@ object Multimodal {
   }
 
   /** Resize STUB: deterministic byte subsampling to a target "resolution"
-    * (every k-th byte so the output has ~targetBytes), with metadata
-    * updated to the target dimensions — the image-resize shape without a
-    * codec. */
+    * (every `step`-th byte so the output has ~targetBytes = targetW ×
+    * targetH / 256 bytes), with metadata updated to the target
+    * dimensions — the image-resize shape without a codec.
+    *
+    * Pure Catalyst since round 14 (was `mapPartitions`): the kept
+    * indices are `sequence(0, m-1)`; each kept byte is an O(1)
+    * one-byte binary `substr` at `i·step`, hex-encoded (O(1) on one
+    * byte — encoding inside the lambda keeps every per-element step
+    * constant-time, where hex-ing the whole payload outside it would
+    * be re-evaluated per element once CollapseProject inlines the
+    * alias into the lambda); `array_join` reassembles the hex pairs
+    * linearly and `unhex` restores bytes. Everything is codegen'd
+    * builtins inside the scan projection — column pruning and
+    * whole-stage codegen apply, and the operator composes with
+    * filters/joins without an analysis barrier, which the old
+    * `mapPartitions` (an opaque `SerializeFromObject` wall) blocked. */
   def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    media.mapPartitions { records =>
-      records.map { r =>
-        val targetBytes = math.max(targetW * targetH / 256, 1)
-        val step = math.max(r.content.length / targetBytes, 1)
-        val resized = r.content.indices.by(step).map(r.content).toArray
-        r.copy(
-          content = resized,
-          meta = r.meta.copy(width = targetW, height = targetH)
-        )
-      }
-    }
+    val targetBytes = math.max(targetW * targetH / 256, 1)
+    val len = length(col("content")) // byte length of the binary payload
+    val step = greatest(floor(len / lit(targetBytes)).cast("int"), lit(1))
+    // kept indices 0, step, 2·step, … < len  →  m = ⌊(len−1)/step⌋ + 1
+    val m = (floor((len - 1) / step) + 1).cast("int")
+    val resized = when(len === 0, col("content")).otherwise(
+      unhex(array_join(
+        transform(sequence(lit(0), m - 1), i =>
+          hex(col("content").substr(i * step + 1, lit(1)))),
+        "")))
+    media.toDF().select(
+      col("doc_id"),
+      resized.as("content"),
+      struct(
+        col("meta.format").as("format"),
+        lit(targetW).as("width"),
+        lit(targetH).as("height"),
+        col("meta.nFrames").as("nFrames")).as("meta")
+    ).as[MediaRecord]
   }
 }

@@ -53,6 +53,53 @@ class MultimodalSpec extends AnyFunSuite {
     resized.foreach(r => assert(again(r.doc_id) === r.content.toSeq))
   }
 
+  test("resize: Catalyst expression form ≡ the original mapPartitions law") {
+    val media = Multimodal.packMedia(docs)
+    val got = Multimodal.resize(media, targetW = 64, targetH = 64)
+      .collect().map(r => r.doc_id -> r).toMap
+    // the pre-round-14 imperative law, replayed row-by-row
+    media.collect().foreach { r =>
+      val targetBytes = math.max(64 * 64 / 256, 1)
+      val step = math.max(r.content.length / targetBytes, 1)
+      val expected = r.content.indices.by(step).map(r.content).toArray
+      val g = got(r.doc_id)
+      assert(g.content.toSeq === expected.toSeq, s"doc ${r.doc_id}")
+      assert(g.meta.width === 64 && g.meta.height === 64)
+      assert(g.meta.format === r.meta.format && g.meta.nFrames === r.meta.nFrames)
+    }
+    // and it stays inside Catalyst: no object-serialization wall in the plan
+    val plan = Multimodal.resize(media, 64, 64).queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"), plan)
+  }
+
+  test("perceptualHashes luma hook: hashes decoded luma, falls back on NULL") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BlockHashUtil
+    // synthetic "decoded" luma: the payload minus its first byte (a
+    // binary substr, stays BinaryType) for even doc_ids, NULL (decoder
+    // skipped) for odd ones
+    val media = Multimodal.packMedia(docs).toDF()
+      .withColumn("luma",
+        when(col("doc_id") % 2 === 0,
+          col("content").substr(lit(2), length(col("content")))))
+    val got = Multimodal.perceptualHashes(media, "doc_id", "content", "luma")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    media.select("doc_id", "content", "luma").collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = if (r.isNullAt(2)) r.getAs[Array[Byte]](1) else r.getAs[Array[Byte]](2)
+      assert(got(id) === BlockHashUtil.hash(bytes), s"doc $id")
+    }
+    // near-dup pair plan is byte-identical code: pairs over the luma
+    // signatures equal pairs over a frame whose content IS the luma
+    val viaHook = Multimodal.perceptualNearDups(media, "doc_id", "content", "luma", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaContent = Multimodal.perceptualNearDups(
+      media.withColumn("content", coalesce(col("luma"), col("content"))),
+      "doc_id", "content", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaHook === viaContent)
+  }
+
   test("extractFeatures: partition-batched, deterministic, consistent") {
     val media = Multimodal.packMedia(docs)
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
