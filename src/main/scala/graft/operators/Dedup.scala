@@ -2352,6 +2352,165 @@ object Dedup {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Exact integer cube root: largest t with t³ ≤ n, via a float seed
+    * ±1-adjusted — the adjustment makes the result exact whatever the
+    * seed's last-ulp rounding (pow(n, 1/3) can read 3.999…96 at a
+    * perfect cube), and the identical two-step law is replayable in
+    * ANSI SQL (POWER seed + CASE adjust), so both engines derive the
+    * same integer from the same count. */
+  private[graft] def icbrt(n: Long): Long = {
+    val t0 = math.floor(math.pow(n.toDouble, 1.0 / 3.0) + 0.5).toLong
+    if ((t0 + 1) * (t0 + 1) * (t0 + 1) <= n) t0 + 1
+    else if (t0 * t0 * t0 <= n) t0
+    else t0 - 1
+  }
+
+  /** Routing-depth dispatcher for the registered IVF-backed queries:
+    * `spark.graft.ivf.levels` = "2" (default — the oracle-replayed
+    * two-level law, every registered result unchanged) or "3" (the
+    * SCALE.md x137/x183 mitigation: top/mid sizes k^(1/3)/k^(2/3), so
+    * assignment pays n·3·k^(1/3) ≈ n^1.125 at the auto-k policy
+    * instead of two-level's n·2·√k ≈ n^1.25). Level 3 changes WHICH
+    * approximate neighbors surface (routing is approximate per level),
+    * so it is a deliberate opt-in for scale runs — x190 carries the
+    * hash oracle for the three-level law itself. */
+  def ivfSearchRouted(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int, kc: Int, nprobe: Int, topK: Int): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.ivf.levels").getOrElse("2") match {
+      case "2" => ivfSearchTwoLevel(df, idCol, vecCol, queryPred, k, kc, nprobe, topK)
+      case "3" =>
+        val kct = math.max(2L, icbrt(k.toLong)).toInt
+        val kcm = math.max(4, kct * kct)
+        ivfSearchThreeLevel(df, idCol, vecCol, queryPred, k, kcm, kct, nprobe, topK)
+      case other => sys.error(s"spark.graft.ivf.levels must be 2 or 3, got '$other'")
+    }
+
+  /** Three-level (top → mid → fine) deterministic IVF assignment — the
+    * L = 3 instance of the Θ(n·L·k^(1/L)) routing family SCALE.md
+    * documents as the x137/x183 exponent mitigation: two-level
+    * assignment pays n·(kc + k/kc) ≥ n·2√k cosines (n^1.25 at the
+    * auto-k k = √n), three levels pay n·(kct + kcm/kct + k/kcm) ≥
+    * n·3·k^(1/3) (n^1.125) when kct ≈ k^(1/3), kcm ≈ k^(2/3). Same
+    * deterministic seed rule at every level (first `kct`/`kcm`/`k`
+    * vectors by id), same id tiebreaks, so the full route is
+    * bit-reproducible and the DuckDB oracle replays it (x190). Like
+    * the two-level router, each level's routing is approximate (the
+    * true nearest fine centroid may live under a different mid/top) —
+    * one more level trades a little recall for the exponent, measured
+    * in BENCH_NEW_r14, never assumed. Children route only to parents
+    * that own at least one descendant, so no vector is dropped. */
+  def ivfAssignThreeLevel(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, kcm: Int, kct: Int): DataFrame =
+    ivfIndexThreeLevel(df, idCol, vecCol, k, kcm, kct)._4
+
+  /** Shared three-level index build: (fineParent, midParent, activeTop,
+    * assigned). `fineParent` = (cent_id, ce, cn, parent) — each fine
+    * centroid under its nearest MID; `midParent` = (mi_id, me, mn,
+    * ptop) — each ACTIVE mid (≥ 1 fine child) under its nearest TOP;
+    * `activeTop` = (to_id, te, tn) tops owning ≥ 1 active mid;
+    * `assigned` = the corpus routed top→mid→fine. Queries route through
+    * the identical frames ([[ivfSearchThreeLevel]]), so routing and
+    * cell contents can never disagree. */
+  private def ivfIndexThreeLevel(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, kcm: Int, kct: Int
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val norms = withNorm(df, idCol, vecCol)
+    val fine = norms.filter(col(idCol) < k).select(
+      col(idCol).as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val mid = norms.filter(col(idCol) < kcm).select(
+      col(idCol).as("mi_id"), col("embedding").as("me"), col("nrm").as("mn"))
+    val top = norms.filter(col(idCol) < kct).select(
+      col(idCol).as("to_id"), col("embedding").as("te"), col("nrm").as("tn"))
+    // fine → nearest mid (k×kcm rows, k out — bounded window)
+    val fineParent = fine.crossJoin(broadcast(mid))
+      .select(col("cent_id"), col("ce"), col("cn"), col("mi_id"),
+        (expr("float_vec_dot(ce, me)") / (col("cn") * col("mn"))).as("mcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cent_id")).orderBy(col("mcos").desc, col("mi_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("ce"), col("cn"), col("mi_id").as("parent"))
+    val activeMid = mid.join(
+      fineParent.select(col("parent")).distinct(),
+      col("mi_id") === col("parent"), "left_semi")
+    // active mid → nearest top (kcm×kct rows — bounded window)
+    val midParent = activeMid.crossJoin(broadcast(top))
+      .select(col("mi_id"), col("me"), col("mn"), col("to_id"),
+        (expr("float_vec_dot(me, te)") / (col("mn") * col("tn"))).as("tcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("mi_id")).orderBy(col("tcos").desc, col("to_id"))))
+      .filter(col("rn") === 1)
+      .select(col("mi_id"), col("me"), col("mn"), col("to_id").as("ptop"))
+    val activeTop = top.join(
+      midParent.select(col("ptop")).distinct(),
+      col("to_id") === col("ptop"), "left_semi")
+    // the three n-scale argmaxes route through the bounded top-k prune
+    val vTop = Ranks.topKPerGroup(
+      norms.crossJoin(broadcast(activeTop))
+        .select(col(idCol), col("embedding"), col("nrm"), col("to_id"),
+          (expr("float_vec_dot(embedding, te)") / (col("nrm") * col("tn"))).as("tcos")),
+      Seq(idCol), Seq(("tcos", false), ("to_id", true)), 1)
+      .select(col(idCol), col("embedding"), col("nrm"), col("to_id").as("ptop"))
+    val vMid = Ranks.topKPerGroup(
+      vTop.join(broadcast(midParent), Seq("ptop"))
+        .select(col(idCol), col("embedding"), col("nrm"), col("mi_id"),
+          (expr("float_vec_dot(embedding, me)") / (col("nrm") * col("mn"))).as("mcos")),
+      Seq(idCol), Seq(("mcos", false), ("mi_id", true)), 1)
+      .select(col(idCol), col("embedding"), col("nrm"), col("mi_id").as("parent"))
+    val assigned = Ranks.topKPerGroup(
+      vMid.join(broadcast(fineParent), Seq("parent"))
+        .select(col(idCol), col("embedding"), col("nrm"), col("cent_id"),
+          (expr("float_vec_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("fcos")),
+      Seq(idCol), Seq(("fcos", false), ("cent_id", true)), 1)
+      .select(col(idCol), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    (fineParent, midParent, activeTop, assigned)
+  }
+
+  /** [[ivfSearchTwoLevel]] with THREE-LEVEL routing on both sides —
+    * corpus vectors route top→mid→fine (n·(kct + kcm/kct + k/kcm)
+    * cosines); each query routes to its one top, its one mid under
+    * that top, then its `nprobe` nearest fine cells under that mid (a
+    * mid owning fewer than nprobe children probes them all —
+    * deterministic on both engines). */
+  def ivfSearchThreeLevel(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int, kcm: Int, kct: Int, nprobe: Int, topK: Int
+  ): DataFrame = {
+    val (fineParent, midParent, activeTop, assigned) =
+      ivfIndexThreeLevel(df, idCol, vecCol, k, kcm, kct)
+    val queries = withNorm(df, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .filter(queryPred)
+    val qTop = Ranks.topKPerGroup(
+      queries.crossJoin(broadcast(activeTop))
+        .select(col("query_id"), col("qe"), col("qn"), col("to_id"),
+          (expr("float_vec_dot(qe, te)") / (col("qn") * col("tn"))).as("tcos")),
+      Seq("query_id"), Seq(("tcos", false), ("to_id", true)), 1)
+      .select(col("query_id"), col("qe"), col("qn"), col("to_id").as("ptop"))
+    val qMid = Ranks.topKPerGroup(
+      qTop.join(broadcast(midParent), Seq("ptop"))
+        .select(col("query_id"), col("qe"), col("qn"), col("mi_id"),
+          (expr("float_vec_dot(qe, me)") / (col("qn") * col("mn"))).as("mcos")),
+      Seq("query_id"), Seq(("mcos", false), ("mi_id", true)), 1)
+      .select(col("query_id"), col("qe"), col("qn"), col("mi_id").as("parent"))
+    val probed = Ranks.topKPerGroup(
+      qMid.join(broadcast(fineParent), Seq("parent"))
+        .select(col("query_id"), col("qe"), col("qn"), col("cent_id"),
+          (expr("float_vec_dot(qe, ce)") / (col("qn") * col("cn"))).as("fcos")),
+      Seq("query_id"), Seq(("fcos", false), ("cent_id", true)), nprobe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cent_id").as("cell"))
+    Ranks.topKPerGroup(
+      probed
+        .join(assigned, "cell")
+        .filter(col("query_id") =!= col(idCol))
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          (expr("float_vec_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cosine")),
+      Seq("query_id"), Seq(("cosine", false), ("neighbor_id", true)), topK)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** [[embeddingNearDupsIvf]] with candidate cells from the two-level
     * router ([[ivfAssignTwoLevel]]) — same exact within-cell rescoring
     * tail, assignment cost n·(kc + k/kc) instead of n·k. */

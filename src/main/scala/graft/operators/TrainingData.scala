@@ -4204,7 +4204,7 @@ object TrainingData {
     )
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val lists = Dedup.ivfSearchTwoLevel(t.embeddings, "vec_id", "embedding",
+    val lists = Dedup.ivfSearchRouted(t.embeddings, "vec_id", "embedding",
       lit(true), k = ivfAutoK(t), kc = ivfAutoKc(t), nprobe = 2, topK = 3)
     val edges = Dedup.mutualEdgesFromTopK(lists)
     val cc = Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
@@ -4237,7 +4237,7 @@ object TrainingData {
     )
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val lists = Dedup.ivfSearchTwoLevel(t.embeddings, "vec_id", "embedding",
+    val lists = Dedup.ivfSearchRouted(t.embeddings, "vec_id", "embedding",
       lit(true), k = ivfAutoK(t), kc = ivfAutoKc(t), nprobe = 2, topK = 5)
     val deg = lists.groupBy(col("neighbor_id")).agg(count(lit(1)).as("cnt"))
     t.embeddings.select(col("vec_id"))
@@ -4524,7 +4524,7 @@ object TrainingData {
     )
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val topk = Dedup.ivfSearchTwoLevel(t.embeddings, "vec_id", "embedding",
+    val topk = Dedup.ivfSearchRouted(t.embeddings, "vec_id", "embedding",
       col("query_id") % 10 === 0, k = ivfAutoK(t), kc = ivfAutoKc(t),
       nprobe = 2, topK = 5)
     val labels = t.embeddings.select(col("vec_id"), col("label"))
@@ -6327,7 +6327,7 @@ object TrainingData {
     )
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val lists = Dedup.ivfSearchTwoLevel(t.embeddings, "vec_id", "embedding",
+    val lists = Dedup.ivfSearchRouted(t.embeddings, "vec_id", "embedding",
       lit(true), k = ivfAutoK(t), kc = ivfAutoKc(t), nprobe = 2, topK = 3)
     val edges = Dedup.mutualEdgesFromTopK(lists)
     val cc = Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
@@ -6598,14 +6598,28 @@ object TrainingData {
     * neighbor from the registered IVF scale path
     * ([[Dedup.ivfSearchTwoLevel]] at the auto-k policy — per-anchor
     * probe work √n·nprobe, never corpus-wide), the NEGATIVE is an
-    * arithmetic-LCG pick over the id space (the F6 discipline — no
-    * rand(), reproducible on any cluster layout) verified against the
-    * triplet margin: a triplet survives iff neg_cos ≤ pos_cos − 0.1,
-    * and degenerate picks (the anchor itself or its positive) drop.
-    * One broadcast-probed search + one hash join against the norms
-    * frame — linear beyond the search itself; every cosine is the
-    * same IEEE expression both engines evaluate, so the whole mine
-    * carries a hash oracle. */
+    * arithmetic-LCG pick over a DENSE row index (the F6 discipline —
+    * no rand(), reproducible on any cluster layout) verified against
+    * the triplet margin: a triplet survives iff neg_cos ≤ pos_cos −
+    * 0.1, and degenerate picks (the anchor itself or its positive)
+    * drop.
+    *
+    * The LCG draw lands in rank space, not id space (round 14): the
+    * old `(query_id · 48271) mod n` pick assumed ids are dense 0…n−1 —
+    * on a sparse id space (deleted docs, sharded allocators) most
+    * draws named a nonexistent id and the inner join SILENTLY dropped
+    * those triplets. Now the draw indexes a dense 0…n−1 rank built as
+    * a BLOCKED row_number — row_number partitioned by `vec_id mod 64`
+    * plus per-block offsets from a 64-row count frame — equal to
+    * `ROW_NUMBER() OVER (ORDER BY vec_id % 64, vec_id) − 1` but with
+    * no global sort: the window is partitioned 64 ways, the offset
+    * frame is a broadcast of 64 rows, so the index is a scale path,
+    * not a driver bottleneck. Every id draws a real negative
+    * regardless of gaps (TrainingDataSpec pins the gapped-id
+    * property). One broadcast-probed search + one hash join against
+    * the norms frame — linear beyond the search itself; every cosine
+    * is the same IEEE expression both engines evaluate, so the whole
+    * mine carries a hash oracle. */
   val x189 = Q(
     "x189_contrastive_triplets",
     Some {
@@ -6613,9 +6627,11 @@ object TrainingData {
         s"${duckDot(a, b)} / ($an * $bn)"
       s"WITH ${duckIvfListCtes(nprobe = 2, topK = 1)}, " +
         "cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings), " +
+        "idx AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id % 64, vec_id) - 1 AS rn " +
+        "FROM embeddings), " +
         "pick AS (SELECT l.query_id, l.neighbor_id AS pos_id, " +
-        "l.cosine AS pos_cos, " +
-        "(l.query_id * 48271) % (SELECT n FROM cnt) AS neg_id FROM ivflists l) " +
+        "l.cosine AS pos_cos, i.vec_id AS neg_id FROM ivflists l " +
+        "JOIN idx i ON i.rn = (l.query_id * 48271) % (SELECT n FROM cnt)) " +
         "SELECT p.query_id AS anchor_id, p.pos_id, p.neg_id, p.pos_cos, " +
         s"${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS neg_cos " +
         "FROM pick p JOIN norms a ON a.vec_id = p.query_id " +
@@ -6625,13 +6641,17 @@ object TrainingData {
     }
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val lists = Dedup.ivfSearchTwoLevel(t.embeddings, "vec_id", "embedding",
+    val lists = Dedup.ivfSearchRouted(t.embeddings, "vec_id", "embedding",
       lit(true), k = ivfAutoK(t), kc = ivfAutoKc(t), nprobe = 2, topK = 1)
     val n = t.embeddings.count() // the ivfAutoK count, one cheap action
     val norms = Dedup.withNorm(t.embeddings, "vec_id", "embedding")
-    val pick = lists.select(col("query_id"), col("neighbor_id").as("pos_id"),
-      col("cosine").as("pos_cos"),
-      ((col("query_id") * lit(48271L)) % lit(n)).as("neg_id"))
+    val idx = denseRankIndex(t.embeddings, "vec_id")
+    val pick = lists
+      .withColumn("neg_rn", (col("query_id") * lit(48271L)) % lit(n))
+      .join(idx.select(col("rn").as("neg_rn"), col("vec_id").as("neg_id")),
+        Seq("neg_rn"))
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("cosine").as("pos_cos"), col("neg_id"))
     pick
       .join(norms.select(col("vec_id").as("aid"), col("embedding").as("ae"),
         col("nrm").as("an")), col("aid") === col("query_id"))
@@ -6643,6 +6663,119 @@ object TrainingData {
       .filter(col("neg_id") =!= col("anchor_id") &&
         col("neg_id") =!= col("pos_id") &&
         col("neg_cos") <= col("pos_cos") - 0.1)
+  }
+
+  /** Dense 0…n−1 rank over a (possibly sparse) id column with NO global
+    * sort: row_number partitioned by `id mod 64`, shifted by per-block
+    * offsets from the 64-row block-count frame (offset of block b =
+    * Σ counts of blocks < b, a 64×64 bounded self-join). Equal to
+    * `ROW_NUMBER() OVER (ORDER BY id % 64, id) − 1`, which is how the
+    * DuckDB oracle replays it — but the Spark plan keeps the window
+    * partitioned 64 ways and broadcasts the offsets, so it survives a
+    * corpus that would break an unpartitioned sort. */
+  private def denseRankIndex(df: DataFrame, idCol: String): DataFrame = {
+    val blocked = df.select(col(idCol).as("vec_id"),
+      pmod(col(idCol), lit(64L)).as("blk"))
+    val counts = blocked.groupBy("blk").agg(count(lit(1)).as("c"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.blk") < col("a.blk"), "left")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+    blocked.join(broadcast(offsets), Seq("blk"))
+      .select(col("vec_id"),
+        (row_number().over(
+          Window.partitionBy(col("blk")).orderBy(col("vec_id")))
+          .cast("long") - 1L + col("off")).as("rn"))
+  }
+
+  /** DuckDB CTE chain replaying [[Dedup.ivfSearchThreeLevel]] at the
+    * auto policy (k = ⌊√n⌋, kct = max(2, icbrt(k)), kcm = max(4,
+    * kct²)) — the L = 3 twin of [[duckIvfListCtes]]. The integer cube
+    * root uses the same float-seed ± 1 CASE adjustment as
+    * [[Dedup.icbrt]], so both engines derive the identical kct from
+    * the identical count even when POWER(k, 1/3) lands one ulp under a
+    * perfect cube. Yields `ivf3lists(query_id, neighbor_id, cosine)`. */
+  private def duckIvf3ListCtes(nprobe: Int, topK: Int): String = {
+    def cos(a: String, an: String, b: String, bn: String) =
+      s"${duckDot(a, b)} / ($an * $bn)"
+    s"$duckNorms, $duckAutoKCte, " +
+      "j3t AS (SELECT k, GREATEST(2, CASE " +
+      "WHEN (t0+1)*(t0+1)*(t0+1) <= k THEN t0+1 " +
+      "WHEN t0*t0*t0 <= k THEN t0 ELSE t0-1 END) AS kct FROM " +
+      "(SELECT k, CAST(FLOOR(POWER(CAST(k AS DOUBLE), 0.3333333333333333) + 0.5) AS BIGINT) AS t0 FROM kk) s), " +
+      "j3m AS (SELECT GREATEST(4, kct * kct) AS kcm FROM j3t), " +
+      "jfc AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn " +
+      "FROM norms WHERE vec_id < (SELECT k FROM kk)), " +
+      "jmc AS (SELECT vec_id AS mi_id, embedding AS me, nrm AS mn " +
+      "FROM norms WHERE vec_id < (SELECT kcm FROM j3m)), " +
+      "jtc AS (SELECT vec_id AS to_id, embedding AS te, nrm AS tn " +
+      "FROM norms WHERE vec_id < (SELECT kct FROM j3t)), " +
+      "jfparent AS (SELECT cent_id, ce, cn, mi_id AS parent FROM (" +
+      "SELECT f.cent_id, f.ce, f.cn, m.mi_id, " +
+      s"row_number() OVER (PARTITION BY f.cent_id ORDER BY " +
+      s"${cos("f.ce", "f.cn", "m.me", "m.mn")} DESC, m.mi_id) AS rn " +
+      "FROM jfc f CROSS JOIN jmc m) WHERE rn = 1), " +
+      "jamid AS (SELECT mi_id, me, mn FROM jmc " +
+      "WHERE mi_id IN (SELECT DISTINCT parent FROM jfparent)), " +
+      "jmparent AS (SELECT mi_id, me, mn, to_id AS ptop FROM (" +
+      "SELECT m.mi_id, m.me, m.mn, t.to_id, " +
+      s"row_number() OVER (PARTITION BY m.mi_id ORDER BY " +
+      s"${cos("m.me", "m.mn", "t.te", "t.tn")} DESC, t.to_id) AS rn " +
+      "FROM jamid m CROSS JOIN jtc t) WHERE rn = 1), " +
+      "jatop AS (SELECT to_id, te, tn FROM jtc " +
+      "WHERE to_id IN (SELECT DISTINCT ptop FROM jmparent)), " +
+      "jvtop AS (SELECT vec_id, embedding, nrm, ptop FROM (" +
+      "SELECT n.vec_id, n.embedding, n.nrm, t.to_id AS ptop, " +
+      s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+      s"${cos("n.embedding", "n.nrm", "t.te", "t.tn")} DESC, t.to_id) AS rn " +
+      "FROM norms n CROSS JOIN jatop t) WHERE rn = 1), " +
+      "jvmid AS (SELECT vec_id, embedding, nrm, parent FROM (" +
+      "SELECT v.vec_id, v.embedding, v.nrm, m.mi_id AS parent, " +
+      s"row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+      s"${cos("v.embedding", "v.nrm", "m.me", "m.mn")} DESC, m.mi_id) AS rn " +
+      "FROM jvtop v JOIN jmparent m ON v.ptop = m.ptop) WHERE rn = 1), " +
+      "jassigned AS (SELECT vec_id, embedding, nrm, cell FROM (" +
+      "SELECT v.vec_id, v.embedding, v.nrm, f.cent_id AS cell, " +
+      s"row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+      s"${cos("v.embedding", "v.nrm", "f.ce", "f.cn")} DESC, f.cent_id) AS rn " +
+      "FROM jvmid v JOIN jfparent f ON v.parent = f.parent) WHERE rn = 1), " +
+      "jprobed AS (SELECT query_id, qe, qn, cell FROM (" +
+      "SELECT v.vec_id AS query_id, v.embedding AS qe, v.nrm AS qn, " +
+      "f.cent_id AS cell, " +
+      s"row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+      s"${cos("v.embedding", "v.nrm", "f.ce", "f.cn")} DESC, f.cent_id) AS rn " +
+      s"FROM jvmid v JOIN jfparent f ON v.parent = f.parent) WHERE rn <= $nprobe), " +
+      "ivf3lists AS (SELECT query_id, neighbor_id, cosine FROM (" +
+      "SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      s"${cos("p.qe", "p.qn", "a.embedding", "a.nrm")} AS cosine, " +
+      s"row_number() OVER (PARTITION BY p.query_id ORDER BY " +
+      s"${cos("p.qe", "p.qn", "a.embedding", "a.nrm")} DESC, a.vec_id) AS rn " +
+      "FROM jprobed p JOIN jassigned a ON p.cell = a.cell " +
+      s"AND p.query_id <> a.vec_id) WHERE rn <= $topK)"
+  }
+
+  /** Three-level IVF top-k lists (x190) — the oracle gate for the
+    * L = 3 routing option ([[Dedup.ivfSearchThreeLevel]], exposed via
+    * `spark.graft.ivf.levels=3` on the registered IVF queries): every
+    * query's top-3 approximate neighbors under top→mid→fine routing at
+    * the auto policy. Same deterministic seed/tiebreak discipline as
+    * the two-level family, so the whole route carries a hash oracle;
+    * the exponent claim (n·3·k^(1/3) ≈ n^1.125 at auto-k) is measured
+    * in BENCH_NEW_r14, and recall vs the two-level lists is pinned in
+    * IvfSpec, not assumed. */
+  val x190 = Q(
+    "x190_ivf3_topk",
+    Some(
+      s"WITH ${duckIvf3ListCtes(nprobe = 2, topK = 3)} " +
+        "SELECT query_id, neighbor_id, cosine FROM ivf3lists"
+    )
+  ) { t =>
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val k = ivfAutoK(t)
+    val kct = math.max(2L, Dedup.icbrt(k.toLong)).toInt
+    val kcm = math.max(4, kct * kct)
+    Dedup.ivfSearchThreeLevel(t.embeddings, "vec_id", "embedding",
+      lit(true), k = k, kcm = kcm, kct = kct, nprobe = 2, topK = 3)
   }
 
   val all: Seq[Q] = Seq(
@@ -6659,6 +6792,7 @@ object TrainingData {
     x143, x144, x145, x146, x147, x148, x149, x150, x151, x152, x153, x154,
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
-    x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189
+    x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
+    x190
   )
 }

@@ -136,4 +136,62 @@ class IvfSpec extends AnyFunSuite {
     assert(r8 === 1.0) // probing every cell is exhaustive == brute force
     assert(r2 > 0.0)
   }
+
+  test("three-level assignment: every vector lands in exactly one fine cell") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val assigned = Dedup.ivfAssignThreeLevel(
+      emb, "vec_id", "embedding", k = 32, kcm = 9, kct = 3).cache()
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("vec_id").distinct().count() === emb.count())
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf((0L until 32L).toSet))
+    assert(cells.size > 1)
+  }
+
+  test("ivfSearchRouted: levels=3 flag switches the route, default stays two-level") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val pred = col("query_id") < 20
+    def lists(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = lists(Dedup.ivfSearchTwoLevel(
+      emb, "vec_id", "embedding", pred, k = 32, kc = 5, nprobe = 2, topK = 3))
+    val three = lists(Dedup.ivfSearchThreeLevel(
+      emb, "vec_id", "embedding", pred, k = 32, kcm = 9, kct = 3,
+      nprobe = 2, topK = 3))
+    // default (conf unset) routes two-level — registered results unchanged
+    assert(lists(Dedup.ivfSearchRouted(
+      emb, "vec_id", "embedding", pred, k = 32, kc = 5, nprobe = 2, topK = 3))
+      === two)
+    // flag=3 routes three-level with kct=icbrt(32)=3, kcm=9
+    spark.conf.set("spark.graft.ivf.levels", "3")
+    try {
+      assert(lists(Dedup.ivfSearchRouted(
+        emb, "vec_id", "embedding", pred, k = 32, kc = 5, nprobe = 2, topK = 3))
+        === three)
+    } finally spark.conf.unset("spark.graft.ivf.levels")
+    intercept[RuntimeException] {
+      spark.conf.set("spark.graft.ivf.levels", "4")
+      try Dedup.ivfSearchRouted(
+        emb, "vec_id", "embedding", pred, k = 32, kc = 5, nprobe = 2, topK = 3)
+      finally spark.conf.unset("spark.graft.ivf.levels")
+    }
+    // one more level is approximate, not degenerate: the L=3 lists keep
+    // a real share of the L=2 inventory on worst-case random vectors
+    val overlap = three.intersect(two).size.toDouble / two.size
+    assert(overlap > 0.2, s"L=3 overlap vs L=2 collapsed: $overlap")
+    assert(three.map(_._1) === two.map(_._1)) // every query still answered
+  }
+
+  test("icbrt: exact integer cube root at perfect cubes and off-cubes") {
+    assert(Dedup.icbrt(1L) === 1L)
+    assert(Dedup.icbrt(7L) === 1L)
+    assert(Dedup.icbrt(8L) === 2L)
+    assert(Dedup.icbrt(26L) === 2L)
+    assert(Dedup.icbrt(27L) === 3L)
+    assert(Dedup.icbrt(63L) === 3L)
+    assert(Dedup.icbrt(64L) === 4L)
+    assert(Dedup.icbrt(1000000L) === 100L)
+    assert(Dedup.icbrt(999999L) === 99L)
+  }
 }
