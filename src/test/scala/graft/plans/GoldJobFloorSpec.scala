@@ -1,0 +1,81 @@
+package graft.plans
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-model Spark JOB-COUNT floors for the six gold analogs —
+  * BASELINE.md's bench-gate decomposition made concrete: at sf0.01 the
+  * ~0.1–0.2 s/job scheduler floor × jobs/model is the dominant term of
+  * the gate-graded `total_small`, so a plan regression that adds a job
+  * (a lost broadcast, an extra eager subquery, an AQE re-plan) must
+  * fail TESTS here instead of surfacing as bench noise two rounds
+  * later. Counts are pinned under the exact bench micro-suite profile
+  * (local, shuffle.partitions=1, AQE on): if a legitimate plan change
+  * moves a count DOWN, update the pin and BASELINE.md's footnote
+  * together; a count moving UP is the regression this spec exists to
+  * catch. */
+class GoldJobFloorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("gold-job-floor-spec")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "1") // the bench gate profile
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Jobs launched by one full materialization of the model (the same
+    * noop-sink action Bench times). A first throwaway run absorbs
+    * one-time work (codegen, file listing) so the count is the
+    * steady-state one the bench's min-of-N passes measure. */
+  private def jobsOf(name: String): Int = {
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, sf).write.format("noop").mode("overwrite").save() // warm
+    val n = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      fn(spark, sf).write.format("noop").mode("overwrite").save()
+      // listener delivery is async; the bus has no public drain — a
+      // bounded poll is enough (job starts are enqueued before save()
+      // returns, the sleep only covers dispatch)
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var last = -1
+      while (System.nanoTime() < deadline && n.get() != last) {
+        last = n.get(); Thread.sleep(100)
+      }
+      n.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  // the pinned floors — BASELINE.md "Per-model job-count floors"
+  private val floors = Map(
+    "g01_summary_by_season" -> 5,
+    "g02_home_away_split" -> 4,
+    "g03_team_weakness_unpivot" -> 5,
+    "g04_contributions_unpivot" -> 4,
+    "g05_streaks_one_row" -> 4,
+    "g06_recommendations" -> 9
+  )
+
+  graft.operators.GoldAnalogs.all.map(_.name).foreach { name =>
+    test(s"$name: job count at its pinned floor") {
+      val floor = floors.getOrElse(name,
+        fail(s"no pinned floor for $name — add it here and in BASELINE.md"))
+      val got = jobsOf(name); info(s"$name jobs=$got")
+      assert(got <= floor,
+        s"$name launched $got jobs (pinned floor $floor) — a plan " +
+          "regression added scheduler work the sf0.01 bench gate pays for")
+    }
+  }
+}
