@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
   * through a noop sink so every column is fully materialized (a bare
   * count() would let Catalyst skip work).
   *
-  * Three additions beyond the one-line contract:
+  * Four additions beyond the one-line contract:
+  *   - a 20-job scheduler-floor probe runs first and its p50 is
+  *     reported as `sched_floor_p50` — the tenancy context every other
+  *     number in the artifact should be read against;
   *   - the full JSON is ALSO written to SPARK_GRAFT_BENCH_OUT (default
   *     ./BENCH_LOCAL.json) so a truncated stdout capture can't lose it;
   *   - the six gold analogs are timed FIRST, in the clean JVM, at
@@ -128,12 +131,18 @@ object Bench {
     //     within the same hour. Per-query reps measure the repeatable
     //     per-query cost the min-of-N estimator is FOR; the summed
     //     total still covers every model end-to-end.
-    //   * autoBroadcastJoinThreshold=-1 for this pass only: at sf0.01
-    //     each broadcast build is a separate job of pure scheduler
-    //     floor; single-partition sort-merge folds the work into one
-    //     job DAG — measured ~13 % faster with byte-identical results
-    //     (the sf0.1 pass keeps the cluster profile where broadcasts
-    //     win; GoldJobFloorSpec pins this pass's job counts).
+    //   * AQE off for this pass only: adaptive execution materializes
+    //     one JOB per query stage, and at 60k rows in one partition
+    //     there is nothing to adapt — each of those jobs is pure
+    //     scheduler floor. Classic execution runs each model as ONE
+    //     multi-stage job plus its broadcast builds: the measured 2×2
+    //     grid (GoldProfileLab, min-of-8, one host hour) reads
+    //     bc-on/aqe-on 2.44 s (31 jobs), bc-off/aqe-on 2.03 s (35),
+    //     bc-off/aqe-off 1.79 s (16), bc-on/aqe-off 1.75 s (20 jobs,
+    //     best, and every model inside its per-model 2× bar). Results
+    //     are byte-identical; the sf0.1 pass keeps the cluster profile
+    //     (AQE on, broadcasts on) where both help. GoldJobFloorSpec
+    //     pins this pass's job counts.
     //
     // ORDER MATTERS (round-12 verdict item 1b): this micro-suite runs
     // FIRST, in the clean JVM, BEFORE the full-registry sf0.1 pass.
@@ -163,22 +172,40 @@ object Bench {
       }
     }
 
+    // Scheduler-floor probe (graft.SchedFloor's law, inline): the p50 of
+    // 20 trivial one-task jobs, reported as `sched_floor_p50` in the
+    // output JSON. The sf0.01 gold totals are job-count × THIS number
+    // plus real work (BASELINE.md "Per-model job-count floors"), and it
+    // swings ±50 % with host tenancy — recording it beside every bench
+    // artifact lets a reader separate engine regressions from
+    // host-of-the-day before reaching for a same-host A/B.
+    val schedFloorP50 = {
+      (1 to 5).foreach(_ => spark.range(1).count()) // warm
+      val ts = (1 to 20).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(9)
+    }
+    System.err.println(f"[bench] sched_floor_p50 $schedFloorP50%.4f s")
+
     val goldSmall =
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir) {
         spark.conf.set("spark.sql.shuffle.partitions", "1")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         try benchPerQuery(qs.filter { case (name, _) => goldNames(name) },
           smallDir, defaultPasses = 8)
         finally {
           spark.conf.set("spark.sql.shuffle.partitions", cpus)
-          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
         }
       } else Seq.empty
 
     val results = bench(qs, sfDir)
     val smallJson =
       if (goldSmall.isEmpty) ""
-      else s""","queries_small":${toJson(goldSmall)},"total_small":${totalOf(goldSmall)},"sf_small":"$smallDir""""
+      else s""","queries_small":${toJson(goldSmall)},"total_small":${totalOf(goldSmall)},"sf_small":"$smallDir","sched_floor_p50":$schedFloorP50"""
 
     val line =
       s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$smallJson}"""

@@ -64,7 +64,15 @@ object GoldProfileLab {
     run("broadcast-on")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     run("broadcast-off")
+    // third profile: AQE off too — at sf0.01 with one partition AQE's
+    // per-query-stage materialization is one JOB per exchange of pure
+    // scheduler floor; without it the plan runs as one job (+ hinted
+    // broadcast builds), the classic multi-stage DAG
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    run("broadcast-off+aqe-off")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    run("broadcast-on+aqe-off")
+    spark.conf.unset("spark.sql.adaptive.enabled")
     spark.stop()
   }
 }
