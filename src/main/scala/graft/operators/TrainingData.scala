@@ -6596,7 +6596,8 @@ object TrainingData {
     * retrieval/embedding pipelines bootstrap contrastive data from an
     * unlabeled corpus: the POSITIVE is each vector's top-1 approximate
     * neighbor from the registered IVF scale path
-    * ([[Dedup.ivfSearchTwoLevel]] at the auto-k policy — per-anchor
+    * ([[Dedup.ivfSearchRouted]], two-level by default, at the auto-k
+    * policy — per-anchor
     * probe work √n·nprobe, never corpus-wide), the NEGATIVE is an
     * arithmetic-LCG pick over a DENSE row index (the F6 discipline —
     * no rand(), reproducible on any cluster layout) verified against
