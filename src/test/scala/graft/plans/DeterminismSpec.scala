@@ -43,7 +43,11 @@ class DeterminismSpec extends AnyFunSuite {
     "x128_activity_deciles", "x111_hist_quantiles", "x142_fuzzy_dedup_capped",
     "x143_embedding_neardup_ivf", "x149_pq_adc_topk", "x151_pq_rerank",
     "x152_copurchase_pagerank", "x176_bpe_train", "x178_semdedup",
-    "x182_release_pipeline_v2")
+    "x182_release_pipeline_v2",
+    // round 14: the blocked dense-rank negative pick (x189) and the
+    // three-level routed lists (x190) — both windows are partitioned,
+    // so their images must not move with the shuffle layout
+    "x189_contrastive_triplets", "x190_ivf3_topk")
 
   /** Canonical row images: doubles through exact bit patterns, rows
     * sorted by their full string image — any cross-partitioning float
