@@ -115,8 +115,8 @@ object Bench {
     // The sf0.1 suite above keeps the cluster profile (32) — this knob
     // is per-pass engine tuning, not a benchmark trick: plans and
     // results are identical, only task fan-out changes.
-    // min-of-8 warm, PER-QUERY reps, broadcasts off — three measured
-    // decisions (GoldProfileLab + graft.SchedFloor, BENCH_NOTES_r13.md):
+    // min-of-8 warm, PER-QUERY reps, AQE off — three measured decisions
+    // (GoldProfileLab + graft.SchedFloor, BENCH_NOTES_r13.md):
     //   * eight reps, not three: the gold total is graded against a
     //     1.51 s Postgres baseline with a 2× gate and this host's
     //     tenancy noise is ±50 % per one-shot query; min-of-3 still
@@ -157,8 +157,16 @@ object Bench {
     def benchPerQuery(
         qsIn: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
         dir: String, defaultPasses: Int): Seq[(String, Double)] = {
-      val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-        .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(defaultPasses)
+      // same strict parse as bench(): a typo'd override must fail loudly,
+      // not silently measure with the default
+      val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
+        case None => defaultPasses
+        case Some(s) => s.toIntOption match {
+          case Some(n) if n >= 1 => n
+          case _ => sys.error(
+            s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$s'")
+        }
+      }
       val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
       qsIn.map { case (name, fn) =>
         if (warmup) runOnce(fn, dir)
