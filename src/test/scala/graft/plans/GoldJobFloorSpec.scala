@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (a lost broadcast, an extra eager subquery, an AQE re-plan) must
   * fail TESTS here instead of surfacing as bench noise two rounds
   * later. Counts are pinned under the exact bench micro-suite profile
-  * (local, shuffle.partitions=1, AQE on): if a legitimate plan change
+  * (local, shuffle.partitions=1, AQE off): if a legitimate plan change
   * moves a count DOWN, update the pin and BASELINE.md's footnote
   * together; a count moving UP is the regression this spec exists to
   * catch. */
@@ -81,6 +81,38 @@ class GoldJobFloorSpec extends AnyFunSuite {
       assert(got <= floor,
         s"$name launched $got jobs (pinned floor $floor) — a plan " +
           "regression added scheduler work the sf0.01 bench gate pays for")
+    }
+  }
+
+  /** The profile-tuning claim the bench rests on, proven mechanically:
+    * the bench profile (1 partition, AQE off) and the cluster profile
+    * (32-way, AQE on, broadcasts on) produce BIT-IDENTICAL gold rows —
+    * doubles compared through their exact bit patterns. If a future
+    * Spark version or profile knob ever made the fast profile change a
+    * result, this fails before the bench records a tainted number. */
+  test("gold results are bit-identical across the bench and cluster profiles") {
+    def image(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .collect()
+      .map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d).toString
+        case f: Float => java.lang.Float.floatToIntBits(f).toString
+        case other => String.valueOf(other)
+      }.mkString(" "))
+      .sorted.toSeq
+    graft.operators.GoldAnalogs.all.map(_.name).foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val benchProfile = image(fn(spark, sf)) // this session IS the bench profile
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      try {
+        val clusterProfile = image(fn(spark, sf))
+        assert(benchProfile === clusterProfile,
+          s"$name differs between the bench and cluster profiles")
+        assert(benchProfile.nonEmpty, s"$name returned no rows at $sf")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      }
     }
   }
 }
