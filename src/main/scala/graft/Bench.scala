@@ -211,17 +211,20 @@ object Bench {
       } else Seq.empty
 
     val results = bench(qs, sfDir)
+    // sched_floor_p50 is tenancy context for EVERY number in the
+    // artifact, so it is emitted unconditionally — not only when the
+    // small gold pass ran.
     val smallJson =
       if (goldSmall.isEmpty) ""
-      else s""","queries_small":${toJson(goldSmall)},"total_small":${totalOf(goldSmall)},"sf_small":"$smallDir","sched_floor_p50":$schedFloorP50"""
+      else s""","queries_small":${toJson(goldSmall)},"total_small":${totalOf(goldSmall)},"sf_small":"$smallDir""""
 
     val line =
-      s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$smallJson}"""
+      s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir","sched_floor_p50":$schedFloorP50$smallJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(line)
     val compact =
-      s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","n_queries":${results.size},"queries_file":"$outFile","sf":"$sfDir"$smallJson}"""
+      s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","n_queries":${results.size},"queries_file":"$outFile","sf":"$sfDir","sched_floor_p50":$schedFloorP50$smallJson}"""
     println(compact)
     spark.stop()
   }

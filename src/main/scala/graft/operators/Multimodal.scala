@@ -45,37 +45,32 @@ object Multimodal {
 
   /** STUB decode: a real implementation would hand `bytes` to a codec;
     * here we produce a deterministic fake so the distributed plumbing is
-    * testable without media libraries. */
-  private[operators] def fakeDecode(bytes: Array[Byte]): (Array[Long], Array[Float]) = {
-    val hist = new Array[Long](16)
-    var acc = 7L
-    var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >> 4) += 1
-      acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
-      i += 1
-    }
-    val emb = new Array[Float](8)
-    var j = 0
-    var h = acc
-    while (j < 8) {
-      h = (h * 1103515245L + 12345L) % 2147483648L
-      emb(j) = (h.toDouble / 2147483648.0).toFloat - 0.5f
-      j += 1
-    }
-    (hist, emb)
-  }
+    * testable without media libraries. The laws live in
+    * [[graft.functions.MediaFeatureUtil]] since round 15, where the
+    * codegen expressions `byte_hist16` / `fake_embed8` evaluate the
+    * SAME code [[extractFeatures]] plans — this delegate remains as the
+    * spec's row-at-a-time replay handle. */
+  private[operators] def fakeDecode(bytes: Array[Byte]): (Array[Long], Array[Float]) =
+    (graft.functions.MediaFeatureUtil.hist16(bytes),
+      graft.functions.MediaFeatureUtil.embed8(bytes))
 
-  /** Partition-batched feature extraction: one `mapPartitions` pass, no
-    * shuffle; at 100 TB this parallelizes over input splits. */
+  /** Feature extraction as a plain projection: `byte_hist16` /
+    * `fake_embed8` are codegen scalar expressions
+    * ([[graft.functions.MediaFeatureUtil]]'s laws — the exact
+    * arithmetic the pre-round-15 `mapPartitions` pass ran), so the
+    * operator stays inside whole-stage codegen, column-prunes, and
+    * composes with filters/joins with no object-serialization wall; at
+    * 100 TB it parallelizes over input splits with zero shuffle.
+    * Oracle-checked end to end (x192). */
   def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.mapPartitions { records =>
-      records.map { r =>
-        val (hist, emb) = fakeDecode(r.content)
-        MediaFeatures(r.doc_id, r.content.length.toLong, hist, emb)
-      }
-    }
+    graft.functions.MediaFeatureFunctions.ensureRegistered(spark)
+    media.toDF().select(
+      col("doc_id"),
+      length(col("content")).cast("long").as("nBytes"),
+      expr("byte_hist16(content)").as("byteHistogram"),
+      expr("fake_embed8(content)").as("embedding")
+    ).as[MediaFeatures]
   }
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
@@ -83,21 +78,33 @@ object Multimodal {
   /** Frame sampling: treat the payload as `meta.nFrames` fixed-size frames
     * and emit every `everyN`-th one — the video-frame-sampling shape
     * (chunked slices of an opaque byte payload, exploded to one row per
-    * kept frame). A real codec would replace the byte-slicing STUB; the
-    * partition-batched explode is the scalable part. */
+    * kept frame). A real codec would replace the byte-slicing STUB.
+    *
+    * Pure Catalyst since round 15 (was `mapPartitions`, the
+    * [[resize]] promotion recipe): kept frame indices are
+    * `sequence(0, n−1, everyN)`; each frame is one O(frame) binary
+    * `substr` at `i·size` (1-based, auto-truncating at payload end —
+    * identical to the old slice law including the empty tail frames a
+    * short payload produces); `explode` emits one row per kept frame.
+    * All codegen'd builtins, so the explode composes with pushed
+    * filters and column pruning instead of hiding behind an object
+    * wall. Oracle-checked end to end (x191). */
   def frameSample(media: Dataset[MediaRecord], everyN: Int)(implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
-    media.mapPartitions { records =>
-      records.flatMap { r =>
-        val n = math.max(r.meta.nFrames, 1)
-        val size = math.max(r.content.length / n, 1)
-        (0 until n by everyN).iterator.map { i =>
-          val from = i * size
-          val until = math.min(from + size, r.content.length)
-          Frame(r.doc_id, i, r.content.slice(from, math.max(from, until)))
-        }
-      }
-    }
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val n = greatest(col("meta.nFrames"), lit(1))
+    val size = greatest(floor(length(col("content")) / n).cast("int"), lit(1))
+    media.toDF()
+      .select(col("doc_id"), col("content"), n.as("nf"), size.as("sz"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), col("nf") - 1, lit(everyN)),
+          i => struct(i.as("frame_idx"),
+            col("content").substr(i * col("sz") + 1, col("sz")).as("frame"))))
+          .as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.frame").as("frame"))
+      .as[Frame]
   }
 
   /** 64-bit perceptual hash per media row
@@ -197,7 +204,15 @@ object Multimodal {
     * builtins inside the scan projection — column pruning and
     * whole-stage codegen apply, and the operator composes with
     * filters/joins without an analysis barrier, which the old
-    * `mapPartitions` (an opaque `SerializeFromObject` wall) blocked. */
+    * `mapPartitions` (an opaque `SerializeFromObject` wall) blocked.
+    *
+    * `step == 1` (payload already at/below the target size — e.g. a
+    * large target like 4096×4096 against ordinary payloads) keeps
+    * EVERY byte, so it short-circuits to the payload itself:
+    * byte-identical output with none of the hex path's transient
+    * one-String-per-byte amplification. The hex path therefore only
+    * ever runs with step ≥ 2, bounding its per-row transient at
+    * ~2·targetBytes element strings regardless of payload size. */
   def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     val targetBytes = math.max(targetW * targetH / 256, 1)
@@ -205,7 +220,7 @@ object Multimodal {
     val step = greatest(floor(len / lit(targetBytes)).cast("int"), lit(1))
     // kept indices 0, step, 2·step, … < len  →  m = ⌊(len−1)/step⌋ + 1
     val m = (floor((len - 1) / step) + 1).cast("int")
-    val resized = when(len === 0, col("content")).otherwise(
+    val resized = when(len === 0 || step === 1, col("content")).otherwise(
       unhex(array_join(
         transform(sequence(lit(0), m - 1), i =>
           hex(col("content").substr(i * step + 1, lit(1)))),

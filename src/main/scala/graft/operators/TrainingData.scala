@@ -6605,22 +6605,31 @@ object TrainingData {
     * 0.1, and degenerate picks (the anchor itself or its positive)
     * drop.
     *
-    * The LCG draw lands in rank space, not id space (round 14): the
-    * old `(query_id · 48271) mod n` pick assumed ids are dense 0…n−1 —
-    * on a sparse id space (deleted docs, sharded allocators) most
-    * draws named a nonexistent id and the inner join SILENTLY dropped
-    * those triplets. Now the draw indexes a dense 0…n−1 rank built as
-    * a BLOCKED row_number — row_number partitioned by `vec_id mod 64`
-    * plus per-block offsets from a 64-row count frame — equal to
-    * `ROW_NUMBER() OVER (ORDER BY vec_id % 64, vec_id) − 1` but with
-    * no global sort: the window is partitioned 64 ways, the offset
-    * frame is a broadcast of 64 rows, so the index is a scale path,
-    * not a driver bottleneck. Every id draws a real negative
-    * regardless of gaps (TrainingDataSpec pins the gapped-id
-    * property). One broadcast-probed search + one hash join against
-    * the norms frame — linear beyond the search itself; every cosine
-    * is the same IEEE expression both engines evaluate, so the whole
-    * mine carries a hash oracle. */
+    * The LCG draw lives ENTIRELY in rank space (round 15): both the
+    * seed and the target of the draw are the dense 0…n−1 rank, never
+    * the raw id. The round-14 form seeded the multiply with the raw
+    * `query_id` — `(query_id · 48271) mod n` — which assumed ids small
+    * enough that the product fits a signed 64-bit integer; a
+    * snowflake-style id (~1e18) overflows at query_id ≳ 1.9e14,
+    * wrapping the product negative in Spark (negative mod → no rank
+    * matches → the inner join SILENTLY drops the triplet) while DuckDB
+    * raises a BIGINT-overflow error — a silent engine divergence in
+    * exactly the sparse-allocator regime the rank-space rework
+    * targets. Now the anchor joins to its own dense rank and the draw
+    * is `(anchor_rn · 48271) mod n` with anchor_rn < n, so the product
+    * is bounded by n·48271 — overflow-safe for any corpus below ~1.9e14
+    * rows. The dense rank is a BLOCKED row_number — partitioned by
+    * `vec_id mod 64` plus per-block offsets from a 64-row count
+    * frame — equal to `ROW_NUMBER() OVER (ORDER BY vec_id % 64,
+    * vec_id) − 1` but with no global sort: the window is partitioned
+    * 64 ways, the offset frame is a broadcast of 64 rows, so the
+    * index is a scale path, not a driver bottleneck. Every id draws a
+    * real negative regardless of gaps or magnitude (TrainingDataSpec
+    * pins both the gapped-id and the snowflake-id property). One
+    * broadcast-probed search + one hash join against the norms frame —
+    * linear beyond the search itself; every cosine is the same IEEE
+    * expression both engines evaluate, so the whole mine carries a
+    * hash oracle. */
   val x189 = Q(
     "x189_contrastive_triplets",
     Some {
@@ -6628,11 +6637,12 @@ object TrainingData {
         s"${duckDot(a, b)} / ($an * $bn)"
       s"WITH ${duckIvfListCtes(nprobe = 2, topK = 1)}, " +
         "cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings), " +
-        "idx AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id % 64, vec_id) - 1 AS rn " +
+        "idx AS MATERIALIZED (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id % 64, vec_id) - 1 AS rn " +
         "FROM embeddings), " +
         "pick AS (SELECT l.query_id, l.neighbor_id AS pos_id, " +
         "l.cosine AS pos_cos, i.vec_id AS neg_id FROM ivflists l " +
-        "JOIN idx i ON i.rn = (l.query_id * 48271) % (SELECT n FROM cnt)) " +
+        "JOIN idx ia ON ia.vec_id = l.query_id " +
+        "JOIN idx i ON i.rn = (ia.rn * 48271) % (SELECT n FROM cnt)) " +
         "SELECT p.query_id AS anchor_id, p.pos_id, p.neg_id, p.pos_cos, " +
         s"${cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS neg_cos " +
         "FROM pick p JOIN norms a ON a.vec_id = p.query_id " +
@@ -6648,7 +6658,9 @@ object TrainingData {
     val norms = Dedup.withNorm(t.embeddings, "vec_id", "embedding")
     val idx = denseRankIndex(t.embeddings, "vec_id")
     val pick = lists
-      .withColumn("neg_rn", (col("query_id") * lit(48271L)) % lit(n))
+      .join(idx.select(col("vec_id").as("query_id"), col("rn").as("anchor_rn")),
+        Seq("query_id"))
+      .withColumn("neg_rn", (col("anchor_rn") * lit(48271L)) % lit(n))
       .join(idx.select(col("rn").as("neg_rn"), col("vec_id").as("neg_id")),
         Seq("neg_rn"))
       .select(col("query_id"), col("neighbor_id").as("pos_id"),
@@ -6779,6 +6791,71 @@ object TrainingData {
       lit(true), k = k, kcm = kcm, kct = kct, nprobe = 2, topK = 3)
   }
 
+  /** Video-frame sampling over the multimodal byte column (x191) —
+    * [[Multimodal.frameSample]], the round-15 Catalyst HOF promotion
+    * (was `mapPartitions`, now `sequence` + binary `substr` + `explode`
+    * inside codegen): the payload splits into `meta.nFrames` fixed-size
+    * frames and every 2nd one is emitted. Frames are emitted as UTF-8
+    * text (the packed payload IS the document's text bytes, ASCII in
+    * this corpus — the same byte↔char identity every byte-level oracle
+    * here relies on, e.g. x187), so the oracle replays the slice law
+    * with string `substr`: size = max(⌊len/nFrames⌋, 1), frame i =
+    * bytes [i·size, i·size + size) truncated at payload end — including
+    * the empty tail frames a short payload produces. */
+  val x191 = Q(
+    "x191_frame_sample",
+    Some(
+      "WITH m AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS nb, " +
+        "len(text) % 16 + 1 AS nf FROM documents), " +
+        "s AS (SELECT doc_id, text, nf, GREATEST(nb // nf, 1) AS sz FROM m), " +
+        "f AS (SELECT doc_id, text, sz, " +
+        "CAST(unnest(range(0, nf, 2)) AS INT) AS frame_idx FROM s) " +
+        "SELECT doc_id, frame_idx, " +
+        "substr(text, CAST(frame_idx * sz + 1 AS INT), CAST(sz AS INT)) AS frame FROM f"
+    )
+  ) { t =>
+    val media = Multimodal.packMedia(t.documents)(t.spark)
+    Multimodal.frameSample(media, everyN = 2)(t.spark).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        decode(col("frame"), "utf-8").as("frame"))
+  }
+
+  /** Media feature extraction (x192) — [[Multimodal.extractFeatures]],
+    * the round-15 codegen-expression promotion (was `mapPartitions`):
+    * `byte_hist16` (16 high-nibble bucket counts) and `fake_embed8`
+    * (8 LCG floats seeded by the [[graft.functions.PolyHash]] law) plan
+    * as a plain projection. The oracle replays every bit: the histogram
+    * as 16 `list_filter` counts over the byte list, the seed as the
+    * same `(acc·31 + byte) mod 1e9+7` left fold, the LCG as 8 chained
+    * lateral aliases, and each float as `CAST(h / 2³¹ AS REAL) −
+    * 0.5::REAL` — double division by 2³¹ is exact, the float round-off
+    * and float subtraction are the same IEEE ops in both engines. */
+  val x192 = Q(
+    "x192_media_features",
+    Some {
+      def f(h: String) =
+        s"CAST($h / 2147483648.0 AS REAL) - CAST(0.5 AS REAL)"
+      val lcg = (1 to 8).map { j =>
+        val prev = if (j == 1) "acc" else s"h${j - 1}"
+        s"($prev * 1103515245 + 12345) % 2147483648 AS h$j"
+      }.mkString(", ")
+      "WITH bv AS (SELECT doc_id, list_transform(range(1, len(text) + 1), " +
+        "i -> CAST(ascii(text[i:i]) AS BIGINT)) AS bl, " +
+        "CAST(len(text) AS BIGINT) AS nb FROM documents), " +
+        "hh AS (SELECT doc_id, nb, list_transform(range(0, 16), " +
+        "v -> CAST(len(list_filter(bl, x -> x // 16 = v)) AS BIGINT)) AS byte_histogram, " +
+        s"list_reduce(list_prepend(CAST(7 AS BIGINT), bl), (acc, x) -> (acc * 31 + x) % $P) AS acc FROM bv), " +
+        s"lc AS (SELECT doc_id, nb, byte_histogram, $lcg FROM hh) " +
+        "SELECT doc_id, nb AS n_bytes, byte_histogram, " +
+        s"[${(1 to 8).map(j => f(s"h$j")).mkString(", ")}] AS embedding FROM lc"
+    }
+  ) { t =>
+    val media = Multimodal.packMedia(t.documents)(t.spark)
+    Multimodal.extractFeatures(media)(t.spark).toDF()
+      .select(col("doc_id"), col("nBytes").as("n_bytes"),
+        col("byteHistogram").as("byte_histogram"), col("embedding"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -6794,6 +6871,6 @@ object TrainingData {
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
-    x190
+    x190, x191, x192
   )
 }

@@ -36,10 +36,28 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Duplicate ingest: an arriving doc_id that already exists in the
   * standing registry is dropped before pair generation and before the
-  * registry write (doc_id anti-join), so the registry stays one row
-  * per doc_id and each unordered pair meets exactly once across the
-  * stream's life even when a doc re-arrives (PHashStreamSpec pins
-  * this).
+  * registry write (doc_id anti-join), and two arrivals of the same
+  * doc_id within ONE micro-batch collapse to a single deterministic
+  * row first (min-phash groupBy — a map-side-combinable aggregate, not
+  * a window), so the registry stays one row per doc_id and each
+  * unordered pair meets exactly once across the stream's life whether
+  * a doc re-arrives in a later batch or twice in the same one
+  * (PHashStreamSpec pins both).
+  *
+  * Registry compaction: the registry accrues one parquet partition per
+  * micro-batch and is re-read in full every batch — correct forever,
+  * but at stream scale the small files accumulate and the scan
+  * amortizes badly. With `compactEvery = N > 0`, every Nth batch first
+  * folds the standing registry into a single `batch_id=-(id+2)`
+  * partition (negative, so it can never collide with a real batch or
+  * the -1 seed) and deletes the subsumed partitions. Crash-safe
+  * against a replay of the compacting batch: the fold is written
+  * before any delete and is a `.distinct()` of whatever partitions
+  * remain, so a crash between write and delete leaves transient
+  * doc_id duplicates that the replayed fold collapses again, and the
+  * per-batch DISTINCT on candidate pairs keeps the pair inventory
+  * byte-identical through the window (PHashStreamSpec pins inventory
+  * equality across a compaction boundary).
   */
 object PHashStream {
 
@@ -47,13 +65,15 @@ object PHashStream {
     * binary). Near-dup pairs (doc_a < doc_b, hamming) land under
     * `pairsPath/batch_id=<id>`; the growing signature registry under
     * `registryPath/batch_id=<id>` (seed any pre-existing corpus under
-    * batch_id=-1 with columns (doc_id, phash)). */
+    * batch_id=-1 with columns (doc_id, phash)). `compactEvery = N > 0`
+    * folds the registry into one partition every Nth batch. */
   def startPerceptualNearDup(
       newMedia: DataFrame,
       registryPath: String,
       pairsPath: String,
       checkpoint: String,
-      maxHamming: Int = 7): StreamingQuery = {
+      maxHamming: Int = 7,
+      compactEvery: Int = 0): StreamingQuery = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8-band blocking guarantees recall only for maxHamming in [0,7], got $maxHamming")
     newMedia.writeStream
@@ -63,6 +83,17 @@ object PHashStream {
         graft.functions.BlockHashFunctions.ensureRegistered(spark)
         val hashed = batch.toDF()
           .select(col("doc_id"), expr("block_hash64(content)").as("phash"))
+          // in-batch duplicate collapse: same doc_id arriving twice in
+          // ONE micro-batch must not survive as two rows past this
+          // point, or both land in the registry partition and every
+          // later batch re-meets the doc's partners through the
+          // duplicated row. min-phash is a deterministic pick (and a
+          // no-op when the payload bytes are identical).
+          .groupBy("doc_id").agg(min(col("phash")).as("phash"))
+
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compact(spark, registryPath, batchId)
+
         val standing = spark.read
           .schema("doc_id BIGINT, phash BIGINT, batch_id BIGINT")
           .parquet(registryPath)
@@ -120,5 +151,55 @@ object PHashStream {
         graft.operators.Dedup.release(fresh)
       }
       .start()
+  }
+
+  /** Fold every standing registry partition (everything except the
+    * compacting batch's own id) into the single partition
+    * `batch_id=-(batchId+2)` via a three-step protocol that survives a
+    * replay of the compacting batch crashing at ANY point:
+    *
+    *   1. write `distinct(standing)` to the hidden dir `_compact_tmp`
+    *      (underscore-prefixed, so partition discovery never sees it);
+    *      Spark's `_SUCCESS` marker records completion.
+    *   2. delete every `batch_id=*` partition except the compacting
+    *      batch's own (including any prior crashed attempt's target).
+    *   3. rename tmp → target (atomic directory move).
+    *
+    * A replay finding a COMPLETE tmp (marker present) skips step 1 —
+    * the tmp already holds the full fold, and recomputing it after a
+    * partial delete would lose the deleted partitions' rows — and just
+    * finishes the delete + rename. A replay finding no tmp recomputes
+    * from whatever partitions remain (either nothing was folded yet,
+    * or a finished compaction already renamed — then nothing is left
+    * to subsume and this is a no-op). `.distinct()` makes the fold
+    * idempotent across overlapping attempts: registry rows for one
+    * doc_id are identical (doc_id, phash) tuples by the ingest
+    * invariant. */
+  private def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      registryPath: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(registryPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val target = s"batch_id=${-(batchId + 2)}"
+    val tmp = new Path(root, "_compact_tmp")
+    val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
+    def partitions() = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch_id=") &&
+        p.getName != s"batch_id=$batchId")
+    if (!tmpComplete) {
+      if (partitions().isEmpty) return // nothing standing to fold
+      spark.read
+        .schema("doc_id BIGINT, phash BIGINT, batch_id BIGINT")
+        .parquet(registryPath)
+        .filter(col("batch_id") =!= batchId)
+        .select(col("doc_id"), col("phash"))
+        .distinct()
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+    partitions().foreach(p => fs.delete(p, true))
+    fs.rename(tmp, new Path(root, target))
   }
 }

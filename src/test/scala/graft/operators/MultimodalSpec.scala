@@ -72,6 +72,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("MapPartitions"), plan)
   }
 
+  test("frameSample: Catalyst HOF form ≡ the original mapPartitions law") {
+    val media = Multimodal.packMedia(docs)
+    val got = Multimodal.frameSample(media, everyN = 3).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap
+    // the pre-round-15 imperative law, replayed row-by-row
+    var expectedCount = 0
+    media.collect().foreach { r =>
+      val n = math.max(r.meta.nFrames, 1)
+      val size = math.max(r.content.length / n, 1)
+      (0 until n by 3).foreach { i =>
+        val from = i * size
+        val until = math.min(from + size, r.content.length)
+        val expected = r.content.slice(from, math.max(from, until)).toSeq
+        assert(got((r.doc_id, i)) === expected, s"doc ${r.doc_id} frame $i")
+        expectedCount += 1
+      }
+    }
+    assert(got.size === expectedCount)
+    // and it stays inside Catalyst: no object-serialization wall
+    val plan = Multimodal.frameSample(media, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"), plan)
+  }
+
+  test("extractFeatures: codegen expressions ≡ the fakeDecode law, no object wall") {
+    import graft.functions.MediaFeatureUtil
+    val media = Multimodal.packMedia(docs)
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    media.collect().foreach { r =>
+      val g = got(r.doc_id)
+      assert(g.nBytes === r.content.length.toLong)
+      assert(g.byteHistogram.toSeq === MediaFeatureUtil.hist16(r.content).toSeq)
+      assert(g.embedding.toSeq === MediaFeatureUtil.embed8(r.content).toSeq)
+    }
+    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"), plan)
+  }
+
+  test("resize: step==1 short-circuits to the unchanged payload (byte-identical, no hex blow-up)") {
+    val media = Multimodal.packMedia(docs)
+    // target far above any payload: every byte is kept, so the output
+    // must be the payload itself — same bytes the hex path would emit
+    val resized = Multimodal.resize(media, targetW = 4096, targetH = 4096)
+      .collect().map(r => r.doc_id -> r.content.toSeq).toMap
+    media.collect().foreach { r =>
+      assert(resized(r.doc_id) === r.content.toSeq, s"doc ${r.doc_id}")
+    }
+  }
+
   test("perceptualHashes luma hook: hashes decoded luma, falls back on NULL") {
     import org.apache.spark.sql.functions._
     import graft.functions.BlockHashUtil
