@@ -38,6 +38,21 @@ import org.apache.spark.sql.functions._
   */
 object GenSf {
 
+  /** The `--clustered` embedding law, shared by the generator main and
+    * the IvfSpec clustered fixture (one definition — the spec pins
+    * recall/hashes on EXACTLY the corpus the scaling runs time): each
+    * component is regenerated as a 32-cluster mixture — center
+    * component ±1-scale from xxhash on (vec_id mod 32, dim), ±0.05
+    * jitter from xxhash on (vec_id, dim). Pure column arithmetic,
+    * bit-reproducible on any partitioning. */
+  def clusteredEmbedding(vecId: org.apache.spark.sql.Column,
+      embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(embedding, (_, i) =>
+      ((pmod(xxhash64(pmod(vecId, lit(32L)), i), lit(2001))
+          .cast("double") - lit(1000.0)) / lit(1000.0) +
+        (pmod(xxhash64(vecId, i), lit(101))
+          .cast("double") - lit(50.0)) / lit(1000.0)).cast("float"))
+
   def main(args: Array[String]): Unit = {
     val (baseDir, outDir, factor) = (args(0), args(1), args(2).toInt)
     // --clustered: regenerate the embedding COLUMN as a mixture of 32
@@ -144,11 +159,7 @@ object GenSf {
     val outEmb =
       if (clustered)
         reps2.withColumn("embedding",
-          transform(col("embedding"), (_, i) =>
-            ((pmod(xxhash64(pmod(col("vec_id"), lit(32L)), i), lit(2001))
-                .cast("double") - lit(1000.0)) / lit(1000.0) +
-              (pmod(xxhash64(col("vec_id"), i), lit(101))
-                .cast("double") - lit(50.0)) / lit(1000.0)).cast("float")))
+          clusteredEmbedding(col("vec_id"), col("embedding")))
       else
         reps2.withColumn("embedding",
           when(col("__copy") === 0, col("embedding")).otherwise(

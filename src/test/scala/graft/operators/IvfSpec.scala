@@ -183,6 +183,49 @@ class IvfSpec extends AnyFunSuite {
     assert(three.map(_._1) === two.map(_._1)) // every query still answered
   }
 
+  test("clustered fixture: L=2 and L=3 recall + routed-result hashes pinned") {
+    // The regression guard for the sf10 clustered-corpus L=3 crossover
+    // (SCALE.md "Clustered corpus"): the one configuration where
+    // `spark.graft.ivf.levels=3` pays is a CLUSTERED corpus, and this
+    // fixture is the spec-sized twin of the scaling run's corpus —
+    // GenSf's `--clustered` law (the SAME shared definition,
+    // GenSf.clusteredEmbedding) applied to the sf0.01 ids. Pinned at
+    // the auto-k policy the bench route uses (n=500 → k=22, kc=4,
+    // kct=2, kcm=4, nprobe=2, topK=10):
+    //  - recall@10 vs brute force: L=2 0.9548, L=3 0.9474 — on the
+    //    clustered corpus BOTH levels hold ≥0.94, where the uniform
+    //    corpus drives L=3 recall far lower (the reason L=3 is opt-in);
+    //  - the exact routed result sets (hash-pinned), so a quantizer,
+    //    routing, or tie-break change that moves ANY (query, neighbor)
+    //    pair fails here instead of silently shifting the crossover
+    //    measurement.
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val clustered = emb.withColumn("embedding",
+      graft.GenSf.clusteredEmbedding(col("vec_id"), col("embedding"))).cache()
+    val n = clustered.count()
+    assert(n === 500L)
+    val k = math.max(16, math.sqrt(n.toDouble).toInt)
+    val kc = math.max(4, math.sqrt(k.toDouble).toInt)
+    val kct = math.max(2L, Dedup.icbrt(k.toLong)).toInt
+    val kcm = math.max(4, kct * kct)
+    assert((k, kc, kct, kcm) === ((22, 4, 2, 4)))
+    val pred = lit(true)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = sets(Dedup.annTopK(clustered, "vec_id", "embedding", pred, k = 10))
+    val two = sets(Dedup.ivfSearchTwoLevel(clustered, "vec_id", "embedding",
+      pred, k = k, kc = kc, nprobe = 2, topK = 10))
+    val three = sets(Dedup.ivfSearchThreeLevel(clustered, "vec_id", "embedding",
+      pred, k = k, kcm = kcm, kct = kct, nprobe = 2, topK = 10))
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    assert(two.size === 5000 && three.size === 5000) // every query × topK answered
+    assert(math.abs(recall(two) - 0.9548) < 0.0001, s"L=2 recall ${recall(two)}")
+    assert(math.abs(recall(three) - 0.9474) < 0.0001, s"L=3 recall ${recall(three)}")
+    assert(two.toSeq.sorted.hashCode === -964410888, "L=2 routed result set moved")
+    assert(three.toSeq.sorted.hashCode === -1283158369, "L=3 routed result set moved")
+    clustered.unpersist()
+  }
+
   test("icbrt: exact integer cube root at perfect cubes and off-cubes") {
     assert(Dedup.icbrt(1L) === 1L)
     assert(Dedup.icbrt(7L) === 1L)
