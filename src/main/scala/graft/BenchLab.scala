@@ -226,6 +226,61 @@ object BenchLab {
       spark.stop(); return
     }
 
+    // round-15 Multimodal promotions: HOF/expression forms (registered)
+    // vs their pre-round-15 mapPartitions twins, same corpus
+    if (sys.env.get("LAB_MODE").contains("mm")) {
+      import spark.implicits._
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.{Frame, MediaFeatures, MediaRecord}
+      implicit val s: SparkSession = spark
+      val media = Multimodal.packMedia(t.documents)
+      // registered = index-explode-then-substr (the form that won)
+      time("frameSample registered (explode idx + substr)") {
+        Multimodal.frameSample(media, everyN = 2).toDF()
+      }
+      time("frameSample mapPartitions (pre-r15)") {
+        media.mapPartitions { records =>
+          records.flatMap { r =>
+            val n = math.max(r.meta.nFrames, 1)
+            val size = math.max(r.content.length / n, 1)
+            (0 until n by 2).iterator.map { i =>
+              val from = i * size
+              val until = math.min(from + size, r.content.length)
+              Frame(r.doc_id, i, r.content.slice(from, math.max(from, until)))
+            }
+          }
+        }.toDF()
+      }
+      // the rejected draft: slice every frame into a struct array, then
+      // explode — materializes all frames per row before the Generate
+      time("frameSample struct-array HOF (rejected draft)") {
+        val n = greatest(col("meta.nFrames"), lit(1))
+        val size = greatest(floor(length(col("content")) / n).cast("int"), lit(1))
+        media.toDF()
+          .select(col("doc_id"), col("content"), n.as("nf"), size.as("sz"))
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0), col("nf") - 1, lit(2)),
+              i => struct(i.as("frame_idx"),
+                col("content").substr(i * col("sz") + 1, col("sz")).as("frame"))))
+              .as("f"))
+          .select(col("doc_id"), col("f.frame_idx"), col("f.frame"))
+      }
+      time("extractFeatures exprs (registered)") {
+        Multimodal.extractFeatures(media).toDF()
+      }
+      time("extractFeatures mapPartitions (old)") {
+        media.mapPartitions { records =>
+          records.map { r =>
+            val (hist, emb) = (graft.functions.MediaFeatureUtil.hist16(r.content),
+              graft.functions.MediaFeatureUtil.embed8(r.content))
+            MediaFeatures(r.doc_id, r.content.length.toLong, hist, emb)
+          }
+        }.toDF()
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("LAB_MODE").contains("x02")) {
       val docs = t.documents
       time("x02 hashed shingles") {

@@ -80,13 +80,18 @@ object Multimodal {
     * (chunked slices of an opaque byte payload, exploded to one row per
     * kept frame). A real codec would replace the byte-slicing STUB.
     *
-    * Pure Catalyst since round 15 (was `mapPartitions`, the
-    * [[resize]] promotion recipe): kept frame indices are
-    * `sequence(0, n−1, everyN)`; each frame is one O(frame) binary
-    * `substr` at `i·size` (1-based, auto-truncating at payload end —
-    * identical to the old slice law including the empty tail frames a
-    * short payload produces); `explode` emits one row per kept frame.
-    * All codegen'd builtins, so the explode composes with pushed
+    * Pure Catalyst since round 15 (was `mapPartitions`): `explode`
+    * the kept frame INDICES (`sequence(0, n−1, everyN)` — ints, not
+    * byte slices), THEN take each frame as one O(frame) binary
+    * `substr` at `frame_idx·size` (1-based, auto-truncating at payload
+    * end — identical to the old slice law including the empty tail
+    * frames a short payload produces). Index-explode-then-slice
+    * matters: whole-stage codegen fuses the Generate with the
+    * following projection, so the payload is sliced once per OUTPUT
+    * row and never materialized as an all-frames array — the
+    * slice-into-a-struct-array form measured 2.4× slower at sf1
+    * (BENCH_NEW_r15 `multimodal_promotions`), while this form beats
+    * the old `mapPartitions` 1.5× and still composes with pushed
     * filters and column pruning instead of hiding behind an object
     * wall. Oracle-checked end to end (x191). */
   def frameSample(media: Dataset[MediaRecord], everyN: Int)(implicit spark: SparkSession): Dataset[Frame] = {
@@ -96,14 +101,11 @@ object Multimodal {
     val size = greatest(floor(length(col("content")) / n).cast("int"), lit(1))
     media.toDF()
       .select(col("doc_id"), col("content"), n.as("nf"), size.as("sz"))
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), col("nf") - 1, lit(everyN)),
-          i => struct(i.as("frame_idx"),
-            col("content").substr(i * col("sz") + 1, col("sz")).as("frame"))))
-          .as("f"))
-      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
-        col("f.frame").as("frame"))
+      .select(col("doc_id"), col("content"), col("sz"),
+        explode(sequence(lit(0), col("nf") - 1, lit(everyN))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        col("content").substr(col("frame_idx") * col("sz") + 1, col("sz"))
+          .as("frame"))
       .as[Frame]
   }
 
