@@ -175,7 +175,7 @@ object PHashStream {
     * idempotent across overlapping attempts: registry rows for one
     * doc_id are identical (doc_id, phash) tuples by the ingest
     * invariant. */
-  private def compact(
+  private[streaming] def compact(
       spark: org.apache.spark.sql.SparkSession,
       registryPath: String,
       batchId: Long): Unit = {
