@@ -67,11 +67,13 @@ object ChunkStream {
       checkpoint: String,
       idCol: String,
       textCol: String,
-      chunkWords: Int = 16): StreamingQuery =
+      chunkWords: Int = 16,
+      compactEvery: Int = 0): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        RegistryCompaction.maybeCompact(spark, chunksPath, batchId, compactEvery)
         val standing = spark.read.parquet(chunksPath)
           .filter(col("batch_id") =!= batchId) // replay: ignore own prior attempt
           .select(col("h"))

@@ -49,11 +49,13 @@ object DedupStream {
       idCol: String,
       textCol: String,
       threshold: Double,
-      admitUnique: Boolean = true): StreamingQuery =
+      admitUnique: Boolean = true,
+      compactEvery: Int = 0): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        RegistryCompaction.maybeCompact(spark, corpusPath, batchId, compactEvery)
         val corpus = spark.read.parquet(corpusPath)
           .filter(col("batch_id") =!= batchId) // replay: ignore own prior attempt
           .select(col(idCol), col(textCol))

@@ -54,7 +54,8 @@ object EmbeddingDedupStream {
       registryPath: String,
       pairsPath: String,
       checkpoint: String,
-      threshold: Double): StreamingQuery = {
+      threshold: Double,
+      compactEvery: Int = 0): StreamingQuery = {
     val centRows: Array[Row] = centroids
       .select(col("cent_id").cast("long"), col("ce"), col("cn").cast("double"))
       .collect()
@@ -63,6 +64,9 @@ object EmbeddingDedupStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         graft.functions.VectorExpressions.ensureRegistered(spark)
+        RegistryCompaction.maybeCompact(spark, registryPath, batchId,
+          compactEvery,
+          Some("vec_id BIGINT, cell BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, batch_id BIGINT"))
         val cents = spark.createDataFrame(
           spark.sparkContext.parallelize(centRows.toSeq, 1), centroidSchema)
         val standing = spark.read

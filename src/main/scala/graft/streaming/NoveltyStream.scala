@@ -57,11 +57,13 @@ object NoveltyStream {
       checkpoint: String,
       idCol: String,
       textCol: String,
-      n: Int = 8): StreamingQuery =
+      n: Int = 8,
+      compactEvery: Int = 0): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        RegistryCompaction.maybeCompact(spark, gramsPath, batchId, compactEvery)
         val standing = spark.read.parquet(gramsPath)
           .filter(col("batch_id") =!= batchId) // replay: ignore own prior attempt
           .select(col("h"))

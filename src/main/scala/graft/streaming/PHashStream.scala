@@ -91,8 +91,8 @@ object PHashStream {
           // no-op when the payload bytes are identical).
           .groupBy("doc_id").agg(min(col("phash")).as("phash"))
 
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compact(spark, registryPath, batchId)
+        RegistryCompaction.maybeCompact(spark, registryPath, batchId,
+          compactEvery, Some("doc_id BIGINT, phash BIGINT, batch_id BIGINT"))
 
         val standing = spark.read
           .schema("doc_id BIGINT, phash BIGINT, batch_id BIGINT")
@@ -153,53 +153,4 @@ object PHashStream {
       .start()
   }
 
-  /** Fold every standing registry partition (everything except the
-    * compacting batch's own id) into the single partition
-    * `batch_id=-(batchId+2)` via a three-step protocol that survives a
-    * replay of the compacting batch crashing at ANY point:
-    *
-    *   1. write `distinct(standing)` to the hidden dir `_compact_tmp`
-    *      (underscore-prefixed, so partition discovery never sees it);
-    *      Spark's `_SUCCESS` marker records completion.
-    *   2. delete every `batch_id=*` partition except the compacting
-    *      batch's own (including any prior crashed attempt's target).
-    *   3. rename tmp → target (atomic directory move).
-    *
-    * A replay finding a COMPLETE tmp (marker present) skips step 1 —
-    * the tmp already holds the full fold, and recomputing it after a
-    * partial delete would lose the deleted partitions' rows — and just
-    * finishes the delete + rename. A replay finding no tmp recomputes
-    * from whatever partitions remain (either nothing was folded yet,
-    * or a finished compaction already renamed — then nothing is left
-    * to subsume and this is a no-op). `.distinct()` makes the fold
-    * idempotent across overlapping attempts: registry rows for one
-    * doc_id are identical (doc_id, phash) tuples by the ingest
-    * invariant. */
-  private[streaming] def compact(
-      spark: org.apache.spark.sql.SparkSession,
-      registryPath: String,
-      batchId: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(registryPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val target = s"batch_id=${-(batchId + 2)}"
-    val tmp = new Path(root, "_compact_tmp")
-    val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
-    def partitions() = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("batch_id=") &&
-        p.getName != s"batch_id=$batchId")
-    if (!tmpComplete) {
-      if (partitions().isEmpty) return // nothing standing to fold
-      spark.read
-        .schema("doc_id BIGINT, phash BIGINT, batch_id BIGINT")
-        .parquet(registryPath)
-        .filter(col("batch_id") =!= batchId)
-        .select(col("doc_id"), col("phash"))
-        .distinct()
-        .write.mode("overwrite").parquet(tmp.toString)
-    }
-    partitions().foreach(p => fs.delete(p, true))
-    fs.rename(tmp, new Path(root, target))
-  }
 }

@@ -65,11 +65,14 @@ object SegmentDedupStream {
       newDocs: DataFrame,
       registryPath: String,
       statsPath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        RegistryCompaction.maybeCompact(spark, registryPath, batchId,
+          compactEvery, Some("h BIGINT, k BIGINT, batch_id BIGINT"))
         val standingMin = spark.read
           .schema("h BIGINT, k BIGINT, batch_id BIGINT")
           .parquet(registryPath)

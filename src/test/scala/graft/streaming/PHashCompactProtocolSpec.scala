@@ -6,11 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Crash-window replay of [[PHashStream.compact]]'s three-step protocol
-  * (fold to hidden tmp with `_SUCCESS` → delete subsumed → rename),
-  * exercised DIRECTLY against hand-built filesystem states — the
-  * streaming spec covers the happy path; these pin the two windows
-  * where a naive protocol loses data:
+/** Crash-window replay of [[RegistryCompaction.compact]]'s three-step
+  * protocol (fold to hidden tmp with `_SUCCESS` → delete subsumed →
+  * rename — shared by every standing-registry stream, driven here on
+  * the PHash signature schema), exercised DIRECTLY against hand-built
+  * filesystem states — the streaming specs cover the happy path; these
+  * pin the two windows where a naive protocol loses data:
   *
   *  - crash AFTER the fold, BEFORE any delete: the replay must not
   *    trust a recompute (it would be fine here) — it must produce the
@@ -58,11 +59,13 @@ class PHashCompactProtocolSpec extends AnyFunSuite {
 
   test("clean compaction folds everything into one negative partition") {
     val (reg, docs) = freshRegistry()
-    PHashStream.compact(spark, reg, batchId = 2)
+    RegistryCompaction.compact(spark, reg, 2,
+      Some("doc_id BIGINT, phash BIGINT, batch_id BIGINT"))
     assert(partitionNames(reg) === Set("batch_id=-4"))
     assert(readRegistry(reg) === docs)
     // replay of the same compacting batch after completion: idempotent
-    PHashStream.compact(spark, reg, batchId = 2)
+    RegistryCompaction.compact(spark, reg, 2,
+      Some("doc_id BIGINT, phash BIGINT, batch_id BIGINT"))
     assert(partitionNames(reg) === Set("batch_id=-4"))
     assert(readRegistry(reg) === docs)
   }
@@ -74,7 +77,8 @@ class PHashCompactProtocolSpec extends AnyFunSuite {
     regDf(docs.toSeq).coalesce(1)
       .write.mode("overwrite").parquet(s"$reg/_compact_tmp")
     assert(new java.io.File(s"$reg/_compact_tmp/_SUCCESS").exists())
-    PHashStream.compact(spark, reg, batchId = 2)
+    RegistryCompaction.compact(spark, reg, 2,
+      Some("doc_id BIGINT, phash BIGINT, batch_id BIGINT"))
     assert(partitionNames(reg) === Set("batch_id=-4"))
     assert(readRegistry(reg) === docs)
   }
@@ -88,7 +92,8 @@ class PHashCompactProtocolSpec extends AnyFunSuite {
     val p0 = new java.io.File(s"$reg/batch_id=0")
     p0.listFiles().foreach(_.delete()); assert(p0.delete())
     // a recompute-from-remaining replay would drop docs 2,3 here
-    PHashStream.compact(spark, reg, batchId = 2)
+    RegistryCompaction.compact(spark, reg, 2,
+      Some("doc_id BIGINT, phash BIGINT, batch_id BIGINT"))
     assert(partitionNames(reg) === Set("batch_id=-4"))
     assert(readRegistry(reg) === docs)
   }
@@ -102,7 +107,8 @@ class PHashCompactProtocolSpec extends AnyFunSuite {
     regDf(Seq(99L -> 999L)).coalesce(1)
       .write.mode("overwrite").parquet(s"$reg/_compact_tmp")
     assert(new java.io.File(s"$reg/_compact_tmp/_SUCCESS").delete())
-    PHashStream.compact(spark, reg, batchId = 2)
+    RegistryCompaction.compact(spark, reg, 2,
+      Some("doc_id BIGINT, phash BIGINT, batch_id BIGINT"))
     assert(partitionNames(reg) === Set("batch_id=-4"))
     assert(readRegistry(reg) === docs) // garbage row gone, all docs kept
   }
