@@ -226,6 +226,50 @@ object BenchLab {
       spark.stop(); return
     }
 
+    // round-15 registry compaction: per-batch cost with/without the
+    // fold over a long stream (LAB_BATCHES micro-batches, LAB_COMPACT
+    // cadence vs uncompacted), timing the LAST batches where the
+    // registry layouts have diverged most, plus the end file count
+    if (sys.env.get("LAB_MODE").contains("compact")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val nBatches = sys.env.getOrElse("LAB_BATCHES", "40").toInt
+      val cadence = sys.env.getOrElse("LAB_COMPACT", "8").toInt
+      val docs = t.documents.select("doc_id", "source", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      val batches = docs.grouped(math.max(docs.length / nBatches, 1)).toSeq
+      def run(compactEvery: Int): (Double, Double, Int) = {
+        val root = java.nio.file.Files.createTempDirectory("lab-compact").toString
+        val (reg, stats, ckpt) = (s"$root/registry", s"$root/stats", s"$root/ckpt")
+        Seq.empty[(Long, Long)].toDF("h", "k").write.parquet(s"$reg/batch_id=-1")
+        val src = MemoryStream[(Long, String, String)]
+        val q = graft.streaming.SegmentDedupStream.startSegmentDedup(
+          src.toDF().toDF("doc_id", "source", "text"), reg, stats, ckpt,
+          compactEvery = compactEvery)
+        val t0 = System.nanoTime()
+        var lastQuarter = 0.0
+        try {
+          batches.zipWithIndex.foreach { case (b, i) =>
+            val b0 = System.nanoTime()
+            src.addData(b: _*); q.processAllAvailable()
+            if (i >= batches.length * 3 / 4)
+              lastQuarter += (System.nanoTime() - b0) / 1e9
+          }
+        } finally q.stop()
+        val total = (System.nanoTime() - t0) / 1e9
+        val nParts = new java.io.File(reg).listFiles()
+          .count(_.getName.startsWith("batch_id="))
+        (total, lastQuarter, nParts)
+      }
+      val (tOff, qOff, pOff) = run(0)
+      val (tOn, qOn, pOn) = run(cadence)
+      println(f"[lab] compact off: total=$tOff%.1f last-quarter=$qOff%.1f partitions=$pOff")
+      println(f"[lab] compact every $cadence: total=$tOn%.1f last-quarter=$qOn%.1f partitions=$pOn")
+      spark.stop(); return
+    }
+
     // round-15 Multimodal promotions: HOF/expression forms (registered)
     // vs their pre-round-15 mapPartitions twins, same corpus
     if (sys.env.get("LAB_MODE").contains("mm")) {

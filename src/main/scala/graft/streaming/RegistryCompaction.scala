@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * every N batches, preserving semantics for every registry whose
   * rows form a SET (all of the above: consumers take membership or
   * MIN per key, never row counts — a `.distinct()` fold changes
-  * neither).
+  * neither). Measured (BENCH_NEW_r15 `registry_compaction`): over a
+  * 40-batch sf0.1 segment-dedup stream, compactEvery=8 cuts total
+  * stream wall ~34 % and steady-state per-batch cost ~30 % including
+  * the folds' own cost — and the uncompacted gap only widens with
+  * stream lifetime.
   *
   * Protocol (crash-safe against a replay of the compacting batch
   * stopping at ANY point — PHashCompactProtocolSpec replays each
