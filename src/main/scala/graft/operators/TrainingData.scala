@@ -6856,6 +6856,56 @@ object TrainingData {
         col("byteHistogram").as("byte_histogram"), col("embedding"))
   }
 
+  /** Parallel context-window bin packing (x193) — the HARMONIC-class
+    * discipline from online bin packing, the distributed complement to
+    * x37's sequential greedy cumsum: docs are classed by how many of
+    * them fit a 2048-token window (k = max(⌊2048/n_tokens⌋, 1)), and
+    * class k packs k docs per bin by rank — bin = ⌊(rank−1)/k⌋ over a
+    * (source, class)-PARTITIONED row_number, so there is NO sequential
+    * dependency and no global sort: every (source, class) packs
+    * independently, which is what a 1000-executor packing job needs
+    * (x37's running cumsum is inherently order-serial per source).
+    * Within a class every doc fits k-per-bin by construction, so every
+    * non-oversize bin lands ≤ 2048 tokens (PackingSpec pins the bound);
+    * docs longer than the window class as k=1 — one per bin — and are
+    * flagged `overflow` for the splitter stage to handle. Both engines
+    * compute the identical integer ranks and the exact power-of-two
+    * fill division, so the packing carries a hash oracle. */
+  val x193 = Q(
+    "x193_harmonic_packing",
+    Some(
+      "WITH toks AS (SELECT source, doc_id, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "cl AS (SELECT source, doc_id, n_tokens, " +
+        "GREATEST(2048 // n_tokens, 1) AS k FROM toks), " +
+        "rnk AS (SELECT source, doc_id, n_tokens, k, " +
+        "CAST(row_number() OVER (PARTITION BY source, k " +
+        "ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn FROM cl) " +
+        "SELECT source, k, (rn - 1) // k AS bin_id, " +
+        s"$sqlCount AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens, " +
+        "SUM(n_tokens) / 2048.0 AS fill, " +
+        "MAX(n_tokens) > 2048 AS overflow " +
+        "FROM rnk GROUP BY 1, 2, 3"
+    )
+  ) { t =>
+    val W = 2048L
+    val classed = t.documents
+      .select(col("source"), col("doc_id"),
+        graft.functions.Text.tokenCount("text").as("n_tokens"))
+      .withColumn("k", greatest(expr(s"$W div n_tokens"), lit(1L)))
+    val w = Window.partitionBy(col("source"), col("k"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    classed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bin_id", expr("(rn - 1) div k"))
+      .groupBy(col("source"), col("k"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        (sum(col("n_tokens")).cast("double") / lit(2048.0)).as("fill"),
+        (max(col("n_tokens")) > lit(W)).as("overflow"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -6871,6 +6921,6 @@ object TrainingData {
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
-    x190, x191, x192
+    x190, x191, x192, x193
   )
 }
