@@ -65,9 +65,15 @@ class ScaleJobFloorSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  // the pinned floors — BASELINE.md "sf0.1 job-count floors" footnote
+  // the pinned floors — BASELINE.md "sf0.1 job-count floors" footnote.
+  // x152 reads 24 in an isolated session and 25 under the full suite's
+  // shared session (getOrCreate inherits whichever session an earlier
+  // suite built, shifting one AQE stage boundary); the pin holds the
+  // max of both contexts — the regression class this guard exists for
+  // (a lost broadcast) multiplies across the 3 iterations and lands
+  // well past +1.
   private val floors = Map(
-    "x152_copurchase_pagerank" -> 24,
+    "x152_copurchase_pagerank" -> 25,
     "x157_weighted_pagerank" -> 23,
     "x156_label_propagation" -> 21,
     "x182_release_pipeline_v2" -> 22,
