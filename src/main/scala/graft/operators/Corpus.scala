@@ -1371,4 +1371,58 @@ object Corpus {
         col("n_exact_dups"), col("n_langs"),
         col("min_chars"), col("max_chars"), col("total_chars"))
   }
+
+  /** Content-defined chunks (Rabin-style CDC over words): a boundary
+    * lands after word m wherever the rolling hash of the last `k` word
+    * hashes — the [[graft.functions.PolyHash]] fold `(acc·31 + wh)
+    * mod 1e9+7` seeded 7 over the window — is ≡ 0 mod `divisor`
+    * (expected chunk ≈ `divisor` words). Boundaries depend only on the
+    * window's own words, so an edit shifts the chunk grid only within
+    * ~k words of the edit — the insertion-robustness fixed-grid
+    * chunking lacks (CdcSpec pins it). Cuts are suppressed at the last
+    * word (no empty tail chunk — the engines disagree on `split('')`).
+    * One row per chunk: (idCol, `chunk_idx`, `chunk`). All per-doc work
+    * is array HOFs in the scan projection; the explode emits
+    * chunk-count rows, never word-count rows. Extra columns in `keep`
+    * ride through. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, divisor: Int = 16, keep: Seq[String] = Nil): DataFrame = {
+    graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
+    val P = graft.functions.PolyHashUtil.P
+    df
+      .select((Seq(col(idCol)) ++ keep.map(col) :+
+        split(col(textCol), " ").as("words")): _*)
+      .withColumn("n", size(col("words")).cast("long"))
+      .withColumn("whl", expr("transform(words, w -> poly_hash(w))"))
+      .withColumn("cuts", expr(
+        s"filter(sequence(0L, greatest(n - 2, 0L)), m -> m >= ${k - 1} AND " +
+          s"aggregate(slice(whl, cast(m as int) - ${k - 2}, $k), 7L, " +
+          s"(acc, x) -> (acc * 31 + x) % ${P}L) % $divisor = 0)"))
+      .withColumn("chunks", expr(
+        "zip_with(concat(array(0L), transform(cuts, c -> c + 1)), " +
+          "concat(cuts, array(n - 1)), " +
+          "(s, e) -> array_join(slice(words, cast(s as int) + 1, " +
+          "cast(e - s as int) + 1), ' '))"))
+      .select((Seq(col(idCol)) ++ keep.map(col) :+
+        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk"))): _*)
+  }
+
+  /** Per-source CDC duplication report over [[cdcChunks]] — the x188
+    * redundancy law at chunk grain: per (source, chunk-hash) count c
+    * contributes c−1 dups; word totals conserve the corpus exactly.
+    * Shuffles only chunk-count-sized rows. */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame =
+    cdcChunks(df, idCol, textCol, keep = Seq(srcCol))
+      .select(col(srcCol).as("source"), expr("poly_hash(chunk)").as("h"),
+        size(split(col("chunk"), " ")).cast("long").as("w"))
+      .groupBy(col("source"), col("h"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_chunks"),
+        sum(col("c") - 1).as("n_dup_chunks"),
+        sum(col("c") * col("w")).as("words_total"),
+        sum((col("c") - 1) * col("w")).as("words_dup"))
+      .withColumn("dup_word_fraction",
+        col("words_dup").cast("double") / col("words_total"))
 }

@@ -6906,6 +6906,60 @@ object TrainingData {
         (max(col("n_tokens")) > lit(W)).as("overflow"))
   }
 
+  /** Content-defined chunk dedup (x194) — Rabin-style CDC, the
+    * insertion-robust counterpart to x38/x62's FIXED word chunks:
+    * chunk boundaries land where a rolling window hash over the last
+    * k=4 word hashes ([[graft.functions.PolyHash]] per word, the same
+    * `(acc·31 + x) mod 1e9+7` fold over the window) hits `≡ 0 mod 16`
+    * (expected chunk ≈ 16 words). Because boundaries depend only on
+    * LOCAL content, inserting a sentence shifts the chunk grid only
+    * near the edit — a fixed grid re-chunks the whole tail, losing
+    * every downstream dup (the property CdcSpec pins). Cuts are
+    * suppressed at the last word so no empty tail chunk exists (the
+    * engines disagree on `split('')`); per (source, chunk-hash) counts
+    * fold to the x188 redundancy law (dups = c−1), and word totals
+    * conserve the corpus exactly (CdcSpec).
+    *
+    * Scale shape: all per-doc work is array HOFs inside the scan
+    * projection (O(n·k) per doc, no shuffle); the only shuffles are
+    * the (source, h) count and the per-source fold — chunk-count-sized
+    * rows, never word-explode-sized. Both engines run the identical
+    * integer folds and 1-based slices, so the whole report carries a
+    * hash oracle. */
+  val x194 = Q(
+    "x194_cdc_chunk_dedup",
+    Some {
+      def poly(e: String) =
+        s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+          s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+          s"(acc, x) -> (acc * 31 + x) % $P)"
+      "WITH w0 AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents), " +
+        "w1 AS (SELECT doc_id, source, words, CAST(len(words) AS BIGINT) AS n, " +
+        s"list_transform(words, w -> ${poly("w")}) AS whl FROM w0), " +
+        "c0 AS (SELECT doc_id, source, words, n, " +
+        "list_filter(range(0, GREATEST(n - 1, 1)), m -> m >= 3 AND " +
+        "list_reduce(list_prepend(CAST(7 AS BIGINT), whl[m - 2 : m + 1]), " +
+        s"(acc, x) -> (acc * 31 + x) % $P) % 16 = 0) AS cuts FROM w1), " +
+        "c1 AS (SELECT doc_id, source, words, n, " +
+        "list_prepend(0, list_transform(cuts, c -> c + 1)) AS starts, " +
+        "list_append(cuts, n - 1) AS ends FROM c0), " +
+        "ch AS (SELECT doc_id, source, " +
+        "unnest(list_transform(range(0, len(starts)), i -> " +
+        "array_to_string(words[starts[i + 1] + 1 : ends[i + 1] + 1], ' '))) AS chunk FROM c1), " +
+        s"hh AS (SELECT source, ${poly("chunk")} AS h, " +
+        "CAST(len(string_split(chunk, ' ')) AS BIGINT) AS w FROM ch), " +
+        "pc AS (SELECT source, h, w, CAST(COUNT(*) AS BIGINT) AS c FROM hh GROUP BY 1, 2, 3) " +
+        "SELECT source, CAST(SUM(c) AS BIGINT) AS n_chunks, " +
+        "CAST(SUM(c - 1) AS BIGINT) AS n_dup_chunks, " +
+        "CAST(SUM(c * w) AS BIGINT) AS words_total, " +
+        "CAST(SUM((c - 1) * w) AS BIGINT) AS words_dup, " +
+        "CAST(SUM((c - 1) * w) AS DOUBLE) / SUM(c * w) AS dup_word_fraction " +
+        "FROM pc GROUP BY source"
+    }
+  ) { t =>
+    Corpus.cdcChunkDedup(t.documents, "doc_id", "text", "source")
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -6921,6 +6975,6 @@ object TrainingData {
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
-    x190, x191, x192, x193
+    x190, x191, x192, x193, x194
   )
 }
