@@ -1388,16 +1388,15 @@ object Corpus {
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, divisor: Int = 16, keep: Seq[String] = Nil): DataFrame = {
     graft.functions.PolyHashFunctions.ensureRegistered(df.sparkSession)
-    val P = graft.functions.PolyHashUtil.P
+    graft.functions.CdcFunctions.ensureRegistered(df.sparkSession)
     df
       .select((Seq(col(idCol)) ++ keep.map(col) :+
         split(col(textCol), " ").as("words")): _*)
       .withColumn("n", size(col("words")).cast("long"))
-      .withColumn("whl", expr("transform(words, w -> poly_hash(w))"))
-      .withColumn("cuts", expr(
-        s"filter(sequence(0L, greatest(n - 2, 0L)), m -> m >= ${k - 1} AND " +
-          s"aggregate(slice(whl, cast(m as int) - ${k - 2}, $k), 7L, " +
-          s"(acc, x) -> (acc * 31 + x) % ${P}L) % $divisor = 0)"))
+      // one native pass (word hashes + window folds + cut filter);
+      // the law is the oracle's list_filter/list_reduce form verbatim —
+      // see graft.functions.CdcCuts
+      .withColumn("cuts", expr(s"cdc_cuts(words, $k, $divisor)"))
       .withColumn("chunks", expr(
         "zip_with(concat(array(0L), transform(cuts, c -> c + 1)), " +
           "concat(cuts, array(n - 1)), " +
