@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order layout AUDIT — the oracle-registered twin of the curve
+  * writers in [[graft.sources.Sinks.writeZOrdered]]: the writer
+  * range-partitions on the Morton value and relies on parquet min/max
+  * stats for pruning (spec-verified, but file-side effects are not
+  * DuckDB-checkable); this operator computes the SAME layout law as a
+  * pure dataflow — per curve-prefix tile, the min/max statistics a file
+  * skipper would consult and the resulting prune decision for a
+  * two-sided box predicate — so the whole layout story (grid
+  * normalization, bit interleave, tile split, min/max pruning) is
+  * hash-pinned against an independent engine.
+  *
+  * Everything is exact integer arithmetic: grid id =
+  * `(c − min)·65535 div max(span, 1)` (the writer's narrow-regime
+  * formula), Morton = [[graft.functions.ZValue]] (codegen bit
+  * interleave; the oracle replays it as 16 div/mod terms per axis), and
+  * the plan is two scans with NO global sort — one 1-row bounds
+  * aggregate broadcast into the scan projection, then one
+  * map-side-combined groupBy of at most `4^tileBits` groups per layout.
+  * At 100 TB that is the same cost as any single-pass scan audit; the
+  * writer's range shuffle is what actually materializes the layout.
+  */
+object Layout {
+
+  /** Per-tile layout statistics under (a) Z-order curve-prefix tiles
+    * and (b) a single-column `xCol` range layout with the SAME tile
+    * count (`4^tileBits` each), plus the min/max prune decision for the
+    * box predicate `qx ∈ [boxLo, boxHi] ∧ qy ∈ [boxLo, boxHi]` (bounds
+    * on the 16-bit grid; defaults select the centre eighth of both
+    * axes). Output: one row per non-empty (layout, tile) —
+    * (layout, tile, n_rows, min_qx, max_qx, min_qy, max_qy,
+    * scan_needed). Quantization is monotone, so prune decisions on the
+    * grid equal prune decisions on the raw columns.
+    *
+    * `xsort` is the honest strawman: perfect pruning on `xCol`, none on
+    * `yCol` — LayoutSpec asserts the Z layout scans strictly fewer rows
+    * on the two-sided box. */
+  def zorderAudit(
+      df: DataFrame, xCol: String, yCol: String,
+      tileBits: Int = 4,
+      boxLo: Long = 28672L, boxHi: Long = 36863L): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val mm = df.agg(
+      min(x).as("__mnx"), max(x).as("__mxx"),
+      min(y).as("__mny"), max(y).as("__mxy"))
+    val q = df.select(x.as("__x"), y.as("__y"))
+      .crossJoin(broadcast(mm))
+      .select(
+        expr("(__x - __mnx) * 65535L div greatest(__mxx - __mnx, 1L)").as("qx"),
+        expr("(__y - __mny) * 65535L div greatest(__mxy - __mny, 1L)").as("qy"))
+    val z = q.withColumn("zv", expr("z_value(qx, qy)"))
+    // Z tile = top 2·tileBits interleaved bits (a quad-tree cell);
+    // xsort tile = top 2·tileBits bits of qx alone (equal tile count).
+    // Both layouts ride ONE scan: each row explodes into its two
+    // (layout, tile) memberships BEFORE the partial aggregate, so the
+    // exchange still carries only ≤ 2·4^tileBits combined groups.
+    val out = z
+      .select(
+        explode(array(
+          struct(lit("zorder").as("layout"),
+            shiftright(col("zv"), 32 - 2 * tileBits).cast("long").as("tile")),
+          struct(lit("xsort").as("layout"),
+            shiftright(col("qx"), 16 - 2 * tileBits).cast("long").as("tile"))))
+          .as("lt"),
+        col("qx"), col("qy"))
+      .groupBy(col("lt.layout").as("layout"), col("lt.tile").as("tile"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("qx")).as("min_qx"), max(col("qx")).as("max_qx"),
+        min(col("qy")).as("min_qy"), max(col("qy")).as("max_qy"))
+    out.withColumn(
+      "scan_needed",
+      col("max_qx") >= boxLo && col("min_qx") <= boxHi &&
+        col("max_qy") >= boxLo && col("min_qy") <= boxHi)
+  }
+}

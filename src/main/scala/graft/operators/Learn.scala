@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned curation models trained INSIDE the engine — the step past
+  * x161's static hashed classifier: corpus-curation pipelines routinely
+  * fit small probes (a linear model over cheap per-doc statistics
+  * standing in for an expensive labeler) and the fit itself must be a
+  * distributed, deterministic dataflow or it becomes a driver-side
+  * bottleneck at 100 TB.
+  *
+  * Two trainers, two plan shapes:
+  *  - [[linearProbe]]: closed-form ordinary least squares via normal
+  *    equations — ONE map-side-combined aggregate pass produces the ten
+  *    sufficient statistics (exact DECIMAL sums), and the 3×3 Cramer
+  *    solve is a constant-size expression on the 1-row result. The
+  *    cheapest possible training plan: no iteration, no second scan.
+  *  - [[perceptronGate]]: full-batch perceptron — `epochs` unrolled
+  *    rounds of one filtered aggregate each (scan → misclassified-set
+  *    sum → 1-row broadcast weight update), all arithmetic exact int64.
+  *    The iterative template (x152/x156/x157/x162's fixed-point loop)
+  *    applied to model fitting rather than graph propagation.
+  *
+  * Determinism contract: OLS sums are exact decimals cast to double
+  * once, and the solve is a fixed expression tree evaluated identically
+  * by DuckDB; the perceptron never leaves int64 (features are centered
+  * by integer-div means, so the update direction is well-conditioned —
+  * uncentered counts make full-batch updates oscillate).
+  */
+object Learn {
+
+  /** Closed-form OLS of `y` on (1, `x1`, `x2`) plus R², via the normal
+    * equations. Inputs must be integer-valued columns; the ten
+    * sufficient statistics are summed as DECIMAL(38,0)-exact values
+    * (per-row products first cast to DECIMAL(28,0), so no int64
+    * overflow at any corpus size whose row products fit 28 digits) and
+    * only the solve runs in doubles. Output: 1 row —
+    * (n_docs, beta0, beta1, beta2, r2). */
+  def linearProbe(df: DataFrame, y: Column, x1: Column, x2: Column)
+      : DataFrame = {
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,0)")).cast("double")
+    val s = df
+      .select(y.cast("long").as("y"), x1.cast("long").as("x1"),
+        x2.cast("long").as("x2"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+        dsum(col("x1") * col("x1")).as("s11"),
+        dsum(col("x1") * col("x2")).as("s12"),
+        dsum(col("x2") * col("x2")).as("s22"),
+        dsum(col("y")).as("sy"),
+        dsum(col("x1") * col("y")).as("s1y"),
+        dsum(col("x2") * col("y")).as("s2y"),
+        dsum(col("y") * col("y")).as("syy"))
+    // Cramer's rule on the 3×3 normal matrix; identical expression text
+    // runs on the oracle side, so the doubles agree bit-for-bit.
+    s.selectExpr(
+      "*",
+      "n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det")
+      .selectExpr(
+        "*",
+        "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS b0",
+        "(n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS b1",
+        "(n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det AS b2")
+      .selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "b0 AS beta0", "b1 AS beta1", "b2 AS beta2",
+        "1 - (syy - b0*sy - b1*s1y - b2*s2y) / (syy - sy*sy/n) AS r2")
+  }
+
+  /** Full-batch perceptron gate on features (1, `x1`, `x2`) with ±1
+    * label `label`, `epochs` unrolled epochs, learning rate 1, exact
+    * int64 throughout. Features are centered by their integer-div means
+    * (one extra 1-row aggregate, broadcast) before training. Update per
+    * epoch: `w += Σ_{i : y_i·(w·x_i) ≤ 0} y_i·x_i`. Output: 1 row —
+    * (w0, w1, w2, n_total, n_correct, accuracy) where a row is correct
+    * when `y·(w·x) > 0` under the final weights.
+    *
+    * Overflow bound (caller contract): after `E` epochs each weight is
+    * ≤ E·Σ|x_c| and the margin products are ≤ max|x_c|·E·Σ|x_c| — keep
+    * `E · Σ|x_c| · max|x_c| < 2^63` (at 10¹¹ docs of ≤10⁴-bounded
+    * centered features and E≤4 this still holds with 10³ slack). */
+  def perceptronGate(
+      df: DataFrame, label: Column, x1: Column, x2: Column,
+      epochs: Int = 3): DataFrame = {
+    val raw = df.select(
+      label.cast("long").as("y"),
+      x1.cast("long").as("r1"), x2.cast("long").as("r2"))
+    val ctr = raw.agg(
+      expr("sum(r1) div count(*)").as("__c1"),
+      expr("sum(r2) div count(*)").as("__c2"))
+    val f = raw.crossJoin(broadcast(ctr))
+      .select(col("y"), lit(1L).as("x0"),
+        (col("r1") - col("__c1")).as("x1"),
+        (col("r2") - col("__c2")).as("x2"))
+      .transform(graft.plans.Pin.pin)
+    val zero = f.sparkSession.range(1)
+      .select(lit(0L).as("a"), lit(0L).as("b"), lit(0L).as("c"))
+    val w = (1 to epochs).foldLeft(zero) { (prev, _) =>
+      val upd = f.crossJoin(broadcast(prev))
+        .filter(col("y") * (col("a") * col("x0") + col("b") * col("x1") +
+          col("c") * col("x2")) <= 0)
+        .agg(sum(col("y") * col("x0")).as("da"),
+          sum(col("y") * col("x1")).as("db"),
+          sum(col("y") * col("x2")).as("dc"))
+      prev.crossJoin(broadcast(upd)).select(
+        (col("a") + coalesce(col("da"), lit(0L))).as("a"),
+        (col("b") + coalesce(col("db"), lit(0L))).as("b"),
+        (col("c") + coalesce(col("dc"), lit(0L))).as("c"))
+    }
+    f.crossJoin(broadcast(w))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("y") * (col("a") * col("x0") + col("b") * col("x1") +
+          col("c") * col("x2")) > 0, 1L).otherwise(0L)).as("n_correct"))
+      .select(
+        col("a").as("w0"), col("b").as("w1"), col("c").as("w2"),
+        col("n_total"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_total")).as("accuracy"))
+  }
+}

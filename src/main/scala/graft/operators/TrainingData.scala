@@ -6960,6 +6960,178 @@ object TrainingData {
     Corpus.cdcChunkDedup(t.documents, "doc_id", "text", "source")
   }
 
+  /** Z-order layout audit (x195) — the oracle-registered twin of the
+    * spec-only curve writers ([[graft.sources.Sinks.writeZOrdered]],
+    * HilbertSpec/ZOrderSpec): [[Layout.zorderAudit]] computes the
+    * writer's exact layout law (16-bit grid normalization → `z_value`
+    * Morton interleave → curve-prefix tiles) as a pure dataflow and
+    * reports, per tile, the min/max statistics a parquet file skipper
+    * consults plus the prune decision for a two-sided box predicate —
+    * against the single-column-sort strawman at the same tile count.
+    * On this fixture the Z layout scans 4 of 256 tiles (868 rows) where
+    * the x-sort layout scans 32 (7 578 rows). The oracle replays the
+    * interleave as 16 div/mod terms per axis. */
+  val x195 = Q(
+    "x195_zorder_layout",
+    Some {
+      val morton = (0 until 16).map { b =>
+        s"((qx // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+          s"((qy // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+      "WITH mm AS (SELECT MIN(l_partkey) AS mnx, MAX(l_partkey) AS mxx, " +
+        "MIN(l_suppkey) AS mny, MAX(l_suppkey) AS mxy FROM lineitem), " +
+        "q AS (SELECT (l_partkey - mnx) * 65535 // greatest(mxx - mnx, 1) AS qx, " +
+        "(l_suppkey - mny) * 65535 // greatest(mxy - mny, 1) AS qy FROM lineitem, mm), " +
+        s"z AS (SELECT qx, qy, $morton AS zv FROM q), " +
+        "tiles AS (" +
+        s"SELECT 'zorder' AS layout, CAST(zv // ${1L << 24} AS BIGINT) AS tile, " +
+        s"$sqlCount AS n_rows, " +
+        "CAST(MIN(qx) AS BIGINT) AS min_qx, CAST(MAX(qx) AS BIGINT) AS max_qx, " +
+        "CAST(MIN(qy) AS BIGINT) AS min_qy, CAST(MAX(qy) AS BIGINT) AS max_qy " +
+        "FROM z GROUP BY 2 " +
+        "UNION ALL " +
+        s"SELECT 'xsort', CAST(qx // ${1L << 8} AS BIGINT), $sqlCount, " +
+        "CAST(MIN(qx) AS BIGINT), CAST(MAX(qx) AS BIGINT), " +
+        "CAST(MIN(qy) AS BIGINT), CAST(MAX(qy) AS BIGINT) FROM z GROUP BY 2) " +
+        "SELECT *, (max_qx >= 28672 AND min_qx <= 36863 AND " +
+        "max_qy >= 28672 AND min_qy <= 36863) AS scan_needed FROM tiles"
+    }
+  ) { t =>
+    Layout.zorderAudit(t.lineitem, "l_partkey", "l_suppkey")
+  }
+
+  /** Matryoshka serving-dim recall curve (x196) —
+    * [[Dedup.matryoshkaRecall]]: recall@10 of prefix-cosine retrieval
+    * at d ∈ {8, 16, 32} against the full-64-dim ground truth, per
+    * (d, query). The quantization ladder (PQ/SQ/BQ, x149+) compresses
+    * per-element storage; THIS audit measures the orthogonal lever —
+    * dropping trailing dimensions outright (Kusupati et al. 2022) —
+    * which at 100 TB cuts scan, shuffle, AND index size linearly in d.
+    * The oracle replays the same sequential-fold prefix dots. */
+  val x196 = Q(
+    "x196_matryoshka_recall",
+    Some {
+      def dotN(a: String, b: String, n: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${n + 1}), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+      val union = Seq(8, 16, 32, 64).map { d =>
+        s"SELECT CAST($d AS BIGINT) AS d, a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+          s"${dotN("a.embedding", "b.embedding", d)} / " +
+          s"(sqrt(${dotN("a.embedding", "a.embedding", d)}) * " +
+          s"sqrt(${dotN("b.embedding", "b.embedding", d)})) AS cosine " +
+          "FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND a.vec_id <> b.vec_id"
+      }.mkString(" UNION ALL ")
+      s"WITH sims AS ($union), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY d, query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rn FROM sims), " +
+        "tk AS (SELECT d, query_id, neighbor_id FROM ranked WHERE rn <= 10), " +
+        "truth AS (SELECT query_id, neighbor_id FROM tk WHERE d = 64) " +
+        "SELECT t.d, t.query_id, " +
+        "CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall " +
+        "FROM tk t LEFT JOIN truth g ON t.query_id = g.query_id " +
+        "AND t.neighbor_id = g.neighbor_id " +
+        "WHERE t.d < 64 GROUP BY t.d, t.query_id"
+    }
+  ) { t =>
+    Dedup.matryoshkaRecall(t.embeddings, "vec_id", "embedding",
+      col("query_id") < 8, k = 10, dims = Seq(8, 16, 32), fullDim = 64)
+  }
+
+  // shared x197/x198 cheap-feature fragments: whitespace token count and
+  // 'the'-occurrence count (the sparkWordCount replace-shrinkage law)
+  private val duckTokCount =
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+  private val duckTheCount = s"CAST(${duckWordCount("the")} AS BIGINT)"
+
+  /** Closed-form linear probe (x197) — [[Learn.linearProbe]]: OLS of
+    * `n_chars` on (1, token count, 'the' count) via the normal
+    * equations, R² ≈ 0.995 on this corpus. The trained counterpart to
+    * x161's STATIC hashed classifier: curation pipelines fit exactly
+    * such probes to impute an expensive label from cheap per-doc
+    * statistics, and the closed form makes training ONE
+    * map-side-combined aggregate (ten DECIMAL-exact sufficient
+    * statistics) + a constant-size Cramer solve — no iteration, no
+    * driver-side data. The oracle runs the identical solve text, so
+    * the doubles match bit-for-bit. */
+  val x197 = Q(
+    "x197_linear_probe",
+    Some {
+      def dsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(28,0))) AS DOUBLE)"
+      s"WITH f AS (SELECT $duckTokCount AS x1, $duckTheCount AS x2, " +
+        "CAST(n_chars AS BIGINT) AS y FROM documents), " +
+        "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        s"${dsum("x1")} AS s1, ${dsum("x2")} AS s2, " +
+        s"${dsum("x1*x1")} AS s11, ${dsum("x1*x2")} AS s12, " +
+        s"${dsum("x2*x2")} AS s22, ${dsum("y")} AS sy, " +
+        s"${dsum("x1*y")} AS s1y, ${dsum("x2*y")} AS s2y, " +
+        s"${dsum("y*y")} AS syy FROM f) " +
+        "SELECT CAST(n AS BIGINT) AS n_docs, b0 AS beta0, b1 AS beta1, b2 AS beta2, " +
+        "1 - (syy - b0*sy - b1*s1y - b2*s2y) / (syy - sy*sy/n) AS r2 " +
+        "FROM (SELECT *, " +
+        "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS b0, " +
+        "(n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS b1, " +
+        "(n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det AS b2 " +
+        "FROM (SELECT *, n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + " +
+        "s2*(s1*s12 - s11*s2) AS det FROM s))"
+    }
+  ) { t =>
+    Learn.linearProbe(t.documents,
+      y = col("n_chars"),
+      x1 = expr("length(text) - length(replace(text, ' ', '')) + 1"),
+      x2 = expr(sparkWordCount("the")))
+  }
+
+  /** Full-batch perceptron gate (x198) — [[Learn.perceptronGate]]: the
+    * ITERATIVE trainer next to x197's closed form — 3 unrolled epochs
+    * of `w += Σ_misclassified y·x` over integer-centered features
+    * (1, token count, 'the' count) with label `n_chars ≥ 300`, exact
+    * int64 throughout (the x152/x162 fixed-point template applied to
+    * model fitting: scan → filtered 1-row aggregate → broadcast
+    * update). Reaches 99 % train accuracy here; LearnSpec pins that the
+    * UNcentered variant oscillates below the majority rate — the
+    * conditioning lesson, spec-carried. Oracle: the same three epochs
+    * as unrolled CTEs. */
+  val x198 = Q(
+    "x198_perceptron_gate",
+    Some {
+      def w(prev: Option[String]): String = {
+        val (pa, pb, pc) = prev match {
+          case None => ("CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)")
+          case Some(p) =>
+            (s"(SELECT a FROM $p)", s"(SELECT b FROM $p)", s"(SELECT c FROM $p)")
+        }
+        val cond = prev match {
+          case None => "TRUE"
+          case Some(p) =>
+            s"y * ((SELECT a FROM $p)*x0 + (SELECT b FROM $p)*x1 + " +
+              s"(SELECT c FROM $p)*x2) <= 0"
+        }
+        s"(SELECT $pa + COALESCE((SELECT SUM(y*x0) FROM f WHERE $cond), 0) AS a, " +
+          s"$pb + COALESCE((SELECT SUM(y*x1) FROM f WHERE $cond), 0) AS b, " +
+          s"$pc + COALESCE((SELECT SUM(y*x2) FROM f WHERE $cond), 0) AS c)"
+      }
+      s"WITH raw AS (SELECT $duckTokCount AS r1, $duckTheCount AS r2, " +
+        "CASE WHEN n_chars >= 300 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y " +
+        "FROM documents), " +
+        "ctr AS (SELECT SUM(r1) // COUNT(*) AS c1, SUM(r2) // COUNT(*) AS c2 FROM raw), " +
+        "f AS (SELECT CAST(1 AS BIGINT) AS x0, r1 - (SELECT c1 FROM ctr) AS x1, " +
+        "r2 - (SELECT c2 FROM ctr) AS x2, y FROM raw), " +
+        s"w1 AS ${w(None)}, w2 AS ${w(Some("w1"))}, w3 AS ${w(Some("w2"))} " +
+        "SELECT CAST(a AS BIGINT) AS w0, CAST(b AS BIGINT) AS w1, CAST(c AS BIGINT) AS w2, " +
+        s"$sqlCount AS n_total, " +
+        "CAST(SUM(CASE WHEN y*(a*x0+b*x1+c*x2) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+        "CAST(SUM(CASE WHEN y*(a*x0+b*x1+c*x2) > 0 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS accuracy " +
+        "FROM f, w3 GROUP BY a, b, c"
+    }
+  ) { t =>
+    Learn.perceptronGate(t.documents,
+      label = when(col("n_chars") >= 300, 1L).otherwise(-1L),
+      x1 = expr("length(text) - length(replace(text, ' ', '')) + 1"),
+      x2 = expr(sparkWordCount("the")),
+      epochs = 3)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -6975,6 +7147,6 @@ object TrainingData {
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
-    x190, x191, x192, x193, x194
+    x190, x191, x192, x193, x194, x195, x196, x197, x198
   )
 }
