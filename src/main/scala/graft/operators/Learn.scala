@@ -38,13 +38,21 @@ object Learn {
     * only the solve runs in doubles. Output: 1 row —
     * (n_docs, beta0, beta1, beta2, r2). */
   def linearProbe(df: DataFrame, y: Column, x1: Column, x2: Column)
+      : DataFrame =
+    solveOls(sufficientStats(df, y, x1, x2))
+
+  /** The ten OLS sufficient statistics of `y` on (1, `x1`, `x2`) as ONE
+    * row of exact values (BIGINT count + DECIMAL(38,0) sums) — the
+    * MERGEABLE form: statistics of a union are the column-wise sums of
+    * per-part statistics, which is what lets [[solveOls]] refit from
+    * accumulated per-batch partials (ProbeStream) without rescanning. */
+  def sufficientStats(df: DataFrame, y: Column, x1: Column, x2: Column)
       : DataFrame = {
-    def dsum(c: Column): Column = sum(c.cast("decimal(28,0)")).cast("double")
-    val s = df
-      .select(y.cast("long").as("y"), x1.cast("long").as("x1"),
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,0)"))
+    df.select(y.cast("long").as("y"), x1.cast("long").as("x1"),
         x2.cast("long").as("x2"))
       .agg(
-        count(lit(1)).cast("double").as("n"),
+        count(lit(1)).as("n"),
         dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
         dsum(col("x1") * col("x1")).as("s11"),
         dsum(col("x1") * col("x2")).as("s12"),
@@ -53,8 +61,32 @@ object Learn {
         dsum(col("x1") * col("y")).as("s1y"),
         dsum(col("x2") * col("y")).as("s2y"),
         dsum(col("y") * col("y")).as("syy"))
-    // Cramer's rule on the 3×3 normal matrix; identical expression text
-    // runs on the oracle side, so the doubles agree bit-for-bit.
+  }
+
+  /** Re-add (merge) sufficient-statistics rows column-wise — the stats
+    * of the union of the underlying parts. */
+  def mergeStats(parts: DataFrame): DataFrame =
+    parts.agg(
+      sum(col("n")).cast("long").as("n"),
+      sum(col("s1")).as("s1"), sum(col("s2")).as("s2"),
+      sum(col("s11")).as("s11"), sum(col("s12")).as("s12"),
+      sum(col("s22")).as("s22"), sum(col("sy")).as("sy"),
+      sum(col("s1y")).as("s1y"), sum(col("s2y")).as("s2y"),
+      sum(col("syy")).as("syy"))
+
+  /** Cramer solve of the 3×3 normal equations from a
+    * sufficient-statistics frame ([[sufficientStats]] shape, one fit
+    * per row; `keys` columns pass through — the per-group form). Exact
+    * sums are cast to double HERE, once; identical expression text runs
+    * on the oracle side, so the doubles agree bit-for-bit. */
+  def solveOls(stats: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val s = stats.selectExpr(keys ++ Seq(
+      "CAST(n AS DOUBLE) AS n",
+      "CAST(s1 AS DOUBLE) AS s1", "CAST(s2 AS DOUBLE) AS s2",
+      "CAST(s11 AS DOUBLE) AS s11", "CAST(s12 AS DOUBLE) AS s12",
+      "CAST(s22 AS DOUBLE) AS s22", "CAST(sy AS DOUBLE) AS sy",
+      "CAST(s1y AS DOUBLE) AS s1y", "CAST(s2y AS DOUBLE) AS s2y",
+      "CAST(syy AS DOUBLE) AS syy"): _*)
     s.selectExpr(
       "*",
       "n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det")
@@ -63,10 +95,36 @@ object Learn {
         "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS b0",
         "(n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS b1",
         "(n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det AS b2")
-      .selectExpr(
+      .selectExpr(keys ++ Seq(
         "CAST(n AS BIGINT) AS n_docs",
         "b0 AS beta0", "b1 AS beta1", "b2 AS beta2",
-        "1 - (syy - b0*sy - b1*s1y - b2*s2y) / (syy - sy*sy/n) AS r2")
+        "1 - (syy - b0*sy - b1*s1y - b2*s2y) / (syy - sy*sy/n) AS r2"): _*)
+  }
+
+  /** Per-group OLS — [[linearProbe]] with `key` as the grouping column:
+    * the per-domain calibration form (one probe per source/language).
+    * Same single map-side-combined pass — the sufficient statistics
+    * aggregate simply gains a grouping key — then one constant-size
+    * solve per group row. */
+  def linearProbeBy(
+      df: DataFrame, key: Column, y: Column, x1: Column, x2: Column)
+      : DataFrame = {
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,0)"))
+    val stats = df
+      .select(key.as("key"), y.cast("long").as("y"),
+        x1.cast("long").as("x1"), x2.cast("long").as("x2"))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+        dsum(col("x1") * col("x1")).as("s11"),
+        dsum(col("x1") * col("x2")).as("s12"),
+        dsum(col("x2") * col("x2")).as("s22"),
+        dsum(col("y")).as("sy"),
+        dsum(col("x1") * col("y")).as("s1y"),
+        dsum(col("x2") * col("y")).as("s2y"),
+        dsum(col("y") * col("y")).as("syy"))
+    solveOls(stats, keys = Seq("key"))
   }
 
   /** Full-batch perceptron gate on features (1, `x1`, `x2`) with ±1

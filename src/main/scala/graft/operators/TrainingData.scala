@@ -7082,6 +7082,45 @@ object TrainingData {
       x2 = expr(sparkWordCount("the")))
   }
 
+  /** Per-source linear probes (x199) — [[Learn.linearProbeBy]]: x197's
+    * closed-form OLS with `source` as a grouping key — one calibrated
+    * probe per domain, the shape real curation uses (a global fit hides
+    * per-domain slope differences; mixed crawls gate per source). Still
+    * ONE map-side-combined pass: the sufficient-statistics aggregate
+    * gains a grouping key, then one constant-size solve per group row.
+    * Streaming twin: ProbeStream accumulates the same statistics as
+    * per-batch partials and refits without rescanning history
+    * (stream ≡ batch bit-for-bit, ProbeStreamSpec). */
+  val x199 = Q(
+    "x199_grouped_probe",
+    Some {
+      def dsum(e: String) = s"SUM(CAST($e AS DECIMAL(28,0)))"
+      s"WITH f AS (SELECT source, $duckTokCount AS x1, $duckTheCount AS x2, " +
+        "CAST(n_chars AS BIGINT) AS y FROM documents), " +
+        "s AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n, " +
+        s"CAST(${dsum("x1")} AS DOUBLE) AS s1, CAST(${dsum("x2")} AS DOUBLE) AS s2, " +
+        s"CAST(${dsum("x1*x1")} AS DOUBLE) AS s11, CAST(${dsum("x1*x2")} AS DOUBLE) AS s12, " +
+        s"CAST(${dsum("x2*x2")} AS DOUBLE) AS s22, CAST(${dsum("y")} AS DOUBLE) AS sy, " +
+        s"CAST(${dsum("x1*y")} AS DOUBLE) AS s1y, CAST(${dsum("x2*y")} AS DOUBLE) AS s2y, " +
+        s"CAST(${dsum("y*y")} AS DOUBLE) AS syy FROM f GROUP BY source) " +
+        "SELECT source, CAST(n AS BIGINT) AS n_docs, b0 AS beta0, b1 AS beta1, " +
+        "b2 AS beta2, 1 - (syy - b0*sy - b1*s1y - b2*s2y) / (syy - sy*sy/n) AS r2 " +
+        "FROM (SELECT *, " +
+        "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS b0, " +
+        "(n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS b1, " +
+        "(n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det AS b2 " +
+        "FROM (SELECT *, n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + " +
+        "s2*(s1*s12 - s11*s2) AS det FROM s))"
+    }
+  ) { t =>
+    Learn.linearProbeBy(t.documents,
+      key = col("source"),
+      y = col("n_chars"),
+      x1 = expr("length(text) - length(replace(text, ' ', '')) + 1"),
+      x2 = expr(sparkWordCount("the")))
+      .withColumnRenamed("key", "source")
+  }
+
   /** Full-batch perceptron gate (x198) — [[Learn.perceptronGate]]: the
     * ITERATIVE trainer next to x197's closed form — 3 unrolled epochs
     * of `w += Σ_misclassified y·x` over integer-centered features
@@ -7147,6 +7186,6 @@ object TrainingData {
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
-    x190, x191, x192, x193, x194, x195, x196, x197, x198
+    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199
   )
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Learn
+
+/** Streaming twin of the x197 closed-form linear probe — ONLINE model
+  * fitting over a document stream, without ever rescanning history.
+  *
+  * The OLS sufficient statistics are MERGEABLE (stats of a union = the
+  * column-wise sums of per-part stats, exact in DECIMAL(38,0)), so the
+  * stream keeps an append-only partials table instead of state: per
+  * micro-batch,
+  *
+  *  - the batch's own ten statistics ([[Learn.sufficientStats]], one
+  *    row) land under `partialsPath/batch_id=<id>` — overwrite into the
+  *    batch's own partition, so a replayed batch is idempotent (the
+  *    [[DedupStream]] layout contract);
+  *  - the refit ([[Learn.mergeStats]] over ALL partials →
+  *    [[Learn.solveOls]]) lands under `fitPath/batch_id=<id>` — the
+  *    model-so-far after every batch, each a 1-row
+  *    (n_docs, beta0..2, r2) frame.
+  *
+  * Because the merge is exact decimal addition and the solve is the
+  * same expression tree, the fit after the last batch is BIT-IDENTICAL
+  * to running [[Learn.linearProbe]] over the concatenated corpus —
+  * ProbeStreamSpec pins stream ≡ batch on doubles, plus partial-order
+  * invariance. Per-batch cost is one scan of the batch plus a
+  * batch-count-row merge; the history is never re-read beyond the
+  * 1-row-per-batch partials table.
+  */
+object ProbeStream {
+
+  /** Start the online probe over a streaming frame; `y`/`x1`/`x2` are
+    * expression strings over the frame's columns (evaluated per batch,
+    * the same expressions the batch probe takes as Columns). */
+  def startProbeFit(
+      newDocs: DataFrame,
+      partialsPath: String,
+      fitPath: String,
+      checkpoint: String,
+      y: String, x1: String, x2: String): StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        Learn.sufficientStats(batch, expr(y), expr(x1), expr(x2))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$partialsPath/batch_id=$batchId")
+        val partials = spark.read.parquet(partialsPath)
+        Learn.solveOls(Learn.mergeStats(partials))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$fitPath/batch_id=$batchId")
+      }
+      .start()
+}
