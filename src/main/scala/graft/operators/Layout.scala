@@ -42,7 +42,33 @@ object Layout {
   def zorderAudit(
       df: DataFrame, xCol: String, yCol: String,
       tileBits: Int = 4,
-      boxLo: Long = 28672L, boxHi: Long = 36863L): DataFrame = {
+      boxLo: Long = 28672L, boxHi: Long = 36863L): DataFrame =
+    curveAudit(df, xCol, yCol, Seq("zorder", "xsort"), tileBits, boxLo, boxHi)
+
+  /** The general multi-layout form: audit `df` under each layout in
+    * `curves` — "zorder" (Morton), "hilbert", "xsort" (single-column
+    * ranges). All requested layouts ride ONE data scan: each row
+    * explodes into its per-layout (layout, tile) memberships BEFORE the
+    * partial aggregate, so the exchange carries only a bounded number
+    * of combined groups at any corpus size.
+    *
+    * Tile law: with `curveTileWidth = 0` (default), tiles are the top
+    * `2·tileBits` curve bits. NOTE the degeneracy this implies: both
+    * Morton and Hilbert are quadtree-recursive (each visits a whole
+    * 2^k × 2^k cell before leaving it), so power-of-4 PREFIX tiles are
+    * the IDENTICAL square cells for both curves — identical min/max
+    * stats, identical prune decisions. The curves only differ once tile
+    * boundaries cut the curve MID-cell, which is what a real writer's
+    * equal-size file split does; `curveTileWidth > 0` models that with
+    * fixed-value-width curve ranges (`tile = curve div width`), where
+    * Hilbert's continuity yields tighter per-tile boxes than Morton's
+    * quadrant-boundary jumps (x200 measures 2 337 vs 3 442 rows scanned
+    * at 100 tiles on the fixture). `xsort` always uses qx prefix bits. */
+  def curveAudit(
+      df: DataFrame, xCol: String, yCol: String, curves: Seq[String],
+      tileBits: Int = 4,
+      boxLo: Long = 28672L, boxHi: Long = 36863L,
+      curveTileWidth: Long = 0L): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
@@ -54,19 +80,24 @@ object Layout {
       .select(
         expr("(__x - __mnx) * 65535L div greatest(__mxx - __mnx, 1L)").as("qx"),
         expr("(__y - __mny) * 65535L div greatest(__mxy - __mny, 1L)").as("qy"))
-    val z = q.withColumn("zv", expr("z_value(qx, qy)"))
-    // Z tile = top 2·tileBits interleaved bits (a quad-tree cell);
-    // xsort tile = top 2·tileBits bits of qx alone (equal tile count).
-    // Both layouts ride ONE scan: each row explodes into its two
-    // (layout, tile) memberships BEFORE the partial aggregate, so the
-    // exchange still carries only ≤ 2·4^tileBits combined groups.
-    val out = z
+    // curve values span [0, 2^32) (order-16), qx spans [0, 2^16)
+    def cut(c: Column, prefixShift: Int): Column =
+      if (curveTileWidth > 0L) expr(s"${c.toString} div ${curveTileWidth}L")
+      else shiftright(c, prefixShift)
+    def tile(curve: String): Column = curve match {
+      case "zorder" =>
+        cut(expr("z_value(qx, qy)"), 32 - 2 * tileBits)
+      case "hilbert" =>
+        cut(expr("hilbert_value(qx, qy)"), 32 - 2 * tileBits)
+      case "xsort" =>
+        shiftright(col("qx"), 16 - 2 * tileBits)
+      case other =>
+        throw new IllegalArgumentException(s"unknown layout: $other")
+    }
+    val out = q
       .select(
-        explode(array(
-          struct(lit("zorder").as("layout"),
-            shiftright(col("zv"), 32 - 2 * tileBits).cast("long").as("tile")),
-          struct(lit("xsort").as("layout"),
-            shiftright(col("qx"), 16 - 2 * tileBits).cast("long").as("tile"))))
+        explode(array(curves.map(c =>
+          struct(lit(c).as("layout"), tile(c).cast("long").as("tile"))): _*))
           .as("lt"),
         col("qx"), col("qy"))
       .groupBy(col("lt.layout").as("layout"), col("lt.tile").as("tile"))

@@ -7000,6 +7000,67 @@ object TrainingData {
     Layout.zorderAudit(t.lineitem, "l_partkey", "l_suppkey")
   }
 
+  /** Hilbert layout audit (x200) — [[Layout.curveAudit]] over the
+    * Hilbert AND Morton curves on the same grid and box predicate as
+    * x195, cut into 100 fixed-VALUE-WIDTH curve ranges rather than
+    * x195's power-of-4 prefixes. The tile law matters: both curves are
+    * quadtree-recursive, so power-of-4 prefix tiles are the IDENTICAL
+    * square cells for both (identical prune decisions — a degenerate
+    * comparison); only boundaries that cut the curve MID-cell, as a
+    * real writer's equal-size file split does, expose the difference —
+    * and there Hilbert's always-adjacent steps give tighter per-tile
+    * boxes than Morton's quadrant jumps: 4 tiles / 2 337 rows scanned
+    * vs 6 / 3 442 on this fixture, the measured reason
+    * [[graft.sources.Sinks.writeHilbert]] exists. The oracle replays
+    * the EXACT iterated xy2d law as a 17-step recursive CTE (same
+    * `&`/reflect/swap arithmetic as the codegen expression —
+    * two's-complement semantics match on negative intermediates) next
+    * to the 16-term Morton interleave, so both curves' full tile
+    * inventories are hash-pinned cross-engine. */
+  val x200 = Q(
+    "x200_hilbert_layout",
+    Some {
+      val morton = (0 until 16).map { b =>
+        s"((qx // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+          s"((qy // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+      "WITH RECURSIVE mm AS (SELECT MIN(l_partkey) AS mnx, MAX(l_partkey) AS mxx, " +
+        "MIN(l_suppkey) AS mny, MAX(l_suppkey) AS mxy FROM lineitem), " +
+        "q AS (SELECT (l_partkey - mnx) * 65535 // greatest(mxx - mnx, 1) AS qx, " +
+        "(l_suppkey - mny) * 65535 // greatest(mxy - mny, 1) AS qy FROM lineitem, mm), " +
+        // iterated xy2d over the DISTINCT grid points (duplicates join back)
+        "pts AS (SELECT DISTINCT qx, qy FROM q), " +
+        "h(qx0, qy0, x, y, d, s) AS (" +
+        "SELECT qx, qy, qx, qy, CAST(0 AS BIGINT), CAST(32768 AS BIGINT) FROM pts " +
+        "UNION ALL SELECT qx0, qy0, " +
+        "CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) <> 0 THEN s - 1 - y ELSE y END) ELSE x END, " +
+        "CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) <> 0 THEN s - 1 - x ELSE x END) ELSE y END, " +
+        "d + s * s * xor(3 * (CASE WHEN (x & s) <> 0 THEN 1 ELSE 0 END), " +
+        "CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END), " +
+        "s // 2 FROM h WHERE s > 0), " +
+        "hv AS (SELECT qx0 AS qx, qy0 AS qy, d AS hd FROM h WHERE s = 0), " +
+        s"z AS (SELECT q.qx AS qx, q.qy AS qy, " +
+        morton.replace("qx", "q.qx").replace("qy", "q.qy") +
+        " AS zv, hv.hd AS hd FROM q JOIN hv " +
+        "ON q.qx = hv.qx AND q.qy = hv.qy), " +
+        "tiles AS (" +
+        s"SELECT 'hilbert' AS layout, CAST(hd // 42949673 AS BIGINT) AS tile, " +
+        s"$sqlCount AS n_rows, " +
+        "CAST(MIN(qx) AS BIGINT) AS min_qx, CAST(MAX(qx) AS BIGINT) AS max_qx, " +
+        "CAST(MIN(qy) AS BIGINT) AS min_qy, CAST(MAX(qy) AS BIGINT) AS max_qy " +
+        "FROM z GROUP BY 2 " +
+        "UNION ALL " +
+        s"SELECT 'zorder', CAST(zv // 42949673 AS BIGINT), $sqlCount, " +
+        "CAST(MIN(qx) AS BIGINT), CAST(MAX(qx) AS BIGINT), " +
+        "CAST(MIN(qy) AS BIGINT), CAST(MAX(qy) AS BIGINT) FROM z GROUP BY 2) " +
+        "SELECT *, (max_qx >= 28672 AND min_qx <= 36863 AND " +
+        "max_qy >= 28672 AND min_qy <= 36863) AS scan_needed FROM tiles"
+    }
+  ) { t =>
+    Layout.curveAudit(t.lineitem, "l_partkey", "l_suppkey",
+      Seq("hilbert", "zorder"), curveTileWidth = 42949673L)
+  }
+
   /** Matryoshka serving-dim recall curve (x196) —
     * [[Dedup.matryoshkaRecall]]: recall@10 of prefix-cosine retrieval
     * at d ∈ {8, 16, 32} against the full-64-dim ground truth, per
@@ -7186,6 +7247,6 @@ object TrainingData {
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
-    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199
+    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200
   )
 }

@@ -65,6 +65,26 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix tiles are degenerate: hilbert ≡ zorder cell inventories") {
+    // both curves are quadtree-recursive, so power-of-4 PREFIX tiles
+    // are the same square cells — identical stats up to tile ids.
+    def inv(curve: String) =
+      Layout.curveAudit(li, "l_partkey", "l_suppkey", Seq(curve))
+        .select("n_rows", "min_qx", "max_qx", "min_qy", "max_qy", "scan_needed")
+        .collect().map(_.toSeq).toSet
+    assert(inv("hilbert") === inv("zorder"))
+  }
+
+  test("value-width tiles expose the curves: hilbert scans fewer rows") {
+    val a = Layout.curveAudit(li, "l_partkey", "l_suppkey",
+      Seq("hilbert", "zorder"), curveTileWidth = 42949673L)
+    val scanned = a.filter(col("scan_needed"))
+      .groupBy("layout").agg(sum("n_rows")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(scanned("hilbert") < scanned("zorder"),
+      s"hilbert ${scanned("hilbert")} vs zorder ${scanned("zorder")}")
+  }
+
   test("z-order scans strictly fewer rows than x-sort for the box") {
     val scanned = audit.filter(col("scan_needed"))
       .groupBy("layout").agg(sum("n_rows")).collect()
