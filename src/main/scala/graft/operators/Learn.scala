@@ -178,4 +178,79 @@ object Learn {
         col("n_total"), col("n_correct"),
         (col("n_correct").cast("double") / col("n_total")).as("accuracy"))
   }
+
+  /** Bernoulli naive Bayes gate — the GENERATIVE trainer completing the
+    * family (x197 closed-form, x198 discriminative-iterative): train on
+    * the even-`idCol` half (per-class word-presence counts, add-1
+    * smoothed), score the odd half, report the confusion. One training
+    * pass (distinct (doc, word) explode → (word, class) count — the
+    * same shuffle shape as any inverted index) and one scoring pass.
+    *
+    * Exactness contract: every log is rounded ONCE to DECIMAL(12,6)
+    * (the x103 `round(ln(·), k)` discipline), and the full-vocab
+    * Bernoulli sum is rewritten as `prior_c + base_c + Σ_{w ∈ doc}
+    * (log p_wc − log(1−p_wc))` where `base_c = Σ_vocab log(1−p_wc)` —
+    * algebraically identical to summing over the whole vocabulary, but
+    * the scoring join touches only each doc's PRESENT words, so the
+    * plan is presence-join-sized, not vocab×docs-sized. All sums are
+    * exact decimal; the class comparison (ties → negative class) is
+    * therefore engine-independent. At web scale cap the vocabulary
+    * first (the x41/x69 top-K pattern) — weights are a broadcast
+    * frame either way. */
+  def naiveBayesGate(
+      df: DataFrame, idCol: String, textCol: String, label: Column)
+      : DataFrame = {
+    val d = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"), label.cast("boolean").as("y"))
+    val tr = d.filter(col("doc_id") % 2 === 0)
+    val te = d.filter(col("doc_id") % 2 === 1)
+    def words(part: DataFrame): DataFrame = part
+      .select(col("doc_id"), col("y"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("y"), col("w")).distinct()
+    val trw = words(tr).transform(graft.plans.Pin.pin)
+    val nc = tr.groupBy(col("y")).agg(count(lit(1)).as("n"))
+    val cnt = trw.groupBy(col("w"), col("y")).agg(count(lit(1)).as("c"))
+    val vocab = trw.select(col("w")).distinct()
+    val grid = vocab.crossJoin(broadcast(nc))
+      .join(cnt, Seq("w", "y"), "left")
+      .select(col("w"), col("y"), coalesce(col("c"), lit(0L)).as("c"), col("n"))
+    val wt = grid.selectExpr("w", "y",
+      "CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lp",
+      "CAST(round(ln(1 - CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lq")
+      .transform(graft.plans.Pin.pin)
+    val base = wt.groupBy(col("y")).agg(sum(col("lq")).as("b"))
+    val total = nc.agg(sum(col("n")).as("nt"))
+    val prior = nc.crossJoin(broadcast(total)).selectExpr("y",
+      "CAST(round(ln(CAST(n AS DOUBLE) / nt), 6) AS DECIMAL(12,6)) AS pr")
+    val sc = words(te).drop("y")
+      .join(broadcast(wt.withColumnRenamed("y", "cls")), Seq("w"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("lp") - col("lq")).as("s"))
+    val scored = te.select(col("doc_id"), col("y").as("truth"))
+      .crossJoin(broadcast(
+        nc.select(col("y").as("cls"))
+          .join(prior.withColumnRenamed("y", "cls"), "cls")
+          .join(base.withColumnRenamed("y", "cls"), "cls")))
+      .join(sc, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("truth"), col("cls"),
+        (col("pr") + col("b") + coalesce(col("s"), lit(0))
+          .cast("decimal(22,6)")).as("score"))
+    val pred = scored.groupBy(col("doc_id"), col("truth"))
+      .agg((max(when(col("cls"), col("score"))) >
+        max(when(!col("cls"), col("score")))).as("pred"))
+    pred.agg(
+      sum(when(col("pred") && col("truth"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && !col("truth"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && !col("truth"), 1L).otherwise(0L)).as("tn"),
+      sum(when(!col("pred") && col("truth"), 1L).otherwise(0L)).as("fn"),
+      count(lit(1)).as("n_test"))
+      .crossJoin(broadcast(
+        vocab.agg(count(lit(1)).as("vocab_size"))))
+      .crossJoin(broadcast(tr.agg(count(lit(1)).as("n_train"))))
+      .select(col("n_train"), col("n_test"), col("vocab_size"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        ((col("tp") + col("tn")).cast("double") / col("n_test"))
+          .as("accuracy"))
+  }
 }

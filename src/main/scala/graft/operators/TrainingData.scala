@@ -7232,6 +7232,63 @@ object TrainingData {
       epochs = 3)
   }
 
+  /** Bernoulli naive-Bayes gate (x201) — [[Learn.naiveBayesGate]]: the
+    * GENERATIVE trainer completing the in-engine family (x197
+    * closed-form OLS, x198 discriminative perceptron): per-class
+    * word-presence counts with add-1 smoothing trained on the even-id
+    * half, confusion reported on the odd half — 88 % test accuracy vs
+    * the 56 % majority rate here. Scores are exact decimal sums of
+    * once-rounded logs (the x103 discipline), and the full-vocab
+    * Bernoulli sum is rewritten through a per-class absent-word base so
+    * scoring joins only each doc's present words. */
+  val x201 = Q(
+    "x201_naive_bayes_gate",
+    Some(
+      "WITH d AS (SELECT doc_id, text, n_chars >= 300 AS y FROM documents), " +
+        "tr AS (SELECT doc_id, y FROM d WHERE doc_id % 2 = 0), " +
+        "te AS (SELECT doc_id, y FROM d WHERE doc_id % 2 = 1), " +
+        "trw AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS w FROM d WHERE doc_id % 2 = 0)), " +
+        "tew AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS w FROM d WHERE doc_id % 2 = 1)), " +
+        s"nc AS (SELECT y, $sqlCount AS n FROM tr GROUP BY y), " +
+        s"cnt AS (SELECT w, y, $sqlCount AS c FROM trw JOIN tr USING (doc_id) " +
+        "GROUP BY w, y), " +
+        "vocab AS (SELECT DISTINCT w FROM trw), " +
+        "grid AS (SELECT v.w, nc.y, COALESCE(cnt.c, 0) AS c, nc.n " +
+        "FROM vocab v CROSS JOIN nc LEFT JOIN cnt ON cnt.w = v.w AND cnt.y = nc.y), " +
+        "wt AS (SELECT w, y, " +
+        "CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lp, " +
+        "CAST(round(ln(1 - CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lq " +
+        "FROM grid), " +
+        "base AS (SELECT y, SUM(lq) AS b FROM wt GROUP BY y), " +
+        "prior AS (SELECT y, CAST(round(ln(CAST(n AS DOUBLE) / " +
+        "(SELECT SUM(n) FROM nc)), 6) AS DECIMAL(12,6)) AS pr FROM nc), " +
+        "sc AS (SELECT t.doc_id, wt.y AS cls, SUM(wt.lp - wt.lq) AS s " +
+        "FROM tew t JOIN wt ON t.w = wt.w GROUP BY 1, 2), " +
+        "scored AS (SELECT te.doc_id, te.y AS truth, nc.y AS cls, " +
+        "prior.pr + base.b + COALESCE(sc.s, 0) AS score " +
+        "FROM te CROSS JOIN nc " +
+        "JOIN prior ON prior.y = nc.y JOIN base ON base.y = nc.y " +
+        "LEFT JOIN sc ON sc.doc_id = te.doc_id AND sc.cls = nc.y), " +
+        "pred AS (SELECT doc_id, truth, " +
+        "MAX(CASE WHEN cls THEN score END) > MAX(CASE WHEN NOT cls THEN score END) AS p " +
+        "FROM scored GROUP BY 1, 2) " +
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_train, " +
+        s"$sqlCount AS n_test, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS vocab_size, " +
+        "CAST(SUM(CASE WHEN p AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(SUM(CASE WHEN p AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(SUM(CASE WHEN NOT p AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn, " +
+        "CAST(SUM(CASE WHEN NOT p AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+        "CAST(SUM(CASE WHEN p = truth THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy " +
+        "FROM pred"
+    )
+  ) { t =>
+    Learn.naiveBayesGate(t.documents, "doc_id", "text",
+      label = col("n_chars") >= 300)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -7247,6 +7304,6 @@ object TrainingData {
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
-    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200
+    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201
   )
 }

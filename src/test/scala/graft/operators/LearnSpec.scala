@@ -93,6 +93,24 @@ class LearnSpec extends AnyFunSuite {
     assert(centered.getDouble(5) > accRaw + 0.3)
   }
 
+  test("x201 naive Bayes: beats majority by a wide margin; confusion is consistent") {
+    val r = Learn.naiveBayesGate(docs, "doc_id", "text",
+      label = col("n_chars") >= 300).head()
+    val (nTrain, nTest) = (r.getLong(0), r.getLong(1))
+    val (tp, fp, tn, fn) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    val acc = r.getDouble(7)
+    assert(nTrain + nTest === docs.count())
+    assert(tp + fp + tn + fn === nTest)
+    assert(acc === (tp + tn).toDouble / nTest)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val majority = {
+      val pos = test.filter(col("n_chars") >= 300).count()
+      math.max(pos, test.count() - pos).toDouble / test.count()
+    }
+    assert(acc > majority + 0.2, s"acc $acc vs majority $majority")
+    assert(tp + fn === test.filter(col("n_chars") >= 300).count())
+  }
+
   test("trainers are partitioning-invariant") {
     val label = when(col("n_chars") >= 300, 1L).otherwise(-1L)
     def probe(df: org.apache.spark.sql.DataFrame) =
