@@ -85,6 +85,18 @@ class LayoutSpec extends AnyFunSuite {
       s"hilbert ${scanned("hilbert")} vs zorder ${scanned("zorder")}")
   }
 
+  test("plan shape: all layouts ride ONE data scan (+1 bounds scan)") {
+    // the explode-into-memberships-before-partial-agg design: a layout
+    // added to `curves` must never add a table scan
+    import org.apache.spark.sql.execution.ExplainMode
+    def scans(curves: Seq[String]): Int =
+      Layout.curveAudit(li, "l_partkey", "l_suppkey", curves)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .split("\n").count(_.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans(Seq("zorder")) === 2)
+    assert(scans(Seq("zorder", "xsort", "hilbert")) === 2)
+  }
+
   test("z-order scans strictly fewer rows than x-sort for the box") {
     val scanned = audit.filter(col("scan_needed"))
       .groupBy("layout").agg(sum("n_rows")).collect()

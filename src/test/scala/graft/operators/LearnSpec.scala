@@ -111,6 +111,15 @@ class LearnSpec extends AnyFunSuite {
     assert(tp + fn === test.filter(col("n_chars") >= 300).count())
   }
 
+  test("x197 plan shape: training is ONE scan (map-side-combined stats)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val plan = Learn.linearProbe(docs,
+      col("n_chars"), expr(tokExpr), expr(theExpr))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.split("\n").count(_.matches("\\(\\d+\\) Scan parquet.*")) === 1)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("trainers are partitioning-invariant") {
     val label = when(col("n_chars") >= 300, 1L).otherwise(-1L)
     def probe(df: org.apache.spark.sql.DataFrame) =
