@@ -1424,4 +1424,62 @@ object Corpus {
         sum((col("c") - 1) * col("w")).as("words_dup"))
       .withColumn("dup_word_fraction",
         col("words_dup").cast("double") / col("words_total"))
+
+  /** Water-filling token allocation across sources under a global
+    * budget — the data-constrained mixing allocator (Muennighoff et
+    * al. 2023's regime): small sources keep EVERYTHING they have,
+    * large sources are capped at a common water level λ chosen so the
+    * total hits the budget exactly. Contrast with x79's fixed per-cap
+    * (λ given, budget emergent) and x60's temperature mix
+    * (proportional, never exact-budget): here the budget is the
+    * primary and the level is solved.
+    *
+    * Exact integer law, no search loop: rank sources by (tokens,
+    * source) ascending with running prefix sums; the saturated-set
+    * size is k* = max{k : c₍ₖ₎·(S−k) ≤ B − prefix(k)} (the textbook
+    * feasibility test as a pure int64 inequality — no division, no
+    * floats); then λ = (B − prefix(k*)) div (S − k*) and the remainder
+    * r spreads one extra token to the first r uncapped sources in the
+    * same rank order, so Σ allocated = B EXACTLY. The budget is
+    * `B = total div budgetDiv` (derived from the exact corpus total so
+    * both engines agree bit-for-bit); contract: budgetDiv ≥ 2.
+    *
+    * Scale shape: corpus touched once (the per-source token
+    * aggregate); everything after runs on the DOMAIN-sized per-source
+    * frame — its global window is source-count-bounded (PlanSweepSpec
+    * whitelist, x72's justification), and k* and λ ride one broadcast
+    * 1-row frame. Output: (source, c_tokens, allocated, capped). */
+  def waterfillAllocation(
+      df: DataFrame, srcCol: String, tokensCol: org.apache.spark.sql.Column,
+      budgetDiv: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.select(col(srcCol).as("source"), tokensCol.as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("c"))
+    val tot = per.agg(count(lit(1)).as("nsrc"), sum(col("c")).as("total"))
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("c"), col("source"))))
+      .withColumn("prefix", sum(col("c")).over(
+        Window.orderBy(col("c"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val withB = ranked.withColumn("budget",
+      expr(s"total div ${budgetDiv}L"))
+    val kstar = withB
+      .filter(col("c") * (col("nsrc") - col("k")) <=
+        col("budget") - col("prefix"))
+      .agg(coalesce(max(col("k")), lit(0L)).cast("long").as("kstar"),
+        coalesce(max(when(col("c") * (col("nsrc") - col("k")) <=
+          col("budget") - col("prefix"), col("prefix"))), lit(0L))
+          .as("prefix_k"))
+    withB.crossJoin(broadcast(kstar))
+      .withColumn("lam",
+        expr("(budget - prefix_k) div (nsrc - kstar)"))
+      .withColumn("r", expr("(budget - prefix_k) % (nsrc - kstar)"))
+      .select(col("source"), col("c").as("c_tokens"),
+        when(col("k") <= col("kstar"), col("c"))
+          .otherwise(col("lam") +
+            when(col("k") - col("kstar") <= col("r"), 1L).otherwise(0L))
+          .as("allocated"),
+        (col("k") <= col("kstar")).as("capped"))
+  }
 }

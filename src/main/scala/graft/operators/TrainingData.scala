@@ -7289,6 +7289,42 @@ object TrainingData {
       label = col("n_chars") >= 300)
   }
 
+  /** Water-filling mixture allocation (x202) —
+    * [[Corpus.waterfillAllocation]]: the data-constrained token
+    * allocator (small sources keep everything, large sources cap at a
+    * common water level solved so Σ allocated = budget EXACTLY — here
+    * budget = total div 2). Completes the mixing family: x60 is
+    * proportional (temperature), x79 caps at a GIVEN level with the
+    * budget emergent, x68 selects by score under a budget; this solves
+    * the level FROM the budget, in pure int64 (the saturated-set test
+    * `c₍ₖ₎·(S−k) ≤ B − prefix(k)` needs no division or floats). */
+  val x202 = Q(
+    "x202_waterfill_mixture",
+    Some(
+      "WITH per AS (SELECT source, CAST(SUM(length(text) - " +
+        "length(replace(text, ' ', '')) + 1) AS BIGINT) AS c " +
+        "FROM documents GROUP BY source), " +
+        s"tot AS (SELECT $sqlCount AS nsrc, CAST(SUM(c) AS BIGINT) AS total FROM per), " +
+        "ranked AS (SELECT source, c, nsrc, total // 2 AS budget, " +
+        "CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS k, " +
+        "CAST(SUM(c) OVER (ORDER BY c, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix " +
+        "FROM per, tot), " +
+        "ks AS (SELECT COALESCE(MAX(k), 0) AS kstar, COALESCE(MAX(prefix), 0) AS prefix_k " +
+        "FROM ranked WHERE c * (nsrc - k) <= budget - prefix) " +
+        "SELECT source, c AS c_tokens, " +
+        "CAST(CASE WHEN k <= kstar THEN c ELSE " +
+        "(budget - prefix_k) // (nsrc - kstar) + " +
+        "(CASE WHEN k - kstar <= (budget - prefix_k) % (nsrc - kstar) " +
+        "THEN 1 ELSE 0 END) END AS BIGINT) AS allocated, " +
+        "(k <= kstar) AS capped " +
+        "FROM ranked, ks"
+    )
+  ) { t =>
+    Corpus.waterfillAllocation(t.documents, "source",
+      expr("length(text) - length(replace(text, ' ', '')) + 1"),
+      budgetDiv = 2L)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -7304,6 +7340,6 @@ object TrainingData {
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
-    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201
+    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201, x202
   )
 }

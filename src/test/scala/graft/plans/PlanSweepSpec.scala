@@ -54,7 +54,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "x111_hist_quantiles",
     "x112_hybrid_rrf",
     "x131_temporal_embargo_split",
-    "x135_quantile_normalize")
+    "x135_quantile_normalize",
+    "x202_waterfill_mixture")
 
   /** Queries allowed a CartesianProduct in the physical plan. */
   private val cartesianOk: Set[String] = Set.empty
