@@ -179,6 +179,66 @@ object Learn {
         (col("n_correct").cast("double") / col("n_total")).as("accuracy"))
   }
 
+  /** K-fold cross-validation of the linear probe in ONE corpus scan —
+    * the payoff of keeping sufficient statistics mergeable AND
+    * subtractable: per fold f, the training statistics are
+    * `total − stats(f)` (exact decimal subtraction, no second pass),
+    * the solve is [[solveOls]] per fold row, and even the HOLDOUT error
+    * needs no rescan — for a linear model,
+    * `Σ_f (y − ŷ)² = syy − 2(b·[sy,s1y,s2y]) + bᵀ·G_f·b` where `G_f`
+    * is the fold's own moment matrix, so MSE falls out of the same ten
+    * numbers. One groupBy(fold) aggregate = the entire CV; at 100 TB
+    * that is the cost of computing a histogram.
+    *
+    * Output per fold: (fold, n_train, n_test, beta0..2, mse,
+    * r2_holdout), all doubles from the one shared expression tree (the
+    * oracle runs the identical text). */
+  def linearProbeCv(
+      df: DataFrame, y: Column, x1: Column, x2: Column,
+      foldOf: Column): DataFrame = {
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,0)"))
+    val names = Seq("n", "s1", "s2", "s11", "s12", "s22",
+      "sy", "s1y", "s2y", "syy")
+    val perFold = df
+      .select(foldOf.cast("long").as("fold"), y.cast("long").as("y"),
+        x1.cast("long").as("x1"), x2.cast("long").as("x2"))
+      .groupBy(col("fold"))
+      .agg(
+        count(lit(1)).cast("decimal(28,0)").as("n"),
+        dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+        dsum(col("x1") * col("x1")).as("s11"),
+        dsum(col("x1") * col("x2")).as("s12"),
+        dsum(col("x2") * col("x2")).as("s22"),
+        dsum(col("y")).as("sy"),
+        dsum(col("x1") * col("y")).as("s1y"),
+        dsum(col("x2") * col("y")).as("s2y"),
+        dsum(col("y") * col("y")).as("syy"))
+    val totCols = names.map(c => sum(col(c)).as(s"t_$c"))
+    val tot = perFold.agg(totCols.head, totCols.tail: _*)
+    // train stats = total − fold stats (exact decimals), then the same
+    // Cramer solve; holdout moments stay on the row for the MSE term
+    val joined = perFold.crossJoin(broadcast(tot))
+    val trained = solveOls(
+      joined.select(
+        col("fold").as("key") +:
+          names.map(c => (col(s"t_$c") - col(c)).as(c)): _*),
+      keys = Seq("key"))
+    trained
+      .join(perFold.withColumnRenamed("fold", "key"), Seq("key"))
+      .selectExpr(
+        "key AS fold", "n_docs AS n_train",
+        "CAST(n AS BIGINT) AS n_test",
+        "beta0", "beta1", "beta2",
+        // Σ(y−ŷ)² / n_f, expanded in the fold's own moments
+        "(CAST(syy AS DOUBLE) - 2*(beta0*CAST(sy AS DOUBLE) + beta1*CAST(s1y AS DOUBLE) + beta2*CAST(s2y AS DOUBLE)) + " +
+          "(beta0*beta0*CAST(n AS DOUBLE) + beta1*beta1*CAST(s11 AS DOUBLE) + beta2*beta2*CAST(s22 AS DOUBLE) + " +
+          "2*beta0*beta1*CAST(s1 AS DOUBLE) + 2*beta0*beta2*CAST(s2 AS DOUBLE) + 2*beta1*beta2*CAST(s12 AS DOUBLE))) / CAST(n AS DOUBLE) AS mse",
+        "1 - ((CAST(syy AS DOUBLE) - 2*(beta0*CAST(sy AS DOUBLE) + beta1*CAST(s1y AS DOUBLE) + beta2*CAST(s2y AS DOUBLE)) + " +
+          "(beta0*beta0*CAST(n AS DOUBLE) + beta1*beta1*CAST(s11 AS DOUBLE) + beta2*beta2*CAST(s22 AS DOUBLE) + " +
+          "2*beta0*beta1*CAST(s1 AS DOUBLE) + 2*beta0*beta2*CAST(s2 AS DOUBLE) + 2*beta1*beta2*CAST(s12 AS DOUBLE)))) / " +
+          "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) AS r2_holdout")
+  }
+
   /** Bernoulli naive Bayes gate — the GENERATIVE trainer completing the
     * family (x197 closed-form, x198 discriminative-iterative): train on
     * the even-`idCol` half (per-class word-presence counts, add-1

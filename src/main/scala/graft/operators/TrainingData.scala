@@ -7325,6 +7325,53 @@ object TrainingData {
       budgetDiv = 2L)
   }
 
+  /** One-scan k-fold cross-validation of the linear probe (x203) —
+    * [[Learn.linearProbeCv]]: because the OLS sufficient statistics
+    * are mergeable AND subtractable, fold f's training statistics are
+    * `total − stats(f)` (exact decimal subtraction) and even the
+    * holdout error expands in the fold's own moment matrix — so the
+    * ENTIRE 5-fold CV (five trained models + five out-of-fold MSEs/R²)
+    * is one groupBy(fold) aggregate over the corpus. The overfitting
+    * audit a probe-fitting pipeline runs, at the cost of a histogram. */
+  val x203 = Q(
+    "x203_probe_cv",
+    Some {
+      val ns = Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
+      def dsum(e: String) = s"SUM(CAST($e AS DECIMAL(28,0)))"
+      val mseNum =
+        "(CAST(syy AS DOUBLE) - 2*(b0*CAST(sy AS DOUBLE) + b1*CAST(s1y AS DOUBLE) + b2*CAST(s2y AS DOUBLE)) + " +
+          "(b0*b0*CAST(n AS DOUBLE) + b1*b1*CAST(s11 AS DOUBLE) + b2*b2*CAST(s22 AS DOUBLE) + " +
+          "2*b0*b1*CAST(s1 AS DOUBLE) + 2*b0*b2*CAST(s2 AS DOUBLE) + 2*b1*b2*CAST(s12 AS DOUBLE)))"
+      s"WITH f AS (SELECT doc_id % 5 AS fold, $duckTokCount AS x1, " +
+        s"$duckTheCount AS x2, CAST(n_chars AS BIGINT) AS y FROM documents), " +
+        "pf AS (SELECT fold, CAST(COUNT(*) AS DECIMAL(28,0)) AS n, " +
+        s"${dsum("x1")} AS s1, ${dsum("x2")} AS s2, ${dsum("x1*x1")} AS s11, " +
+        s"${dsum("x1*x2")} AS s12, ${dsum("x2*x2")} AS s22, ${dsum("y")} AS sy, " +
+        s"${dsum("x1*y")} AS s1y, ${dsum("x2*y")} AS s2y, ${dsum("y*y")} AS syy " +
+        "FROM f GROUP BY fold), " +
+        s"tot AS (SELECT ${ns.map(c => s"SUM($c) AS t_$c").mkString(", ")} FROM pf), " +
+        s"tr AS (SELECT fold, ${ns.map(c => s"CAST(t_$c - $c AS DOUBLE) AS $c").mkString(", ")} " +
+        "FROM pf, tot), " +
+        "sol AS (SELECT fold, n AS tn, " +
+        "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS b0, " +
+        "(n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS b1, " +
+        "(n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det AS b2 " +
+        "FROM (SELECT *, n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + " +
+        "s2*(s1*s12 - s11*s2) AS det FROM tr)) " +
+        "SELECT sol.fold AS fold, CAST(tn AS BIGINT) AS n_train, " +
+        "CAST(pf.n AS BIGINT) AS n_test, b0 AS beta0, b1 AS beta1, b2 AS beta2, " +
+        s"$mseNum / CAST(n AS DOUBLE) AS mse, " +
+        s"1 - $mseNum / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) AS r2_holdout " +
+        "FROM sol JOIN pf ON sol.fold = pf.fold"
+    }
+  ) { t =>
+    Learn.linearProbeCv(t.documents,
+      y = col("n_chars"),
+      x1 = expr("length(text) - length(replace(text, ' ', '')) + 1"),
+      x2 = expr(sparkWordCount("the")),
+      foldOf = col("doc_id") % 5)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -7340,6 +7387,6 @@ object TrainingData {
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
-    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201, x202
+    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201, x202, x203
   )
 }

@@ -120,6 +120,36 @@ class LearnSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("x203 one-scan CV == direct refit per fold (betas bit-exact, MSE vs residuals)") {
+    val cv = Learn.linearProbeCv(docs,
+      col("n_chars"), expr(tokExpr), expr(theExpr),
+      foldOf = col("doc_id") % 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(cv.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for (f <- 0L to 4L) {
+      // betas from the subtraction trick == betas from an actual refit
+      // on the complement (both solve from the same exact decimal sums,
+      // so they must agree bit-for-bit)
+      val direct = Learn.linearProbe(docs.filter(col("doc_id") % 5 =!= f),
+        col("n_chars"), expr(tokExpr), expr(theExpr)).head()
+      assert(cv(f)._1 === direct.getDouble(1), s"fold $f beta0")
+      assert(cv(f)._2 === direct.getDouble(2), s"fold $f beta1")
+      assert(cv(f)._3 === direct.getDouble(3), s"fold $f beta2")
+      // moment-expanded MSE ≈ per-row residual MSE (different float
+      // association order, so tolerance not bit-equality)
+      val (b0, b1, b2, mse) = cv(f)
+      val direct_mse = docs.filter(col("doc_id") % 5 === f)
+        .select((col("n_chars").cast("double") - (lit(b0) +
+          lit(b1) * expr(tokExpr).cast("double") +
+          lit(b2) * expr(theExpr).cast("double"))).as("e"))
+        .agg(sum(col("e") * col("e")) / count(lit(1))).head().getDouble(0)
+      assert(math.abs(mse - direct_mse) < 1e-6 * math.max(1.0, direct_mse),
+        s"fold $f mse $mse vs $direct_mse")
+    }
+  }
+
   test("trainers are partitioning-invariant") {
     val label = when(col("n_chars") >= 300, 1L).otherwise(-1L)
     def probe(df: org.apache.spark.sql.DataFrame) =
