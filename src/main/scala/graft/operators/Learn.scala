@@ -264,41 +264,9 @@ object Learn {
       col(textCol).as("text"), label.cast("boolean").as("y"))
     val tr = d.filter(col("doc_id") % 2 === 0)
     val te = d.filter(col("doc_id") % 2 === 1)
-    def words(part: DataFrame): DataFrame = part
-      .select(col("doc_id"), col("y"),
-        explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), col("y"), col("w")).distinct()
-    val trw = words(tr).transform(graft.plans.Pin.pin)
-    val nc = tr.groupBy(col("y")).agg(count(lit(1)).as("n"))
-    val cnt = trw.groupBy(col("w"), col("y")).agg(count(lit(1)).as("c"))
-    val vocab = trw.select(col("w")).distinct()
-    val grid = vocab.crossJoin(broadcast(nc))
-      .join(cnt, Seq("w", "y"), "left")
-      .select(col("w"), col("y"), coalesce(col("c"), lit(0L)).as("c"), col("n"))
-    val wt = grid.selectExpr("w", "y",
-      "CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lp",
-      "CAST(round(ln(1 - CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lq")
-      .transform(graft.plans.Pin.pin)
-    val base = wt.groupBy(col("y")).agg(sum(col("lq")).as("b"))
-    val total = nc.agg(sum(col("n")).as("nt"))
-    val prior = nc.crossJoin(broadcast(total)).selectExpr("y",
-      "CAST(round(ln(CAST(n AS DOUBLE) / nt), 6) AS DECIMAL(12,6)) AS pr")
-    val sc = words(te).drop("y")
-      .join(broadcast(wt.withColumnRenamed("y", "cls")), Seq("w"))
-      .groupBy(col("doc_id"), col("cls"))
-      .agg(sum(col("lp") - col("lq")).as("s"))
-    val scored = te.select(col("doc_id"), col("y").as("truth"))
-      .crossJoin(broadcast(
-        nc.select(col("y").as("cls"))
-          .join(prior.withColumnRenamed("y", "cls"), "cls")
-          .join(base.withColumnRenamed("y", "cls"), "cls")))
-      .join(sc, Seq("doc_id", "cls"), "left")
-      .select(col("doc_id"), col("truth"), col("cls"),
-        (col("pr") + col("b") + coalesce(col("s"), lit(0))
-          .cast("decimal(22,6)")).as("score"))
-    val pred = scored.groupBy(col("doc_id"), col("truth"))
-      .agg((max(when(col("cls"), col("score"))) >
-        max(when(!col("cls"), col("score")))).as("pred"))
+    val (wt, classes, vocab) = nbModel(tr)
+    val pred = te.select(col("doc_id"), col("y").as("truth"))
+      .join(nbPredict(te, wt, classes), Seq("doc_id"))
     pred.agg(
       sum(when(col("pred") && col("truth"), 1L).otherwise(0L)).as("tp"),
       sum(when(col("pred") && !col("truth"), 1L).otherwise(0L)).as("fp"),
@@ -312,5 +280,62 @@ object Learn {
         col("tp"), col("fp"), col("tn"), col("fn"),
         ((col("tp") + col("tn")).cast("double") / col("n_test"))
           .as("accuracy"))
+  }
+
+  /** Train the Bernoulli NB model on a labeled frame (`doc_id`, `text`,
+    * boolean `y`). Returns (weights, classes, vocab):
+    * weights = (w, cls, lp, lq) — per (word, class) once-rounded
+    * DECIMAL(12,6) log-likelihoods for presence/absence; classes =
+    * (cls, pr, b) — per class, prior log-prob and the absent-word base
+    * Σ log(1−p); vocab — the distinct training words. All three are
+    * vocabulary/class-bounded, i.e. broadcastable — a frozen model a
+    * serving stream pins once ([[graft.streaming.NbServeStream]]). */
+  def nbModel(tr: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val trw = tr
+      .select(col("doc_id"), col("y"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("y"), col("w")).distinct()
+      .transform(graft.plans.Pin.pin)
+    val nc = tr.groupBy(col("y")).agg(count(lit(1)).as("n"))
+    val cnt = trw.groupBy(col("w"), col("y")).agg(count(lit(1)).as("c"))
+    val vocab = trw.select(col("w")).distinct()
+    val grid = vocab.crossJoin(broadcast(nc))
+      .join(cnt, Seq("w", "y"), "left")
+      .select(col("w"), col("y"), coalesce(col("c"), lit(0L)).as("c"), col("n"))
+    val wt = grid.selectExpr("w", "y AS cls",
+      "CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lp",
+      "CAST(round(ln(1 - CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lq")
+      .transform(graft.plans.Pin.pin)
+    val base = wt.groupBy(col("cls")).agg(sum(col("lq")).as("b"))
+    val total = nc.agg(sum(col("n")).as("nt"))
+    val prior = nc.crossJoin(broadcast(total)).selectExpr("y AS cls",
+      "CAST(round(ln(CAST(n AS DOUBLE) / nt), 6) AS DECIMAL(12,6)) AS pr")
+    (wt, prior.join(base, "cls"), vocab)
+  }
+
+  /** Score (`doc_id`, `text`) rows against a frozen NB model and return
+    * (doc_id, pred): pred = positive-class score strictly greater
+    * (ties → negative). The full-vocab Bernoulli sum is evaluated via
+    * the absent-word-base rewrite, so the scoring join touches only
+    * each doc's PRESENT words with the weight table broadcast. Exact
+    * decimal arithmetic throughout — batch and streaming callers get
+    * identical verdicts by construction. */
+  def nbPredict(docs: DataFrame, wt: DataFrame, classes: DataFrame)
+      : DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val sc = dw.join(broadcast(wt), Seq("w"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("lp") - col("lq")).as("s"))
+    docs.select(col("doc_id"))
+      .crossJoin(broadcast(classes))
+      .join(sc, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("cls"),
+        (col("pr") + col("b") + coalesce(col("s"), lit(0))
+          .cast("decimal(22,6)")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg((max(when(col("cls"), col("score"))) >
+        max(when(!col("cls"), col("score")))).as("pred"))
   }
 }

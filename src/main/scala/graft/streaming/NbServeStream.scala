@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Learn
+
+/** Streaming twin of the x201 naive-Bayes gate — TRAINED model-based
+  * filtering at ingest: the model is fit ONCE on a standing labeled
+  * corpus when the stream starts ([[Learn.nbModel]] — weights, priors,
+  * and absent-word bases, all vocabulary/class-bounded and pinned as
+  * broadcast frames), then every micro-batch is scored against the
+  * frozen model ([[Learn.nbPredict]]) and gated. The classifier
+  * analog of the frozen-index serving streams (IvfPqServeStream &c.):
+  * train in batch, serve on the stream, never retrain mid-stream — so
+  * stream verdicts are the BATCH verdicts by construction
+  * (NbServeStreamSpec pins verdict equality on every document).
+  *
+  * Per batch: kept (pred-positive) documents land under
+  * `keptPath/batch_id=<id>`; one metrics row (kept/dropped counts)
+  * under `metricsPath/batch_id=<id>` — overwrite-into-own-partition,
+  * so replayed batches stay idempotent (the [[DedupStream]] layout
+  * contract).
+  */
+object NbServeStream {
+
+  /** Fit on `labeledCorpus` (must carry `idCol`, `textCol`; labeled by
+    * `label`), then gate the stream. `keepPositive` picks which class
+    * passes the gate. */
+  def startNbGate(
+      newDocs: DataFrame,
+      labeledCorpus: DataFrame,
+      keptPath: String,
+      metricsPath: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      keepPositive: Boolean = true): StreamingQuery = {
+    val tr = labeledCorpus.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"), label.cast("boolean").as("y"))
+    // fit once; both frames are Pin.pin'd inside nbModel, so the
+    // per-batch scoring never recomputes the training aggregation
+    val (wt, classes, _) = Learn.nbModel(tr)
+
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val docs = batch.select(
+          col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+        val verdicts = docs
+          .join(Learn.nbPredict(docs, wt, classes), Seq("doc_id"))
+          .transform(graft.plans.Pin.pin)
+        verdicts.filter(col("pred") === keepPositive)
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")
+        verdicts.agg(
+          sum(when(col("pred") === keepPositive, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("pred") =!= keepPositive, 1L).otherwise(0L))
+            .as("n_dropped"))
+          .write.mode("overwrite").parquet(s"$metricsPath/batch_id=$batchId")
+        graft.operators.Dedup.release(verdicts)
+      }
+      .start()
+  }
+}
