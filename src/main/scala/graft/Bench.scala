@@ -214,9 +214,19 @@ object Bench {
     // sched_floor_p50 is tenancy context for EVERY number in the
     // artifact, so it is emitted unconditionally — not only when the
     // small gold pass ran.
+    // per-model floor context (round-15 verdict item 5): alongside each
+    // queries_small entry, its pinned job count × the measured
+    // sched_floor_p50 — the scheduler-floor product the measurement
+    // should be read against (a model at/under its product is
+    // floor-dominated: host tenancy, not engine work). Job counts are
+    // the GoldJobFloorSpec-pinned single source of truth.
+    val floorJson = toJson(goldSmall.flatMap { case (name, _) =>
+      graft.operators.GoldAnalogs.jobFloors.get(name)
+        .map(jobs => name -> jobs * schedFloorP50)
+    })
     val smallJson =
       if (goldSmall.isEmpty) ""
-      else s""","queries_small":${toJson(goldSmall)},"total_small":${totalOf(goldSmall)},"sf_small":"$smallDir""""
+      else s""","queries_small":${toJson(goldSmall)},"total_small":${totalOf(goldSmall)},"floor_small":$floorJson,"sf_small":"$smallDir""""
 
     val line =
       s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir","sched_floor_p50":$schedFloorP50$smallJson}"""

@@ -176,16 +176,35 @@ object Analytics {
       .select(col("user_id"), col("id").as("purchase_id"), col("asof_click_id"))
   }
 
-  /** Approximate distinct (HLL++). Sketches are engine-specific, so there
-    * is no cross-engine oracle (driver records rows-only); the accuracy
-    * bound vs exact COUNT(DISTINCT) is pinned in AnalyticsSpec. */
-  val x21 = Q("x21_approx_distinct", None) { t =>
+  /** Approximate distinct (HLL++). Sketch ESTIMATES are engine-specific
+    * (Spark's HLL++ and DuckDB's HLL disagree on the raw number by
+    * design), so the registered output is the portable part of the
+    * contract: the exact count plus each engine's own estimator
+    * verified against its documented 5 % relative-error bound
+    * (`20·|approx − exact| ≤ exact`, pure int64 in both engines). Both
+    * engines run their own sketch and both must independently land
+    * inside the bound for the hash to match — a cross-engine oracle for
+    * the accuracy CONTRACT where none can exist for the estimate
+    * itself. The raw Spark estimate stays pinned in AnalyticsSpec
+    * (<5 % vs x36's exact twin). */
+  val x21 = Q(
+    "x21_approx_distinct",
+    Some(
+      "SELECT l_returnflag, " +
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
+        "20 * abs(CAST(approx_count_distinct(l_partkey) AS BIGINT) - " +
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT)) <= " +
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS approx_ok " +
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+  ) { t =>
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts")
-      )
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        (lit(20) * abs(approx_count_distinct(col("l_partkey")) -
+          countDistinct(col("l_partkey"))) <=
+          countDistinct(col("l_partkey"))).as("approx_ok"))
   }
 
   /** The exact twin of x21's comparison column as its own oracle-checked

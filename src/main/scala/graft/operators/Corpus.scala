@@ -1406,6 +1406,48 @@ object Corpus {
         posexplode(col("chunks")).as(Seq("chunk_idx", "chunk"))): _*)
   }
 
+  /** Overflow splitter for context-window packing — the stage the
+    * harmonic packer (x193) flags oversize docs FOR: any doc longer
+    * than `window` whitespace tokens splits into ⌈n/window⌉
+    * consecutive chunks of exactly `window` tokens (the tail carries
+    * the remainder), so every emitted chunk fits the window by
+    * construction and a downstream packer (x205) can guarantee zero
+    * overflow bins. Docs at or under the window pass through UNTOUCHED
+    * as their own single chunk (chunk_idx 0) — the split-path array
+    * HOFs (word split, slice, re-join) run only on the oversize
+    * subset, which at real corpus shapes is a thin tail. Disjoint
+    * grid, not x82's sliding windows: packing wants partition, not
+    * overlap (overlap would double-count training tokens).
+    *
+    * Output: (keep…, idCol, chunk_idx, chunk) — chunk is real TEXT
+    * (the exact word slice re-joined), so the stage composes with any
+    * downstream text operator, not just token accounting. Pure
+    * per-row generate, zero shuffles; chunk counts and token totals
+    * conserve the corpus exactly (PackingSpec pins conservation
+    * through split + repack). */
+  def splitOversize(df: DataFrame, idCol: String, textCol: String,
+      window: Int, keep: Seq[String] = Nil): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val keepCols = keep.map(col)
+    val base = df.select(
+      (keepCols :+ col(idCol) :+ col(textCol).as("__text")): _*)
+    val nTok = graft.functions.Text.tokenCount("__text")
+    val small = base.filter(nTok <= window)
+      .select((keepCols :+ col(idCol) :+
+        lit(0L).as("chunk_idx") :+ col("__text").as("chunk")): _*)
+    val big = base.filter(nTok > window)
+      .withColumn("__words", split(col("__text"), " "))
+      .withColumn("__n", size(col("__words")).cast("long"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(__n - 1) div $window"))))
+      .select((keepCols :+ col(idCol) :+ col("chunk_idx") :+
+        array_join(
+          slice(col("__words"),
+            (col("chunk_idx") * window + 1).cast("int"), lit(window)),
+          " ").as("chunk")): _*)
+    small.unionByName(big)
+  }
+
   /** Per-source CDC duplication report over [[cdcChunks]] — the x188
     * redundancy law at chunk grain: per (source, chunk-hash) count c
     * contributes c−1 dups; word totals conserve the corpus exactly.

@@ -658,4 +658,21 @@ object GoldAnalogs {
   }
 
   val all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06)
+
+  /** Pinned per-model Spark JOB counts under the bench micro-suite
+    * profile (shuffle.partitions=1, AQE off) — BASELINE.md "Per-model
+    * job-count floors", enforced by GoldJobFloorSpec and emitted by
+    * Bench as `floor_small` (jobs × measured `sched_floor_p50`), so a
+    * gate reading like "g01 at 2.38× of baseline" can be adjudicated
+    * mechanically against the scheduler floor instead of in prose: a
+    * model whose measured time is at or under its floor product is
+    * floor-dominated — host tenancy, not engine work. */
+  val jobFloors: Map[String, Int] = Map(
+    "g01_summary_by_season" -> 3,
+    "g02_home_away_split" -> 3,
+    "g03_team_weakness_unpivot" -> 3,
+    "g04_contributions_unpivot" -> 3,
+    "g05_streaks_one_row" -> 3,
+    "g06_recommendations" -> 5
+  )
 }

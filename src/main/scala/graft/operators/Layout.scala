@@ -80,21 +80,34 @@ object Layout {
       .select(
         expr("(__x - __mnx) * 65535L div greatest(__mxx - __mnx, 1L)").as("qx"),
         expr("(__y - __mny) * 65535L div greatest(__mxy - __mny, 1L)").as("qy"))
-    // curve values span [0, 2^32) (order-16), qx spans [0, 2^16)
-    def cut(c: Column, prefixShift: Int): Column =
-      if (curveTileWidth > 0L) expr(s"${c.toString} div ${curveTileWidth}L")
-      else shiftright(c, prefixShift)
+    // curve values span [0, 2^32) (order-16), qx spans [0, 2^16).
+    // Curves are projected to NAMED columns first so the fixed-width
+    // cut can be a plain `name div width` expression — no
+    // Column.toString round-trip (a display string, not a parseable
+    // SQL contract).
+    val curveNames: Map[String, String] = curves.distinct.map {
+      case "zorder"  => "zorder" -> "__zc"
+      case "hilbert" => "hilbert" -> "__hc"
+      case "xsort"   => "xsort" -> "qx"
+      case other =>
+        throw new IllegalArgumentException(s"unknown layout: $other")
+    }.toMap
+    val curveCols = curveNames.collect {
+      case ("zorder", n)  => expr("z_value(qx, qy)").as(n)
+      case ("hilbert", n) => expr("hilbert_value(qx, qy)").as(n)
+    }.toSeq
+    val qc = q.select(col("qx") +: col("qy") +: curveCols: _*)
+    def cut(name: String, prefixShift: Int): Column =
+      if (curveTileWidth > 0L) expr(s"$name div ${curveTileWidth}L")
+      else shiftright(col(name), prefixShift)
     def tile(curve: String): Column = curve match {
-      case "zorder" =>
-        cut(expr("z_value(qx, qy)"), 32 - 2 * tileBits)
-      case "hilbert" =>
-        cut(expr("hilbert_value(qx, qy)"), 32 - 2 * tileBits)
-      case "xsort" =>
-        shiftright(col("qx"), 16 - 2 * tileBits)
+      case "zorder"  => cut(curveNames(curve), 32 - 2 * tileBits)
+      case "hilbert" => cut(curveNames(curve), 32 - 2 * tileBits)
+      case "xsort"   => shiftright(col("qx"), 16 - 2 * tileBits)
       case other =>
         throw new IllegalArgumentException(s"unknown layout: $other")
     }
-    val out = q
+    val out = qc
       .select(
         explode(array(curves.map(c =>
           struct(lit(c).as("layout"), tile(c).cast("long").as("tile"))): _*))

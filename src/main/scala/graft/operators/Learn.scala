@@ -33,13 +33,27 @@ object Learn {
   /** Closed-form OLS of `y` on (1, `x1`, `x2`) plus R², via the normal
     * equations. Inputs must be integer-valued columns; the ten
     * sufficient statistics are summed as DECIMAL(38,0)-exact values
-    * (per-row products first cast to DECIMAL(28,0), so no int64
-    * overflow at any corpus size whose row products fit 28 digits) and
-    * only the solve runs in doubles. Output: 1 row —
-    * (n_docs, beta0, beta1, beta2, r2). */
+    * (each FACTOR is cast to DECIMAL(19,0) before the multiply, so the
+    * per-row product is exact for any pair of int64 values — two
+    * 19-digit factors fit the 38-digit product exactly; casting after
+    * the int64 multiply would silently wrap past 2^63) and only the
+    * solve runs in doubles. Exactness bound: the SUMS must fit 38
+    * digits, i.e. any corpus up to ~10^19 rows of full-range int64
+    * products. Output: 1 row — (n_docs, beta0, beta1, beta2, r2). */
   def linearProbe(df: DataFrame, y: Column, x1: Column, x2: Column)
       : DataFrame =
     solveOls(sufficientStats(df, y, x1, x2))
+
+  /** Exact decimal sum of an int64 column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(19,0)"))
+
+  /** Exact decimal sum of a product of two int64 columns — factors are
+    * cast BEFORE the multiply (DECIMAL(19,0) × DECIMAL(19,0) →
+    * DECIMAL(38,0), exact for every int64 pair); multiplying first in
+    * int64 would wrap silently in Spark's non-ANSI mode while DuckDB
+    * errors, a cross-engine divergence. */
+  private def dprod(a: Column, b: Column): Column =
+    sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
 
   /** The ten OLS sufficient statistics of `y` on (1, `x1`, `x2`) as ONE
     * row of exact values (BIGINT count + DECIMAL(38,0) sums) — the
@@ -47,21 +61,19 @@ object Learn {
     * per-part statistics, which is what lets [[solveOls]] refit from
     * accumulated per-batch partials (ProbeStream) without rescanning. */
   def sufficientStats(df: DataFrame, y: Column, x1: Column, x2: Column)
-      : DataFrame = {
-    def dsum(c: Column): Column = sum(c.cast("decimal(28,0)"))
+      : DataFrame =
     df.select(y.cast("long").as("y"), x1.cast("long").as("x1"),
         x2.cast("long").as("x2"))
       .agg(
         count(lit(1)).as("n"),
         dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
-        dsum(col("x1") * col("x1")).as("s11"),
-        dsum(col("x1") * col("x2")).as("s12"),
-        dsum(col("x2") * col("x2")).as("s22"),
+        dprod(col("x1"), col("x1")).as("s11"),
+        dprod(col("x1"), col("x2")).as("s12"),
+        dprod(col("x2"), col("x2")).as("s22"),
         dsum(col("y")).as("sy"),
-        dsum(col("x1") * col("y")).as("s1y"),
-        dsum(col("x2") * col("y")).as("s2y"),
-        dsum(col("y") * col("y")).as("syy"))
-  }
+        dprod(col("x1"), col("y")).as("s1y"),
+        dprod(col("x2"), col("y")).as("s2y"),
+        dprod(col("y"), col("y")).as("syy"))
 
   /** Re-add (merge) sufficient-statistics rows column-wise — the stats
     * of the union of the underlying parts. */
@@ -109,7 +121,6 @@ object Learn {
   def linearProbeBy(
       df: DataFrame, key: Column, y: Column, x1: Column, x2: Column)
       : DataFrame = {
-    def dsum(c: Column): Column = sum(c.cast("decimal(28,0)"))
     val stats = df
       .select(key.as("key"), y.cast("long").as("y"),
         x1.cast("long").as("x1"), x2.cast("long").as("x2"))
@@ -117,13 +128,13 @@ object Learn {
       .agg(
         count(lit(1)).as("n"),
         dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
-        dsum(col("x1") * col("x1")).as("s11"),
-        dsum(col("x1") * col("x2")).as("s12"),
-        dsum(col("x2") * col("x2")).as("s22"),
+        dprod(col("x1"), col("x1")).as("s11"),
+        dprod(col("x1"), col("x2")).as("s12"),
+        dprod(col("x2"), col("x2")).as("s22"),
         dsum(col("y")).as("sy"),
-        dsum(col("x1") * col("y")).as("s1y"),
-        dsum(col("x2") * col("y")).as("s2y"),
-        dsum(col("y") * col("y")).as("syy"))
+        dprod(col("x1"), col("y")).as("s1y"),
+        dprod(col("x2"), col("y")).as("s2y"),
+        dprod(col("y"), col("y")).as("syy"))
     solveOls(stats, keys = Seq("key"))
   }
 
@@ -138,7 +149,17 @@ object Learn {
     * Overflow bound (caller contract): after `E` epochs each weight is
     * ≤ E·Σ|x_c| and the margin products are ≤ max|x_c|·E·Σ|x_c| — keep
     * `E · Σ|x_c| · max|x_c| < 2^63` (at 10¹¹ docs of ≤10⁴-bounded
-    * centered features and E≤4 this still holds with 10³ slack). */
+    * centered features and E≤4 this still holds with 10³ slack).
+    *
+    * NON-NEGATIVE-FEATURE contract: the centering means use integer
+    * division, and Spark `div` TRUNCATES toward zero while the oracle's
+    * DuckDB `//` FLOORS — identical only when `sum(x)` is non-negative.
+    * Raw features here are counts (lengths, token counts), so the sums
+    * are non-negative by construction; a caller feeding signed features
+    * must pre-shift them, or the two engines disagree on the centers by
+    * one. The same contract holds for the other integer-div laws in the
+    * library ([[Corpus.waterfillAllocation]]'s budget split, [[Layout]]'s
+    * grid quantization — both non-negative by construction). */
   def perceptronGate(
       df: DataFrame, label: Column, x1: Column, x2: Column,
       epochs: Int = 3): DataFrame = {
@@ -196,7 +217,6 @@ object Learn {
   def linearProbeCv(
       df: DataFrame, y: Column, x1: Column, x2: Column,
       foldOf: Column): DataFrame = {
-    def dsum(c: Column): Column = sum(c.cast("decimal(28,0)"))
     val names = Seq("n", "s1", "s2", "s11", "s12", "s22",
       "sy", "s1y", "s2y", "syy")
     val perFold = df
@@ -206,13 +226,13 @@ object Learn {
       .agg(
         count(lit(1)).cast("decimal(28,0)").as("n"),
         dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
-        dsum(col("x1") * col("x1")).as("s11"),
-        dsum(col("x1") * col("x2")).as("s12"),
-        dsum(col("x2") * col("x2")).as("s22"),
+        dprod(col("x1"), col("x1")).as("s11"),
+        dprod(col("x1"), col("x2")).as("s12"),
+        dprod(col("x2"), col("x2")).as("s22"),
         dsum(col("y")).as("sy"),
-        dsum(col("x1") * col("y")).as("s1y"),
-        dsum(col("x2") * col("y")).as("s2y"),
-        dsum(col("y") * col("y")).as("syy"))
+        dprod(col("x1"), col("y")).as("s1y"),
+        dprod(col("x2"), col("y")).as("s2y"),
+        dprod(col("y"), col("y")).as("syy"))
     val totCols = names.map(c => sum(col(c)).as(s"t_$c"))
     val tot = perFold.agg(totCols.head, totCols.tail: _*)
     // train stats = total − fold stats (exact decimals), then the same
@@ -259,12 +279,35 @@ object Learn {
     * frame either way. */
   def naiveBayesGate(
       df: DataFrame, idCol: String, textCol: String, label: Column)
-      : DataFrame = {
+      : DataFrame =
+    nbGate(df, idCol, textCol, label, vocabK = 0)
+
+  /** [[naiveBayesGate]] with the vocabulary capped to the top `vocabK`
+    * training words by document frequency — the x41/x69 top-K pattern
+    * the uncapped scaladoc names as the web-scale lever, shipped as its
+    * own registered form (the x142/x179 demote-the-unbounded precedent):
+    * at 100 TB the uncapped vocabulary is corpus-vocabulary-sized
+    * (could outgrow a broadcast), while the capped weight table is
+    * K·classes rows by construction — the cap itself is a TakeOrdered
+    * (never a global sort) over the already-aggregated per-word counts.
+    * Statistically this fits the Bernoulli model on the K most common
+    * presence features; rarer words simply don't contribute to scores
+    * (LearnSpec pins the accuracy cost on the fixture). */
+  def naiveBayesGateCapped(
+      df: DataFrame, idCol: String, textCol: String, label: Column,
+      vocabK: Int): DataFrame = {
+    require(vocabK > 0, s"vocabK must be positive, got $vocabK")
+    nbGate(df, idCol, textCol, label, vocabK)
+  }
+
+  private def nbGate(
+      df: DataFrame, idCol: String, textCol: String, label: Column,
+      vocabK: Int): DataFrame = {
     val d = df.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"), label.cast("boolean").as("y"))
     val tr = d.filter(col("doc_id") % 2 === 0)
     val te = d.filter(col("doc_id") % 2 === 1)
-    val (wt, classes, vocab) = nbModel(tr)
+    val (wt, classes, vocab) = nbModelImpl(tr, vocabK)
     val pred = te.select(col("doc_id"), col("y").as("truth"))
       .join(nbPredict(te, wt, classes), Seq("doc_id"))
     pred.agg(
@@ -288,17 +331,54 @@ object Learn {
     * DECIMAL(12,6) log-likelihoods for presence/absence; classes =
     * (cls, pr, b) — per class, prior log-prob and the absent-word base
     * Σ log(1−p); vocab — the distinct training words. All three are
-    * vocabulary/class-bounded, i.e. broadcastable — a frozen model a
-    * serving stream pins once ([[graft.streaming.NbServeStream]]). */
-  def nbModel(tr: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    * vocabulary/class-bounded, i.e. broadcastable.
+    *
+    * Materialization discipline: EVERY returned frame derives from a
+    * `Pin.pin`'d vocabulary- or class-bounded frame (`nc`, `cnt`, the
+    * weight table, the classes row pair), so the training corpus is
+    * scanned exactly TWICE at fit time (once for the class counts,
+    * once for the presence counts) and never again — a serving stream
+    * ([[graft.streaming.NbServeStream]]) scores thousands of batches
+    * against the frozen model with zero corpus rescans, and a
+    * mid-stream change to the corpus's backing files cannot drift the
+    * priors. The corpus-token-sized explode frame itself is NOT
+    * pinned (round-15 pinned it and paid a corpus-sized checkpoint
+    * for a frame read once): `vocab` derives from the pinned `cnt`
+    * instead, which carries the same distinct words. */
+  def nbModel(tr: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    nbModelImpl(tr, vocabK = 0)
+
+  /** [[nbModel]] with the vocabulary capped to the top `vocabK` words
+    * by training document frequency (ties → word asc — fully
+    * deterministic). See [[naiveBayesGateCapped]]. */
+  def nbModelCapped(tr: DataFrame, vocabK: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(vocabK > 0, s"vocabK must be positive, got $vocabK")
+    nbModelImpl(tr, vocabK)
+  }
+
+  private def nbModelImpl(tr: DataFrame, vocabK: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val trw = tr
       .select(col("doc_id"), col("y"),
         explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), col("y"), col("w")).distinct()
-      .transform(graft.plans.Pin.pin)
     val nc = tr.groupBy(col("y")).agg(count(lit(1)).as("n"))
-    val cnt = trw.groupBy(col("w"), col("y")).agg(count(lit(1)).as("c"))
-    val vocab = trw.select(col("w")).distinct()
+      .transform(graft.plans.Pin.pin)
+    val cntAll = trw.groupBy(col("w"), col("y")).agg(count(lit(1)).as("c"))
+      .transform(graft.plans.Pin.pin)
+    // the cap rides the PINNED vocab-sized counts — document frequency
+    // is the class-sum of presence counts, the top-K is a TakeOrdered,
+    // and the corpus is never rescanned for it
+    val cnt =
+      if (vocabK <= 0) cntAll
+      else {
+        val top = cntAll.groupBy(col("w")).agg(sum(col("c")).as("df"))
+          .orderBy(col("df").desc, col("w").asc).limit(vocabK)
+          .select(col("w"))
+        cntAll.join(broadcast(top), Seq("w"))
+      }
+    val vocab = cnt.select(col("w")).distinct()
     val grid = vocab.crossJoin(broadcast(nc))
       .join(cnt, Seq("w", "y"), "left")
       .select(col("w"), col("y"), coalesce(col("c"), lit(0L)).as("c"), col("n"))
@@ -310,7 +390,8 @@ object Learn {
     val total = nc.agg(sum(col("n")).as("nt"))
     val prior = nc.crossJoin(broadcast(total)).selectExpr("y AS cls",
       "CAST(round(ln(CAST(n AS DOUBLE) / nt), 6) AS DECIMAL(12,6)) AS pr")
-    (wt, prior.join(base, "cls"), vocab)
+    val classes = prior.join(base, "cls").transform(graft.plans.Pin.pin)
+    (wt, classes, vocab)
   }
 
   /** Score (`doc_id`, `text`) rows against a frozen NB model and return
@@ -319,7 +400,17 @@ object Learn {
     * the absent-word-base rewrite, so the scoring join touches only
     * each doc's PRESENT words with the weight table broadcast. Exact
     * decimal arithmetic throughout — batch and streaming callers get
-    * identical verdicts by construction. */
+    * identical verdicts by construction.
+    *
+    * Degenerate-model guard: if the training corpus carried only ONE
+    * class, one side of the score comparison has no rows and would be
+    * NULL — a NULL `pred` matches neither `=== keep` nor `=!= keep`
+    * downstream, silently vanishing docs from both kept output and
+    * metrics. The comparison therefore coalesces to the only class
+    * present: positive-only model → every doc predicts true,
+    * negative-only → false. With both classes present (every real
+    * corpus) the coalesce is never reached and the verdict is the
+    * plain strict comparison the oracle replays. */
   def nbPredict(docs: DataFrame, wt: DataFrame, classes: DataFrame)
       : DataFrame = {
     val dw = docs
@@ -335,7 +426,9 @@ object Learn {
         (col("pr") + col("b") + coalesce(col("s"), lit(0))
           .cast("decimal(22,6)")).as("score"))
       .groupBy(col("doc_id"))
-      .agg((max(when(col("cls"), col("score"))) >
-        max(when(!col("cls"), col("score")))).as("pred"))
+      .agg(coalesce(
+        max(when(col("cls"), col("score"))) >
+          max(when(!col("cls"), col("score"))),
+        max(when(col("cls"), col("score"))).isNotNull).as("pred"))
   }
 }

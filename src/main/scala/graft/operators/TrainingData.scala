@@ -6829,7 +6829,16 @@ object TrainingData {
     * same `(acc·31 + byte) mod 1e9+7` left fold, the LCG as 8 chained
     * lateral aliases, and each float as `CAST(h / 2³¹ AS REAL) −
     * 0.5::REAL` — double division by 2³¹ is exact, the float round-off
-    * and float subtraction are the same IEEE ops in both engines. */
+    * and float subtraction are the same IEEE ops in both engines.
+    *
+    * Output shape (round-16): SCALAR columns only — the histogram is
+    * `array_join`ed to one comma string and the embedding posexplodes
+    * to 8 `(dim, value)` rows per doc — because the oracle harness
+    * canonicalizes by sorting every output column and array cells are
+    * unsortable there (the one structurally-red row of round 15). The
+    * array-shaped form stays the library API
+    * ([[Multimodal.extractFeatures]], MultimodalSpec pins it); only
+    * the registered query flattens. */
   val x192 = Q(
     "x192_media_features",
     Some {
@@ -6845,15 +6854,21 @@ object TrainingData {
         "hh AS (SELECT doc_id, nb, list_transform(range(0, 16), " +
         "v -> CAST(len(list_filter(bl, x -> x // 16 = v)) AS BIGINT)) AS byte_histogram, " +
         s"list_reduce(list_prepend(CAST(7 AS BIGINT), bl), (acc, x) -> (acc * 31 + x) % $P) AS acc FROM bv), " +
-        s"lc AS (SELECT doc_id, nb, byte_histogram, $lcg FROM hh) " +
+        s"lc AS (SELECT doc_id, nb, byte_histogram, $lcg FROM hh), " +
+        "em AS (SELECT doc_id, nb, array_to_string(byte_histogram, ',') AS byte_histogram, " +
+        s"[${(1 to 8).map(j => f(s"h$j")).mkString(", ")}] AS emb FROM lc) " +
         "SELECT doc_id, nb AS n_bytes, byte_histogram, " +
-        s"[${(1 to 8).map(j => f(s"h$j")).mkString(", ")}] AS embedding FROM lc"
+        "CAST(d.dim AS INT) AS dim, emb[CAST(d.dim AS INT) + 1] AS value " +
+        "FROM em CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) d"
     }
   ) { t =>
     val media = Multimodal.packMedia(t.documents)(t.spark)
     Multimodal.extractFeatures(media)(t.spark).toDF()
       .select(col("doc_id"), col("nBytes").as("n_bytes"),
-        col("byteHistogram").as("byte_histogram"), col("embedding"))
+        array_join(col("byteHistogram"), ",").as("byte_histogram"),
+        posexplode(col("embedding")))
+      .select(col("doc_id"), col("n_bytes"), col("byte_histogram"),
+        col("pos").cast("int").as("dim"), col("col").as("value"))
   }
 
   /** Parallel context-window bin packing (x193) — the HARMONIC-class
@@ -6868,7 +6883,9 @@ object TrainingData {
     * Within a class every doc fits k-per-bin by construction, so every
     * non-oversize bin lands ≤ 2048 tokens (PackingSpec pins the bound);
     * docs longer than the window class as k=1 — one per bin — and are
-    * flagged `overflow` for the splitter stage to handle. Both engines
+    * flagged `overflow` for the splitter stage ([[Corpus.splitOversize]],
+    * composed end-to-end in x205, which packs with ZERO overflow bins
+    * by construction). Both engines
     * compute the identical integer ranks and the exact power-of-two
     * fill division, so the packing carries a hash oracle. */
   val x193 = Q(
@@ -7372,6 +7389,124 @@ object TrainingData {
       foldOf = col("doc_id") % 5)
   }
 
+  /** Vocab-capped naive-Bayes gate (x204) —
+    * [[Learn.naiveBayesGateCapped]]: x201's Bernoulli trainer with the
+    * vocabulary capped to the top-16 training words by document
+    * frequency (ties → word asc), the registered WEB-SCALE form per the
+    * x142/x179 demote-the-unbounded precedent: the uncapped weight
+    * table is corpus-vocabulary-sized (could outgrow a broadcast at
+    * 100 TB), the capped one is K·classes rows by construction, and
+    * the cap itself is a TakeOrdered over the already-pinned per-word
+    * counts (never a global sort, never a corpus rescan). Same exact
+    * once-rounded-decimal arithmetic, same absent-word-base rewrite —
+    * the oracle differs from x201's only in the vocab CTE. LearnSpec
+    * pins the accuracy cost vs the uncapped gate on the fixture. */
+  val x204 = Q(
+    "x204_nb_vocab_cap",
+    Some(
+      "WITH d AS (SELECT doc_id, text, n_chars >= 300 AS y FROM documents), " +
+        "tr AS (SELECT doc_id, y FROM d WHERE doc_id % 2 = 0), " +
+        "te AS (SELECT doc_id, y FROM d WHERE doc_id % 2 = 1), " +
+        "trw AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS w FROM d WHERE doc_id % 2 = 0)), " +
+        "tew AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS w FROM d WHERE doc_id % 2 = 1)), " +
+        s"nc AS (SELECT y, $sqlCount AS n FROM tr GROUP BY y), " +
+        s"cnt AS (SELECT w, y, $sqlCount AS c FROM trw JOIN tr USING (doc_id) " +
+        "GROUP BY w, y), " +
+        "vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS df FROM trw " +
+        "GROUP BY w ORDER BY df DESC, w LIMIT 16)), " +
+        "grid AS (SELECT v.w, nc.y, COALESCE(cnt.c, 0) AS c, nc.n " +
+        "FROM vocab v CROSS JOIN nc LEFT JOIN cnt ON cnt.w = v.w AND cnt.y = nc.y), " +
+        "wt AS (SELECT w, y, " +
+        "CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lp, " +
+        "CAST(round(ln(1 - CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lq " +
+        "FROM grid), " +
+        "base AS (SELECT y, SUM(lq) AS b FROM wt GROUP BY y), " +
+        "prior AS (SELECT y, CAST(round(ln(CAST(n AS DOUBLE) / " +
+        "(SELECT SUM(n) FROM nc)), 6) AS DECIMAL(12,6)) AS pr FROM nc), " +
+        "sc AS (SELECT t.doc_id, wt.y AS cls, SUM(wt.lp - wt.lq) AS s " +
+        "FROM tew t JOIN wt ON t.w = wt.w GROUP BY 1, 2), " +
+        "scored AS (SELECT te.doc_id, te.y AS truth, nc.y AS cls, " +
+        "prior.pr + base.b + COALESCE(sc.s, 0) AS score " +
+        "FROM te CROSS JOIN nc " +
+        "JOIN prior ON prior.y = nc.y JOIN base ON base.y = nc.y " +
+        "LEFT JOIN sc ON sc.doc_id = te.doc_id AND sc.cls = nc.y), " +
+        "pred AS (SELECT doc_id, truth, " +
+        "MAX(CASE WHEN cls THEN score END) > MAX(CASE WHEN NOT cls THEN score END) AS p " +
+        "FROM scored GROUP BY 1, 2) " +
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_train, " +
+        s"$sqlCount AS n_test, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS vocab_size, " +
+        "CAST(SUM(CASE WHEN p AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(SUM(CASE WHEN p AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(SUM(CASE WHEN NOT p AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn, " +
+        "CAST(SUM(CASE WHEN NOT p AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+        "CAST(SUM(CASE WHEN p = truth THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy " +
+        "FROM pred"
+    )
+  ) { t =>
+    Learn.naiveBayesGateCapped(t.documents, "doc_id", "text",
+      label = col("n_chars") >= 300, vocabK = 16)
+  }
+
+  /** Overflow-split harmonic packing (x205) — [[Corpus.splitOversize]]
+    * composed with x193's HARMONIC pack law, closing x193's one open
+    * edge: docs longer than the window (W = 64 here so the fixture
+    * actually exercises the split; the law is W-invariant) no longer
+    * land one-per-bin with an `overflow` flag — they are first split
+    * into ⌈n/W⌉ consecutive ≤W-token REAL-TEXT chunks, and the packer
+    * then packs chunks instead of docs, so by construction every bin
+    * fits the window and the overflow column is uniformly false
+    * (PackingSpec pins both the zero-overflow guarantee and exact
+    * token conservation through split + repack). Same fully-parallel
+    * shape as x193: the split is a per-row generate on the oversize
+    * subset only, the pack is one (source, class)-partitioned
+    * row_number — no sequential dependency, no global sort. */
+  val x205 = Q(
+    "x205_overflow_split_packing",
+    Some(
+      "WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS ws, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), " +
+        "ch AS (" +
+        "SELECT source, doc_id, CAST(0 AS BIGINT) AS chunk_idx, n AS c_tokens " +
+        "FROM t WHERE n <= 64 " +
+        "UNION ALL " +
+        "SELECT source, doc_id, CAST(ci AS BIGINT) AS chunk_idx, " +
+        "CAST(len(ws[CAST(ci * 64 + 1 AS INT) : CAST(ci * 64 + 64 AS INT)]) AS BIGINT) AS c_tokens " +
+        "FROM (SELECT source, doc_id, ws, unnest(range(0, (n - 1) // 64 + 1)) AS ci " +
+        "FROM t WHERE n > 64)), " +
+        "cl AS (SELECT source, doc_id, chunk_idx, c_tokens, " +
+        "GREATEST(64 // c_tokens, 1) AS k FROM ch), " +
+        "rnk AS (SELECT source, doc_id, chunk_idx, c_tokens, k, " +
+        "CAST(row_number() OVER (PARTITION BY source, k " +
+        "ORDER BY c_tokens DESC, doc_id, chunk_idx) AS BIGINT) AS rn FROM cl) " +
+        "SELECT source, k, (rn - 1) // k AS bin_id, " +
+        s"$sqlCount AS n_chunks, CAST(SUM(c_tokens) AS BIGINT) AS tokens, " +
+        "SUM(c_tokens) / 64.0 AS fill, " +
+        "MAX(c_tokens) > 64 AS overflow " +
+        "FROM rnk GROUP BY 1, 2, 3"
+    )
+  ) { t =>
+    val W = 64L
+    val chunks = Corpus
+      .splitOversize(t.documents, "doc_id", "text", W.toInt,
+        keep = Seq("source"))
+      .select(col("source"), col("doc_id"), col("chunk_idx"),
+        graft.functions.Text.tokenCount("chunk").as("c_tokens"))
+    val w = Window.partitionBy(col("source"), col("k"))
+      .orderBy(col("c_tokens").desc, col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("k", greatest(expr(s"$W div c_tokens"), lit(1L)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bin_id", expr("(rn - 1) div k"))
+      .groupBy(col("source"), col("k"), col("bin_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("c_tokens")).as("tokens"),
+        (sum(col("c_tokens")).cast("double") / lit(64.0)).as("fill"),
+        (max(col("c_tokens")) > lit(W)).as("overflow"))
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -7387,6 +7522,7 @@ object TrainingData {
     x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165,
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
-    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201, x202, x203
+    x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201, x202, x203,
+    x204, x205
   )
 }

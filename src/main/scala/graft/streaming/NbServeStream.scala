@@ -41,8 +41,10 @@ object NbServeStream {
     val tr = labeledCorpus.select(
       col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"), label.cast("boolean").as("y"))
-    // fit once; both frames are Pin.pin'd inside nbModel, so the
-    // per-batch scoring never recomputes the training aggregation
+    // fit once; nbModel Pin.pin's every frame the scoring path reads
+    // (weights AND the prior+base classes frame), so per-batch scoring
+    // never rescans the corpus and the model cannot drift mid-stream
+    // even if the corpus's backing files change
     val (wt, classes, _) = Learn.nbModel(tr)
 
     newDocs.writeStream

@@ -10,7 +10,8 @@ import graft.operators.Learn
   * fitting over a document stream, without ever rescanning history.
   *
   * The OLS sufficient statistics are MERGEABLE (stats of a union = the
-  * column-wise sums of per-part stats, exact in DECIMAL(38,0)), so the
+  * column-wise sums of per-part stats, exact decimals — factors cast
+  * to DECIMAL(19,0) BEFORE each product so no int64 wrap), so the
   * stream keeps an append-only partials table instead of state: per
   * micro-batch,
   *

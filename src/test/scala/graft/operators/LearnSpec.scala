@@ -150,6 +150,41 @@ class LearnSpec extends AnyFunSuite {
     }
   }
 
+  test("x204 vocab cap: K-bounded model, accuracy within 0.1 of uncapped") {
+    val label = col("n_chars") >= 300
+    val full = Learn.naiveBayesGate(docs, "doc_id", "text", label).head()
+    val capped =
+      Learn.naiveBayesGateCapped(docs, "doc_id", "text", label, vocabK = 16)
+        .head()
+    assert(capped.getLong(2) === 16L, "capped vocab_size must be exactly K")
+    // the weight table is K·classes rows by construction — the bound
+    // that makes the broadcast safe at any corpus vocabulary
+    val tr = docs.filter(col("doc_id") % 2 === 0).select(
+      col("doc_id"), col("text"), label.as("y"))
+    val (wt, _, _) = Learn.nbModelCapped(tr, vocabK = 16)
+    assert(wt.count() === 32L)
+    // statistical cost of the cap on this fixture: bounded, and the
+    // capped gate still beats majority (~0.56 on the odd half)
+    val delta = math.abs(full.getDouble(7) - capped.getDouble(7))
+    assert(delta <= 0.1,
+      s"cap cost $delta (full ${full.getDouble(7)}, capped ${capped.getDouble(7)})")
+    assert(capped.getDouble(7) > 0.7)
+  }
+
+  test("nbPredict: single-class model coalesces to the only class (no NULL verdicts)") {
+    // positive-only training corpus: every scored doc must predict true
+    val tr = docs.filter(col("n_chars") >= 300)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), lit(true).as("y"))
+    val (wt, classes, _) = Learn.nbModel(tr)
+    val te = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    val preds = Learn.nbPredict(te, wt, classes)
+    assert(preds.filter(col("pred").isNull).count() === 0L)
+    assert(preds.filter(!col("pred")).count() === 0L)
+    assert(preds.count() === te.count())
+  }
+
   test("trainers are partitioning-invariant") {
     val label = when(col("n_chars") >= 300, 1L).otherwise(-1L)
     def probe(df: org.apache.spark.sql.DataFrame) =

@@ -66,4 +66,43 @@ class PackingSpec extends AnyFunSuite {
     assert(a === b)
     bins.unpersist()
   }
+
+  test("x205 split+repack: zero overflow, exact token conservation, chunk bounds") {
+    val W = 64L
+    val t = graft.sources.Tables(spark, sf)
+    val fn = graft.SparkEntry.queries("x205_overflow_split_packing")
+    val bins = fn(spark, sf).cache()
+
+    // the guarantee the splitter buys: NO bin overflows, ever
+    assert(bins.filter(col("overflow")).count() === 0L)
+    assert(bins.filter(col("tokens") > W).count() === 0L)
+    // conservation THROUGH the split: packed token total == corpus total
+    val corpusTokens = t.documents
+      .agg(sum(graft.functions.Text.tokenCount("text"))).head().getLong(0)
+    assert(bins.agg(sum("tokens")).head().getLong(0) === corpusTokens)
+    // chunk conservation: n_chunks total == Σ ⌈n/W⌉ over docs
+    val expectedChunks = t.documents
+      .select(graft.functions.Text.tokenCount("text").as("n"))
+      .agg(sum(expr(s"(n - 1) div $W + 1"))).head().getLong(0)
+    assert(bins.agg(sum("n_chunks")).head().getLong(0) === expectedChunks)
+    assert(bins.count() > 0)
+    bins.unpersist()
+
+    // the splitter itself: every chunk ≤ W REAL tokens, words conserve
+    // exactly, and re-joining a doc's chunks reproduces the doc
+    val chunks = Corpus
+      .splitOversize(t.documents, "doc_id", "text", W.toInt).cache()
+    val tooBig = chunks
+      .filter(graft.functions.Text.tokenCount("chunk") > W).count()
+    assert(tooBig === 0L)
+    val rejoined = chunks
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        sort_array(collect_list(struct(col("chunk_idx"), col("chunk"))))
+          .getField("chunk")).as("text2"))
+    val mismatches = t.documents.join(rejoined, "doc_id")
+      .filter(col("text") =!= col("text2")).count()
+    assert(mismatches === 0L, "chunks must re-join to the original text")
+    chunks.unpersist()
+  }
 }

@@ -63,15 +63,10 @@ class GoldJobFloorSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  // the pinned floors — BASELINE.md "Per-model job-count floors"
-  private val floors = Map(
-    "g01_summary_by_season" -> 3,
-    "g02_home_away_split" -> 3,
-    "g03_team_weakness_unpivot" -> 3,
-    "g04_contributions_unpivot" -> 3,
-    "g05_streaks_one_row" -> 3,
-    "g06_recommendations" -> 5
-  )
+  // the pinned floors — BASELINE.md "Per-model job-count floors";
+  // the single source of truth lives in main scope (GoldAnalogs) so
+  // Bench can emit the per-model floor product in its artifact
+  private val floors = graft.operators.GoldAnalogs.jobFloors
 
   graft.operators.GoldAnalogs.all.map(_.name).foreach { name =>
     test(s"$name: job count at its pinned floor") {

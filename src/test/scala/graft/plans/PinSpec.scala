@@ -44,6 +44,19 @@ class PinSpec extends AnyFunSuite {
     }
   }
 
+  test("eager posture is bit-identical on the Learn family (NB, NB-capped, perceptron)") {
+    // the round-15 trainers route through Pin.pin (nbModel's nc/cnt/wt/
+    // classes, perceptronGate's centered features) — same posture
+    // equality as the graph/BPE pins
+    for (name <- Seq("x201_naive_bayes_gate", "x204_nb_vocab_cap",
+        "x198_perceptron_gate", "x197_linear_probe", "x203_probe_cv")) {
+      val base = rows(name)
+      val eager = withPin("eager")(rows(name))
+      assert(eager === base, s"$name differs under spark.graft.pin=eager")
+      assert(base.nonEmpty)
+    }
+  }
+
   test("reliable posture checkpoints to the configured dir and preserves results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pin").toString
     spark.conf.set("spark.graft.checkpointDir", dir)
@@ -56,6 +69,15 @@ class PinSpec extends AnyFunSuite {
       cs.exists(f => f.isFile) || cs.exists(anyFiles)
     }
     assert(anyFiles(new java.io.File(dir)), s"no checkpoint files under $dir")
+  }
+
+  test("reliable posture is bit-identical on the NB gate") {
+    // runs AFTER the dir-assertion test: the SparkContext checkpoint
+    // dir is process-global once set, so this test only pins result
+    // equality, not file placement
+    val base = rows("x201_naive_bayes_gate")
+    val reliable = withPin("reliable")(rows("x201_naive_bayes_gate"))
+    assert(reliable === base)
   }
 
   test("unknown posture fails loudly") {

@@ -45,6 +45,8 @@ class PlanSweepSpec extends AnyFunSuite {
     *  - x131: exact global quantile over the |distinct ts| count table
     *    (documented 100 TB swap: histogram brackets / range partitions)
     *  - x135: CDF over the distinct-length count table (bounded domain)
+    *  - x202: prefix walk over the per-source capacity table — one row
+    *    per SOURCE (domain-sized, not corpus-sized)
     */
   private val globalWindowOk: Set[String] = Set(
     "g05_streaks_one_row",
