@@ -27,7 +27,11 @@ object NbServeStream {
 
   /** Fit on `labeledCorpus` (must carry `idCol`, `textCol`; labeled by
     * `label`), then gate the stream. `keepPositive` picks which class
-    * passes the gate. */
+    * passes the gate. `vocabK > 0` serves the vocab-capped model
+    * ([[Learn.nbModelCapped]], the x204 web-scale form — the frozen
+    * weight table is K·classes rows by construction, so the broadcast
+    * stays fixed-size at any corpus vocabulary); `vocabK = 0` (default)
+    * serves the exact full-vocabulary model (x201). */
   def startNbGate(
       newDocs: DataFrame,
       labeledCorpus: DataFrame,
@@ -37,7 +41,8 @@ object NbServeStream {
       idCol: String,
       textCol: String,
       label: Column,
-      keepPositive: Boolean = true): StreamingQuery = {
+      keepPositive: Boolean = true,
+      vocabK: Int = 0): StreamingQuery = {
     val tr = labeledCorpus.select(
       col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"), label.cast("boolean").as("y"))
@@ -45,7 +50,8 @@ object NbServeStream {
     // (weights AND the prior+base classes frame), so per-batch scoring
     // never rescans the corpus and the model cannot drift mid-stream
     // even if the corpus's backing files change
-    val (wt, classes, _) = Learn.nbModel(tr)
+    val (wt, classes, _) =
+      if (vocabK > 0) Learn.nbModelCapped(tr, vocabK) else Learn.nbModel(tr)
 
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)

@@ -66,4 +66,38 @@ class NbServeStreamSpec extends AnyFunSuite {
     // the gate actually separates: both verdicts present on this corpus
     assert(streamedKept.nonEmpty && streamedKept.size < arriving.length)
   }
+
+  test("capped-model stream verdicts == capped batch verdicts (x204 serving form)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("nb-serve-cap").toString
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val arriving = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val src = MemoryStream[(Long, String)]
+    val q = NbServeStream.startNbGate(
+      src.toDF().toDF("doc_id", "text"), corpus,
+      s"$root/kept", s"$root/metrics", s"$root/ckpt",
+      "doc_id", "text", label = col("n_chars") >= 300, vocabK = 16)
+    try {
+      src.addData(arriving: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val (wt, classes, _) = Learn.nbModelCapped(corpus.select(
+      col("doc_id"), col("text"), (col("n_chars") >= 300).as("y")),
+      vocabK = 16)
+    assert(wt.count() === 32L, "frozen capped weight table is K*classes rows")
+    val batchPred = Learn.nbPredict(
+      arriving.toSeq.toDF("doc_id", "text"), wt, classes)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    val streamedKept = spark.read.parquet(s"$root/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedKept === batchPred.filter(_._2).keySet)
+  }
 }
