@@ -201,4 +201,28 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(globalWindows.isEmpty, df.queryExecution.optimizedPlan.toString)
   }
+
+  test("x204: vocab cap plans as TakeOrderedAndProject over the pinned counts; weights broadcast") {
+    val p = plan("x204_nb_vocab_cap")
+    // the cap is a top-K (TakeOrderedAndProject), never a global sort;
+    // the remaining Sort nodes are SortMergeJoin-local (global=false),
+    // vocab-sized — PlanSweepSpec separately forbids unpartitioned
+    // Windows and CartesianProducts across the whole registry
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the K-bounded weight/class frames reach the scoring join broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x205: split+repack has no global sort and only partitioned windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("x205_overflow_split_packing")(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, df.queryExecution.optimizedPlan.toString)
+    val p = plan("x205_overflow_split_packing")
+    assert(!p.linesIterator.exists(l => l.matches("""\(\d+\) Sort.*global=true.*""")), p)
+    assert(p.contains("partial_"), p) // map-side combine on the bin aggregate
+  }
 }
