@@ -379,8 +379,12 @@ object Learn {
         cntAll.join(broadcast(top), Seq("w"))
       }
     val vocab = cnt.select(col("w")).distinct()
+    // capped path: the count frame is K·classes-bounded by construction,
+    // so the grid join broadcasts it; uncapped counts are
+    // corpus-vocabulary-sized and keep the shuffle join
+    val cntSide = if (vocabK > 0) broadcast(cnt) else cnt
     val grid = vocab.crossJoin(broadcast(nc))
-      .join(cnt, Seq("w", "y"), "left")
+      .join(cntSide, Seq("w", "y"), "left")
       .select(col("w"), col("y"), coalesce(col("c"), lit(0L)).as("c"), col("n"))
     val wt = grid.selectExpr("w", "y AS cls",
       "CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lp",

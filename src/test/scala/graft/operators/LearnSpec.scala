@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
 
-/** In-engine trainer laws (x197/x198 — Learn.scala):
+/** In-engine trainer laws (x197/x198/x201/x203/x204 — Learn.scala):
   *
   *  - the OLS probe satisfies the textbook identities — residuals
   *    orthogonal to every regressor (Σe = Σe·x1 = Σe·x2 = 0 up to
