@@ -113,6 +113,50 @@ object Learn {
         "1 - (syy - b0*sy - b1*s1y - b2*s2y) / (syy - sy*sy/n) AS r2"): _*)
   }
 
+  /** Closed-form RIDGE probe — [[linearProbe]] with an L2 penalty on
+    * the two slope coefficients (intercept unpenalized, the standard
+    * form): solve `(X'X + λ·diag(0,1,1)) β = X'y` with
+    * `λ = lambdaPerRow · n`, so the regularization strength is
+    * SCALE-INVARIANT — the same fraction of the per-row second moment
+    * at any corpus size, where a fixed absolute λ would vanish at
+    * 100 TB. Same single map-side-combined statistics pass as OLS; the
+    * solve is the same constant-size Cramer expression with
+    * `(s11+λ, s22+λ)` on the matrix diagonal.
+    *
+    * R² is computed from the RAW moments via the full quadratic
+    * expansion `syy − 2β·m + βᵀGβ` (exact for ANY β — the OLS shortcut
+    * `syy − β·m` relies on normal-equation orthogonality, which ridge
+    * deliberately breaks). `lambdaPerRow = 0` reproduces
+    * [[linearProbe]]'s betas bit-for-bit (identical solve up to `+0.0`
+    * on non-negative diagonal sums); its R² agrees to float tolerance
+    * (different but algebraically-equal association). LearnSpec pins
+    * both, plus monotone slope shrinkage in λ. */
+  def ridgeProbe(df: DataFrame, y: Column, x1: Column, x2: Column,
+      lambdaPerRow: Long): DataFrame = {
+    require(lambdaPerRow >= 0, s"lambdaPerRow must be >= 0, got $lambdaPerRow")
+    val s = sufficientStats(df, y, x1, x2).selectExpr(
+      "CAST(n AS DOUBLE) AS n",
+      "CAST(s1 AS DOUBLE) AS s1", "CAST(s2 AS DOUBLE) AS s2",
+      "CAST(s11 AS DOUBLE) AS s11", "CAST(s12 AS DOUBLE) AS s12",
+      "CAST(s22 AS DOUBLE) AS s22", "CAST(sy AS DOUBLE) AS sy",
+      "CAST(s1y AS DOUBLE) AS s1y", "CAST(s2y AS DOUBLE) AS s2y",
+      "CAST(syy AS DOUBLE) AS syy")
+    s.selectExpr("*", s"CAST($lambdaPerRow AS DOUBLE) * n AS L")
+      .selectExpr("*",
+        "n*((s11+L)*(s22+L) - s12*s12) - s1*(s1*(s22+L) - s12*s2) + s2*(s1*s12 - (s11+L)*s2) AS det")
+      .selectExpr("*",
+        "(sy*((s11+L)*(s22+L) - s12*s12) - s1*(s1y*(s22+L) - s12*s2y) + s2*(s1y*s12 - (s11+L)*s2y)) / det AS b0",
+        "(n*(s1y*(s22+L) - s2y*s12) - sy*(s1*(s22+L) - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS b1",
+        "(n*((s11+L)*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - (s11+L)*s2)) / det AS b2")
+      .selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        s"CAST($lambdaPerRow AS BIGINT) AS lambda_per_row",
+        "b0 AS beta0", "b1 AS beta1", "b2 AS beta2",
+        "1 - (syy - 2*(b0*sy + b1*s1y + b2*s2y) + " +
+          "(b0*b0*n + b1*b1*s11 + b2*b2*s22 + 2*b0*b1*s1 + 2*b0*b2*s2 + 2*b1*b2*s12)) / " +
+          "(syy - sy*sy/n) AS r2")
+  }
+
   /** Per-group OLS — [[linearProbe]] with `key` as the grouping column:
     * the per-domain calibration form (one probe per source/language).
     * Same single map-side-combined pass — the sufficient statistics

@@ -7507,6 +7507,52 @@ object TrainingData {
         (max(col("c_tokens")) > lit(W)).as("overflow"))
   }
 
+  /** Closed-form ridge probe (x206) — [[Learn.ridgeProbe]]: x197's OLS
+    * with an L2 penalty on the slopes (intercept unpenalized),
+    * λ = 1000·n so the shrinkage is the same FRACTION of the per-row
+    * second moment at any corpus size (a fixed absolute λ would vanish
+    * at 100 TB). Completes the closed-form corner of the trainer
+    * family: the collinearity-robust fit a curation pipeline reaches
+    * for when two cheap features nearly alias (token count vs byte
+    * count) and the raw normal equations go ill-conditioned. Same ONE
+    * map-side-combined statistics pass; the solve is the identical
+    * Cramer text with (s11+λ, s22+λ) on the diagonal, and R² expands
+    * in the RAW moments (exact for any β), so both engines agree
+    * bit-for-bit. */
+  val x206 = Q(
+    "x206_ridge_probe",
+    Some {
+      def dsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(28,0))) AS DOUBLE)"
+      s"WITH f AS (SELECT $duckTokCount AS x1, $duckTheCount AS x2, " +
+        "CAST(n_chars AS BIGINT) AS y FROM documents), " +
+        "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        s"${dsum("x1")} AS s1, ${dsum("x2")} AS s2, " +
+        s"${dsum("x1*x1")} AS s11, ${dsum("x1*x2")} AS s12, " +
+        s"${dsum("x2*x2")} AS s22, ${dsum("y")} AS sy, " +
+        s"${dsum("x1*y")} AS s1y, ${dsum("x2*y")} AS s2y, " +
+        s"${dsum("y*y")} AS syy FROM f), " +
+        "sl AS (SELECT *, CAST(1000 AS DOUBLE) * n AS L FROM s) " +
+        "SELECT CAST(n AS BIGINT) AS n_docs, CAST(1000 AS BIGINT) AS lambda_per_row, " +
+        "b0 AS beta0, b1 AS beta1, b2 AS beta2, " +
+        "1 - (syy - 2*(b0*sy + b1*s1y + b2*s2y) + " +
+        "(b0*b0*n + b1*b1*s11 + b2*b2*s22 + 2*b0*b1*s1 + 2*b0*b2*s2 + 2*b1*b2*s12)) / " +
+        "(syy - sy*sy/n) AS r2 " +
+        "FROM (SELECT *, " +
+        "(sy*((s11+L)*(s22+L) - s12*s12) - s1*(s1y*(s22+L) - s12*s2y) + s2*(s1y*s12 - (s11+L)*s2y)) / det AS b0, " +
+        "(n*(s1y*(s22+L) - s2y*s12) - sy*(s1*(s22+L) - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS b1, " +
+        "(n*((s11+L)*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - (s11+L)*s2)) / det AS b2 " +
+        "FROM (SELECT *, " +
+        "n*((s11+L)*(s22+L) - s12*s12) - s1*(s1*(s22+L) - s12*s2) + s2*(s1*s12 - (s11+L)*s2) AS det " +
+        "FROM sl))"
+    }
+  ) { t =>
+    Learn.ridgeProbe(t.documents,
+      y = col("n_chars"),
+      x1 = expr("length(text) - length(replace(text, ' ', '')) + 1"),
+      x2 = expr(sparkWordCount("the")),
+      lambdaPerRow = 1000L)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -7523,6 +7569,6 @@ object TrainingData {
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
     x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201, x202, x203,
-    x204, x205
+    x204, x205, x206
   )
 }

@@ -185,6 +185,31 @@ class LearnSpec extends AnyFunSuite {
     assert(preds.count() === te.count())
   }
 
+  test("x206 ridge: lambda=0 == OLS (betas bit-exact); slopes shrink monotonically in lambda") {
+    val ols = Learn.linearProbe(docs,
+      col("n_chars"), expr(tokExpr), expr(theExpr)).head()
+    val r0 = Learn.ridgeProbe(docs,
+      col("n_chars"), expr(tokExpr), expr(theExpr), lambdaPerRow = 0L).head()
+    // identical Cramer text up to +0.0 on the non-negative diagonal sums
+    assert(r0.getDouble(2) === ols.getDouble(1), "beta0 at lambda=0")
+    assert(r0.getDouble(3) === ols.getDouble(2), "beta1 at lambda=0")
+    assert(r0.getDouble(4) === ols.getDouble(3), "beta2 at lambda=0")
+    // full-quadratic R2 == orthogonality-shortcut R2 for exact OLS betas
+    assert(math.abs(r0.getDouble(5) - ols.getDouble(4)) < 1e-9)
+
+    // slope L2 norm shrinks monotonically as lambda grows; fit degrades
+    val norms = Seq(0L, 1000L, 10000L, 100000L).map { l =>
+      val r = Learn.ridgeProbe(docs,
+        col("n_chars"), expr(tokExpr), expr(theExpr), lambdaPerRow = l).head()
+      val nrm = math.hypot(r.getDouble(3), r.getDouble(4))
+      (nrm, r.getDouble(5))
+    }
+    norms.sliding(2).foreach { case Seq((n1, r21), (n2, r22)) =>
+      assert(n2 < n1, s"slope norm must shrink: $norms")
+      assert(r22 <= r21 + 1e-12, s"in-sample R2 cannot improve under ridge: $norms")
+    }
+  }
+
   test("trainers are partitioning-invariant") {
     val label = when(col("n_chars") >= 300, 1L).otherwise(-1L)
     def probe(df: org.apache.spark.sql.DataFrame) =
