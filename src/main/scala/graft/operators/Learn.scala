@@ -132,9 +132,18 @@ object Learn {
     * (different but algebraically-equal association). LearnSpec pins
     * both, plus monotone slope shrinkage in λ. */
   def ridgeProbe(df: DataFrame, y: Column, x1: Column, x2: Column,
-      lambdaPerRow: Long): DataFrame = {
+      lambdaPerRow: Long): DataFrame =
+    solveRidge(sufficientStats(df, y, x1, x2), lambdaPerRow)
+
+  /** The ridge solve on a sufficient-statistics frame
+    * ([[sufficientStats]] shape) — separated from [[ridgeProbe]]
+    * because the statistics are MODEL-AGNOSTIC: the same ten numbers
+    * (and therefore the same accumulated partials table,
+    * [[graft.streaming.ProbeStream]]) refit OLS and any-λ ridge
+    * without touching the corpus again. */
+  def solveRidge(stats: DataFrame, lambdaPerRow: Long): DataFrame = {
     require(lambdaPerRow >= 0, s"lambdaPerRow must be >= 0, got $lambdaPerRow")
-    val s = sufficientStats(df, y, x1, x2).selectExpr(
+    val s = stats.selectExpr(
       "CAST(n AS DOUBLE) AS n",
       "CAST(s1 AS DOUBLE) AS s1", "CAST(s2 AS DOUBLE) AS s2",
       "CAST(s11 AS DOUBLE) AS s11", "CAST(s12 AS DOUBLE) AS s12",

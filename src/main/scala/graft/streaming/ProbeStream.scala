@@ -36,13 +36,19 @@ object ProbeStream {
 
   /** Start the online probe over a streaming frame; `y`/`x1`/`x2` are
     * expression strings over the frame's columns (evaluated per batch,
-    * the same expressions the batch probe takes as Columns). */
+    * the same expressions the batch probe takes as Columns).
+    * `lambdaPerRow > 0` refits the scale-invariant RIDGE form
+    * ([[Learn.solveRidge]]) instead of OLS — the partials table is
+    * identical either way (the ten statistics are model-agnostic), so
+    * the λ choice can even change mid-stream or be re-solved offline
+    * from the same parquet without any reprocessing. */
   def startProbeFit(
       newDocs: DataFrame,
       partialsPath: String,
       fitPath: String,
       checkpoint: String,
-      y: String, x1: String, x2: String): StreamingQuery =
+      y: String, x1: String, x2: String,
+      lambdaPerRow: Long = 0L): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -52,8 +58,11 @@ object ProbeStream {
           .write.mode("overwrite")
           .parquet(s"$partialsPath/batch_id=$batchId")
         val partials = spark.read.parquet(partialsPath)
-        Learn.solveOls(Learn.mergeStats(partials))
-          .coalesce(1)
+        val merged = Learn.mergeStats(partials)
+        val fit =
+          if (lambdaPerRow > 0) Learn.solveRidge(merged, lambdaPerRow)
+          else Learn.solveOls(merged)
+        fit.coalesce(1)
           .write.mode("overwrite")
           .parquet(s"$fitPath/batch_id=$batchId")
       }

@@ -84,6 +84,46 @@ class ProbeStreamSpec extends AnyFunSuite {
     assert(replayFit === finalFit)
   }
 
+  test("ridge stream fit == batch ridge bit-for-bit; same partials serve OLS and ridge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("probe-stream-ridge").toString
+    val corpus = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batches = corpus.grouped((corpus.length + 1) / 2).toSeq
+
+    val src = MemoryStream[(Long, String, Long)]
+    val q = ProbeStream.startProbeFit(
+      src.toDF().toDF("doc_id", "text", "n_chars"),
+      s"$root/partials", s"$root/fits", s"$root/ckpt",
+      y = "n_chars", x1 = tokExpr, x2 = theExpr, lambdaPerRow = 1000L)
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    def ridgeFit(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.select("n_docs", "lambda_per_row", "beta0", "beta1", "beta2", "r2")
+        .head().toSeq
+    val streamed = ridgeFit(
+      spark.read.parquet(s"$root/fits/batch_id=${batches.length - 1}"))
+    val batch = ridgeFit(Learn.ridgeProbe(
+      corpus.toSeq.toDF("doc_id", "text", "n_chars"),
+      col("n_chars"), expr(tokExpr), expr(theExpr), lambdaPerRow = 1000L))
+    assert(streamed === batch)
+
+    // the SAME accumulated partials also refit OLS offline — the
+    // model-agnostic-statistics payoff, no reprocessing
+    val ols = fitOf(Learn.solveOls(
+      Learn.mergeStats(spark.read.parquet(s"$root/partials"))))
+    assert(ols === fitOf(Learn.linearProbe(
+      corpus.toSeq.toDF("doc_id", "text", "n_chars"),
+      col("n_chars"), expr(tokExpr), expr(theExpr))))
+  }
+
   test("merge is order-invariant: shuffled partials give the same fit") {
     import spark.implicits._
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
