@@ -1435,16 +1435,21 @@ object Corpus {
     val small = base.filter(nTok <= window)
       .select((keepCols :+ col(idCol) :+
         lit(0L).as("chunk_idx") :+ col("__text").as("chunk")): _*)
+    // all chunks are built in ONE projection over the word array (each
+    // word copied once — O(n) per doc) and only the chunk STRINGS reach
+    // the explode; slicing after the explode instead would carry the
+    // full word array into every chunk row, O(n·chunks) per doc — the
+    // difference between linear and quadratic on million-token docs
+    // (the x194 cdcChunks shape)
     val big = base.filter(nTok > window)
       .withColumn("__words", split(col("__text"), " "))
-      .withColumn("__n", size(col("__words")).cast("long"))
-      .withColumn("chunk_idx",
-        explode(sequence(lit(0L), expr(s"(__n - 1) div $window"))))
-      .select((keepCols :+ col(idCol) :+ col("chunk_idx") :+
-        array_join(
-          slice(col("__words"),
-            (col("chunk_idx") * window + 1).cast("int"), lit(window)),
-          " ").as("chunk")): _*)
+      .withColumn("__chunks", expr(
+        s"transform(sequence(0L, (size(__words) - 1) div $window), " +
+          s"c -> array_join(slice(__words, cast(c * $window + 1 as int), $window), ' '))"))
+      .select((keepCols :+ col(idCol) :+
+        posexplode(col("__chunks")).as(Seq("__ci", "chunk"))): _*)
+      .select((keepCols :+ col(idCol) :+
+        col("__ci").cast("long").as("chunk_idx") :+ col("chunk")): _*)
     small.unionByName(big)
   }
 
