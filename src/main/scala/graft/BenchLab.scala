@@ -325,6 +325,43 @@ object BenchLab {
       spark.stop(); return
     }
 
+    // splitter-shape stress at HIGH chunk counts (the fixture maxes at
+    // 2 chunks/doc where the forms tie): LAB_SPLIT_DOCS docs of
+    // LAB_SPLIT_TOKENS tokens each, W=64 — hundreds of chunks per doc.
+    // MEASURED VERDICT (512×50k, SCALE.md "x205 splitter shape"):
+    // explode-then-slice 0.4 s vs transform-then-explode 56 s (140×) —
+    // codegen fuses Generate+Project so the word array is a reference,
+    // while transform()'s lambda body (slice+array_join per chunk)
+    // evaluates INTERPRETED. The library keeps explode-then-slice;
+    // this lab re-measures the decision on demand.
+    if (sys.env.get("LAB_MODE").contains("split")) {
+      val nDocs = sys.env.getOrElse("LAB_SPLIT_DOCS", "512").toInt
+      val nTok = sys.env.getOrElse("LAB_SPLIT_TOKENS", "50000").toInt
+      val W = 64
+      val docs = spark.range(nDocs).selectExpr(
+        "id AS doc_id",
+        s"array_join(transform(sequence(1, $nTok), i -> substr('abcdefgh', 1 + pmod(i + id, 7), 2)), ' ') AS text")
+        .transform(graft.plans.Pin.pin)
+      time("splitOversize library (explode-then-slice + small-path union)") {
+        graft.operators.Corpus.splitOversize(docs, "doc_id", "text", W)
+          .select(col("doc_id"), col("chunk_idx"),
+            length(col("chunk")).as("len"))
+      }
+      time("explode-then-slice inline (no union)") {
+        docs
+          .withColumn("__words", split(col("text"), " "))
+          .withColumn("__n", size(col("__words")).cast("long"))
+          .withColumn("chunk_idx",
+            explode(sequence(lit(0L), expr(s"(__n - 1) div $W"))))
+          .select(col("doc_id"), col("chunk_idx"),
+            length(array_join(
+              slice(col("__words"),
+                (col("chunk_idx") * W + 1).cast("int"), lit(W)),
+              " ")).as("len"))
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("LAB_MODE").contains("x02")) {
       val docs = t.documents
       time("x02 hashed shingles") {

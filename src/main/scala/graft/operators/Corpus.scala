@@ -1435,21 +1435,27 @@ object Corpus {
     val small = base.filter(nTok <= window)
       .select((keepCols :+ col(idCol) :+
         lit(0L).as("chunk_idx") :+ col("__text").as("chunk")): _*)
-    // all chunks are built in ONE projection over the word array (each
-    // word copied once — O(n) per doc) and only the chunk STRINGS reach
-    // the explode; slicing after the explode instead would carry the
-    // full word array into every chunk row, O(n·chunks) per doc — the
-    // difference between linear and quadratic on million-token docs
-    // (the x194 cdcChunks shape)
+    // SHAPE IS MEASURED, NOT GUESSED (BenchLab LAB_MODE=split, 512
+    // docs × 50k tokens = 781 chunks/doc): explode the chunk INDICES
+    // and slice after the Generate. Whole-stage codegen fuses
+    // Generate+Project, so the word array is a per-input-row REFERENCE
+    // sliced once per output chunk (never copied per row), and the
+    // whole path stays codegen'd — 0.4 s on the stress corpus. The
+    // "obvious" alternative (build all chunk strings in one transform()
+    // projection, explode only strings — x194's shape for HASHES) runs
+    // the slice+join INSIDE a higher-order-function lambda, which
+    // Spark evaluates interpreted per element: 56 s on the same corpus,
+    // 140× slower. Same law, same output, hash-identical.
     val big = base.filter(nTok > window)
       .withColumn("__words", split(col("__text"), " "))
-      .withColumn("__chunks", expr(
-        s"transform(sequence(0L, (size(__words) - 1) div $window), " +
-          s"c -> array_join(slice(__words, cast(c * $window + 1 as int), $window), ' '))"))
-      .select((keepCols :+ col(idCol) :+
-        posexplode(col("__chunks")).as(Seq("__ci", "chunk"))): _*)
-      .select((keepCols :+ col(idCol) :+
-        col("__ci").cast("long").as("chunk_idx") :+ col("chunk")): _*)
+      .withColumn("__n", size(col("__words")).cast("long"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(__n - 1) div $window"))))
+      .select((keepCols :+ col(idCol) :+ col("chunk_idx") :+
+        array_join(
+          slice(col("__words"),
+            (col("chunk_idx") * window + 1).cast("int"), lit(window)),
+          " ").as("chunk")): _*)
     small.unionByName(big)
   }
 
