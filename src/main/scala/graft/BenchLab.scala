@@ -359,6 +359,30 @@ object BenchLab {
                 (col("chunk_idx") * W + 1).cast("int"), lit(W)),
               " ")).as("len"))
       }
+      // same question for the CDC chunker: its chunk strings are built
+      // inside a zip_with lambda (interpreted) — vs exploding the
+      // (start, end) pairs (int-only lambda) and slicing in the fused
+      // codegen projection
+      graft.functions.PolyHashFunctions.ensureRegistered(spark)
+      graft.functions.CdcFunctions.ensureRegistered(spark)
+      time("cdcChunks library (explode-bounds since r16; was 21x slower as a string lambda)") {
+        graft.operators.Corpus.cdcChunks(docs, "doc_id", "text")
+          .select(col("doc_id"), col("chunk_idx"),
+            length(col("chunk")).as("len"))
+      }
+      time("cdcChunks explode-bounds-then-slice") {
+        docs
+          .withColumn("words", split(col("text"), " "))
+          .withColumn("n", size(col("words")).cast("long"))
+          .withColumn("cuts", expr("cdc_cuts(words, 4, 16)"))
+          .withColumn("b", explode(expr(
+            "zip_with(concat(array(0L), transform(cuts, c -> c + 1)), " +
+              "concat(cuts, array(n - 1)), (s, e) -> struct(s, e))")))
+          .select(col("doc_id"),
+            length(array_join(
+              slice(col("words"), expr("cast(b.s as int) + 1"),
+                expr("cast(b.e - b.s as int) + 1")), " ")).as("len"))
+      }
       spark.stop(); return
     }
 

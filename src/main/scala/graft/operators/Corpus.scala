@@ -1397,13 +1397,22 @@ object Corpus {
       // the law is the oracle's list_filter/list_reduce form verbatim —
       // see graft.functions.CdcCuts
       .withColumn("cuts", expr(s"cdc_cuts(words, $k, $divisor)"))
-      .withColumn("chunks", expr(
-        "zip_with(concat(array(0L), transform(cuts, c -> c + 1)), " +
-          "concat(cuts, array(n - 1)), " +
-          "(s, e) -> array_join(slice(words, cast(s as int) + 1, " +
-          "cast(e - s as int) + 1), ' '))"))
-      .select((Seq(col(idCol)) ++ keep.map(col) :+
-        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk"))): _*)
+      // explode the (start, end) BOUNDS (the zip_with lambda touches
+      // only ints — cheap even interpreted) and build each chunk string
+      // in the fused Generate+Project, where slice/array_join run
+      // codegen'd against a per-input-row word-array reference. The
+      // first form built the chunk STRINGS inside the zip_with lambda —
+      // interpreted per element, measured 21× slower at 781 chunks/doc
+      // (BenchLab LAB_MODE=split; SCALE.md "x205 splitter shape").
+      .select((Seq(col(idCol)) ++ keep.map(col) :+ col("words") :+
+        posexplode(expr(
+          "zip_with(concat(array(0L), transform(cuts, c -> c + 1)), " +
+            "concat(cuts, array(n - 1)), (s, e) -> struct(s, e))"))
+          .as(Seq("chunk_idx", "b"))): _*)
+      .select((Seq(col(idCol)) ++ keep.map(col) :+ col("chunk_idx") :+
+        array_join(
+          slice(col("words"), expr("cast(b.s as int) + 1"),
+            expr("cast(b.e - b.s as int) + 1")), " ").as("chunk")): _*)
   }
 
   /** Overflow splitter for context-window packing — the stage the
