@@ -383,6 +383,22 @@ object BenchLab {
               slice(col("words"), expr("cast(b.s as int) + 1"),
                 expr("cast(b.e - b.s as int) + 1")), " ")).as("len"))
       }
+      // and for word n-grams (trigram shape, the x02/blocklist currency):
+      // gram strings inside the transform() lambda vs positions exploded
+      // and concat_ws in the fused projection
+      time("wordNgrams library (transform lambda) n=3") {
+        docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            explode(graft.functions.Text.wordNgrams("w", 3)).as("sh"))
+          .select(col("doc_id"), length(col("sh")).as("len"))
+      }
+      time("wordNgrams position-explode n=3") {
+        docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("w"),
+            explode(expr("CASE WHEN size(w) >= 3 THEN sequence(1, size(w) - 2) ELSE array() END")).as("i"))
+          .select(col("doc_id"),
+            length(expr("concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))")).as("len"))
+      }
       spark.stop(); return
     }
 

@@ -51,7 +51,11 @@ object Text {
     * PolyHashFunctions.ensureRegistered or GraftExtensions). */
   def polyFingerprint(textCol: String): Column = expr(s"poly_hash($textCol)")
 
-  /** Word n-grams over a pre-split array column; empty below n words. */
+  /** Word n-grams over a pre-split array column; empty below n words.
+    * Array-valued — when the caller EXPLODES the grams (every hot path
+    * does), use [[explodeNgrams]] instead: building every gram string
+    * inside this transform() lambda evaluates interpreted per element
+    * (the LAB_MODE=split law — 2.8× slower and GC-spiky at 5M grams). */
   def wordNgrams(wordsCol: String, n: Int = 3): Column = {
     val parts = (0 until n)
       .map(k => if (k == 0) s"element_at($wordsCol, i)" else s"element_at($wordsCol, i + $k)")
@@ -61,5 +65,25 @@ object Text {
         s"transform(sequence(1, size($wordsCol) - ${n - 1}), i -> concat_ws(' ', $parts)) " +
         "ELSE array() END"
     )
+  }
+
+  /** One row per word n-gram, the MEASURED explode shape (BenchLab
+    * LAB_MODE=split): gram POSITIONS explode as ints and each gram
+    * string concatenates in the fused Generate+Project — codegen'd
+    * against a per-input-row word-array reference — instead of
+    * materializing every gram string inside a transform() lambda
+    * (interpreted per element). Emits (keep…, `as`); docs shorter than
+    * `n` words emit nothing, exactly [[wordNgrams]]'s law. */
+  def explodeNgrams(df: org.apache.spark.sql.DataFrame, keep: Seq[String],
+      wordsCol: String, n: Int, as: String): org.apache.spark.sql.DataFrame = {
+    val gram = (0 until n)
+      .map(k => if (k == 0) s"element_at($wordsCol, __i)"
+        else s"element_at($wordsCol, __i + $k)")
+      .mkString(", ")
+    df.select((keep.map(col) :+ col(wordsCol) :+
+        explode(expr(
+          s"CASE WHEN size($wordsCol) >= $n THEN sequence(1, size($wordsCol) - ${n - 1}) " +
+            "ELSE array() END")).as("__i")): _*)
+      .select((keep.map(col) :+ expr(s"concat_ws(' ', $gram)").as(as)): _*)
   }
 }

@@ -29,8 +29,9 @@ object Corpus {
     df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
 
   private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("w"))
-      .select(col(idCol), explode(Text.wordNgrams("w", 2)).as("bg"))
+    graft.functions.Text.explodeNgrams(
+      df.select(col(idCol), split(col(textCol), " ").as("w")),
+      keep = Seq(idCol), wordsCol = "w", n = 2, as = "bg")
 
   /** Gopher-style repetition signals per document: duplicate-word
     * fraction (1 − distinct/total) and top-bigram fraction (count of the
@@ -1169,8 +1170,9 @@ object Corpus {
     import spark.implicits._
     val matches = phrases.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
       .map { case (n, ps) =>
-        df.select(col(idCol), split(col(textCol), " ").as("w"))
-          .select(col(idCol), explode(Text.wordNgrams("w", n)).as("phrase"))
+        graft.functions.Text.explodeNgrams(
+            df.select(col(idCol), split(col(textCol), " ").as("w")),
+            keep = Seq(idCol), wordsCol = "w", n = n, as = "phrase")
           .join(broadcast(ps.toDF("phrase")), "phrase")
           .select(col(idCol), col("phrase"))
       }.reduce(_ unionAll _)

@@ -202,10 +202,12 @@ object Dedup {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
-  /** Word-n-gram shingles per document, not yet deduplicated: (id, sh). */
+  /** Word-n-gram shingles per document, not yet deduplicated: (id, sh) —
+    * via the measured position-explode shape ([[Text.explodeNgrams]]). */
   private def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("w"))
-      .select(col(idCol), explode(Text.wordNgrams("w", n)).as("sh"))
+    Text.explodeNgrams(
+      df.select(col(idCol), split(col(textCol), " ").as("w")),
+      keep = Seq(idCol), wordsCol = "w", n = n, as = "sh")
 
   /** Distinct word-n-gram shingles per document: (id, sh). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
