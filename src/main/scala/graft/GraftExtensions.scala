@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, PolyHash}
+import graft.functions.{FloatVecDot, LongVecDot, LongVecSqDist, PolyHash}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to ANY session — including plain `spark-submit` /
@@ -22,6 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_vec_dot"),
       info("float_vec_dot", "dot product of two array<float>"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("long_vec_sqdist"),
+      info("long_vec_sqdist", "exact int64 squared L2 distance of two array<bigint>"),
+      (exprs: Seq[Expression]) => LongVecSqDist(exprs(0), exprs(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("long_vec_dot"),
+      info("long_vec_dot", "exact int64 dot product of two array<bigint>"),
+      (exprs: Seq[Expression]) => LongVecDot(exprs(0), exprs(1))
     ))
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),

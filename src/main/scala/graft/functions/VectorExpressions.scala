@@ -59,6 +59,106 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact int64 squared L2 distance between two `array<bigint>` vectors —
+  * the quantization family's inner loop (RVQ assignment/serving, SQ8,
+  * the ⌊v·10⁶⌋ grid everywhere): `Σ (a_i − b_i)²` accumulated
+  * left-to-right in longs, identical arithmetic (including silent int64
+  * wrap) to the portable HOF form
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, (acc,v) -> acc+v)`
+  * — which evaluates its lambdas INTERPRETED per element and allocates a
+  * diffs array per row pair (the LAB_MODE=split law). This expression is
+  * the same tight loop inside whole-stage codegen: no allocation, no
+  * per-element interpretation. Same-length input contract (every caller
+  * quantizes both sides to the same dimensionality); length mismatch
+  * folds over the shorter prefix where the HOF null-poisons — callers
+  * never hit that case, and the DuckDB oracles replay the fold law
+  * directly so hashes are unaffected. */
+case class LongVecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_vec_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact int64 dot product between two `array<bigint>` vectors — the
+  * long twin of [[FloatVecDot]] and the codegen replacement for
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)`.
+  * Same arithmetic (int64 wrap included), same same-length contract as
+  * [[LongVecSqDist]]. */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All hyperplane-LSH band keys of a float vector in one codegen pass.
   *
   * The HOF form (one `aggregate(sequence(...))` fold per plane) is the
@@ -331,6 +431,16 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_vec_dot",
       exprs => FloatVecDot(exprs(0), exprs(1)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_vec_sqdist",
+      exprs => LongVecSqDist(exprs(0), exprs(1)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_vec_dot",
+      exprs => LongVecDot(exprs(0), exprs(1)),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -2125,7 +2125,7 @@ object Dedup {
       .join(comps, assigned(idCol) === comps("node"))
       .join(cellSums, "cell")
       .select(col(idCol), col("cluster_root"),
-        (expr("aggregate(zip_with(qv, cs, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        (expr("long_vec_dot(qv, cs)")
           .cast("double") / col("nrm")).as("score"))
     val w = Window.partitionBy(col("cluster_root"))
       .orderBy(col("score").asc, col(idCol).asc)
@@ -2185,6 +2185,7 @@ object Dedup {
     * end to end. `lloydIters = 0` is the seed rung x184/x185 pin. */
   def rvqIndex(df: DataFrame, idCol: String, vecCol: String,
       ks: Int = 16, lloydIters: Int = 0): (DataFrame, DataFrame) = {
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
     val q = df.select(col(idCol),
       expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
         .as("q"))
@@ -2196,8 +2197,7 @@ object Dedup {
         bid: String, bv: String): DataFrame =
       vecs.crossJoin(broadcast(book))
         .select(col(idCol), col(bid), col(bv),
-          expr(s"aggregate(zip_with($vc, $bv, (x, y) -> (x - y) * (x - y)), " +
-            "0L, (a, v) -> a + v)").as("d"))
+          expr(s"long_vec_sqdist($vc, $bv)").as("d"))
         .groupBy(col(idCol))
         .agg(min_by(struct(col(bid), col(bv)),
           struct(col("d"), col(bid))).as("b"))
@@ -2253,8 +2253,7 @@ object Dedup {
     for (_ <- 0 until lloydIters) c2 = refine(resid, "res", c2, "c2_id", "c2")
     val codes = resid.crossJoin(broadcast(c2))
       .select(col(idCol), col("code1"), col("c2_id"),
-        expr("aggregate(zip_with(res, c2, (x, y) -> (x - y) * (x - y)), " +
-          "0L, (a, v) -> a + v)").as("d"))
+        expr("long_vec_sqdist(res, c2)").as("d"))
       .groupBy(col(idCol), col("code1"))
       .agg(min(struct(col("d"), col("c2_id"))).as("b2"))
       .select(col(idCol), col("code1"), col("b2.c2_id").as("code2"),
@@ -2295,6 +2294,7 @@ object Dedup {
   private[graft] def rvqAnswer(
       qraw: DataFrame, codes: DataFrame, recon: DataFrame,
       topK: Int, excludeSelf: Boolean): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(qraw.sparkSession)
     val queries = qraw.select(col("query_id"),
       expr("transform(qvec, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
         .as("qv"))
@@ -2302,8 +2302,7 @@ object Dedup {
       .crossJoin(broadcast(queries))
       .filter(if (excludeSelf) col("query_id") =!= col("vid") else lit(true))
       .select(col("query_id"), col("vid").as("neighbor_id"),
-        expr("aggregate(zip_with(qv, rv, (x, y) -> (x - y) * (x - y)), " +
-          "0L, (a, v) -> a + v)").as("adc_dist"))
+        expr("long_vec_sqdist(qv, rv)").as("adc_dist"))
     Ranks.topKPerGroup(scored, Seq("query_id"),
       Seq(("adc_dist", true), ("neighbor_id", true)), topK)
       .select("query_id", "neighbor_id", "adc_dist")
