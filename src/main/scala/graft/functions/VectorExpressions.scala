@@ -72,12 +72,23 @@ case class FloatVecDot(left: Expression, right: Expression)
   * quantizes both sides to the same dimensionality); length mismatch
   * folds over the shorter prefix where the HOF null-poisons — callers
   * never hit that case, and the DuckDB oracles replay the fold law
-  * directly so hashes are unaffected. */
+  * directly so hashes are unaffected. NULL ELEMENTS null-poison exactly
+  * like the HOF twin (a null slot makes the zip_with product null and
+  * `acc + null` is null): when either child's element type is nullable
+  * the loop checks isNullAt per slot and returns NULL on the first hit;
+  * when both element types are containsNull = false the check is not
+  * emitted and the hot loop is branch-free. */
 case class LongVecSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "long_vec_sqdist"
+
+  private def elemNullable: Boolean =
+    VectorExpressions.anyElementNullable(left, right)
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -86,6 +97,7 @@ case class LongVecSqDist(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getLong(i) - y.getLong(i)
       acc += d * d
       i += 1
@@ -99,10 +111,14 @@ case class LongVecSqDist(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val nullCheck = if (elemNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  long $d = $a.getLong($i) - $b.getLong($i);
          |  $acc += $d * $d;
          |}
@@ -118,13 +134,21 @@ case class LongVecSqDist(left: Expression, right: Expression)
 /** Exact int64 dot product between two `array<bigint>` vectors — the
   * long twin of [[FloatVecDot]] and the codegen replacement for
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)`.
-  * Same arithmetic (int64 wrap included), same same-length contract as
+  * Same arithmetic (int64 wrap included), same same-length contract and
+  * same null-element poisoning (NULL on the first null slot when an
+  * element type is nullable; branch-free loop otherwise) as
   * [[LongVecSqDist]]. */
 case class LongVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "long_vec_dot"
+
+  private def elemNullable: Boolean =
+    VectorExpressions.anyElementNullable(left, right)
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -133,6 +157,7 @@ case class LongVecDot(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -144,10 +169,14 @@ case class LongVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (elemNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;
@@ -424,6 +453,17 @@ object HilbertValue {
 }
 
 object VectorExpressions {
+
+  /** True when either child's array element type is nullable (or the
+    * child isn't yet resolved to an array) — the switch that decides
+    * whether [[LongVecSqDist]]/[[LongVecDot]] emit per-slot isNullAt
+    * checks. Conservative on unresolved types: checks are only ELIDED
+    * on a proven containsNull = false schema. */
+  private[functions] def anyElementNullable(l: Expression, r: Expression): Boolean =
+    Seq(l, r).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
 
   /** Register `float_vec_dot` in the session's function registry (idempotent)
     * and return a Column-building helper usable from the DataFrame API. */

@@ -180,13 +180,17 @@ object Analytics {
     * (Spark's HLL++ and DuckDB's HLL disagree on the raw number by
     * design), so the registered output is the portable part of the
     * contract: the exact count plus each engine's own estimator
-    * verified against its documented 5 % relative-error bound
-    * (`20·|approx − exact| ≤ exact`, pure int64 in both engines). Both
-    * engines run their own sketch and both must independently land
-    * inside the bound for the hash to match — a cross-engine oracle for
-    * the accuracy CONTRACT where none can exist for the estimate
-    * itself. The raw Spark estimate stays pinned in AnalyticsSpec
-    * (<5 % vs x36's exact twin). */
+    * verified against a 15 % relative-error bound
+    * (`20·|approx − exact| ≤ 3·exact`, pure int64 in both engines).
+    * 15 % = three times HLL++'s documented ~5 % relative STANDARD
+    * DEVIATION — 5 % is 1σ, not a guarantee, so a registered 1σ bound
+    * could legitimately flip on one engine at an untested scale factor
+    * or distribution and surface as an opaque hash mismatch; the 3σ
+    * margin makes the registered contract robust while AnalyticsSpec
+    * keeps the tight <5 % pin on the shipped fixtures. Both engines run
+    * their own sketch and both must independently land inside the bound
+    * for the hash to match — a cross-engine oracle for the accuracy
+    * CONTRACT where none can exist for the estimate itself. */
   val x21 = Q(
     "x21_approx_distinct",
     Some(
@@ -194,7 +198,7 @@ object Analytics {
         "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
         "20 * abs(CAST(approx_count_distinct(l_partkey) AS BIGINT) - " +
         "CAST(COUNT(DISTINCT l_partkey) AS BIGINT)) <= " +
-        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS approx_ok " +
+        "3 * CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS approx_ok " +
         "FROM lineitem GROUP BY l_returnflag"
     )
   ) { t =>
@@ -204,7 +208,7 @@ object Analytics {
         countDistinct(col("l_partkey")).as("exact_parts"),
         (lit(20) * abs(approx_count_distinct(col("l_partkey")) -
           countDistinct(col("l_partkey"))) <=
-          countDistinct(col("l_partkey"))).as("approx_ok"))
+          lit(3) * countDistinct(col("l_partkey"))).as("approx_ok"))
   }
 
   /** The exact twin of x21's comparison column as its own oracle-checked

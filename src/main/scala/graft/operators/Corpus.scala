@@ -1443,7 +1443,13 @@ object Corpus {
     val base = df.select(
       (keepCols :+ col(idCol) :+ col(textCol).as("__text")): _*)
     val nTok = graft.functions.Text.tokenCount("__text")
-    val small = base.filter(nTok <= window)
+    // NULL text counts as 0 tokens, NOT as "neither path": a plain
+    // `nTok <= window` filter is three-valued-NULL on null text and the
+    // big-path `nTok > window` is too, so a null-text row would silently
+    // vanish from BOTH branches — breaking the pass-through contract
+    // above and x205/PackingSpec's exact token conservation. Coalescing
+    // the count routes such rows through the small path untouched.
+    val small = base.filter(coalesce(nTok, lit(0L)) <= window)
       .select((keepCols :+ col(idCol) :+
         lit(0L).as("chunk_idx") :+ col("__text").as("chunk")): _*)
     // SHAPE IS MEASURED, NOT GUESSED (BenchLab LAB_MODE=split, 512

@@ -44,8 +44,17 @@ object Learn {
       : DataFrame =
     solveOls(sufficientStats(df, y, x1, x2))
 
-  /** Exact decimal sum of an int64 column. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(19,0)"))
+  /** Exact decimal sum of an int64 column, re-cast to DECIMAL(38,0)
+    * AFTER the aggregate so the linear sums (s1/s2/sy) carry the same
+    * 38-digit envelope as the product sums: Spark types
+    * sum(decimal(19,0)) as decimal(29,0), which would both shrink the
+    * documented overflow headroom by 9 digits and make the
+    * sufficient-statistics parquet schema (ProbeStream's append-only
+    * partials table) drift across versions — a resumed stream must
+    * read old and new partials files under ONE inferred schema. The
+    * post-aggregate cast is free (1 row) and lossless. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(19,0)")).cast("decimal(38,0)")
 
   /** Exact decimal sum of a product of two int64 columns — factors are
     * cast BEFORE the multiply (DECIMAL(19,0) × DECIMAL(19,0) →

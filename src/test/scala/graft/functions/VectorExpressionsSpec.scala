@@ -132,4 +132,41 @@ class VectorExpressionsSpec extends AnyFunSuite {
     // codegen and interpreted paths agree (HilbertSpec pins the curve
     // math itself against the d2xy inverse)
   }
+
+  test("long_vec_sqdist / long_vec_dot null-poison on null elements like the HOF twins") {
+    VectorExpressions.ensureRegistered(spark)
+    // nullable-element arrays: a null slot must yield NULL, matching
+    // aggregate(zip_with(...)) where the per-slot product is null and
+    // acc + null poisons the fold
+    val df = spark.sql(
+      "SELECT * FROM VALUES " +
+        "(array(1L, 2L, 3L), array(4L, 5L, 6L)), " +          // clean
+        "(array(1L, CAST(NULL AS BIGINT), 3L), array(4L, 5L, 6L)), " + // null on left
+        "(array(1L, 2L, 3L), array(4L, NULL, 6L)) " +         // null on right
+        "AS t(a, b)")
+    val hofSq = "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    val hofDt = "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    val rows = df.selectExpr(
+      s"$hofSq AS hof_sq", "long_vec_sqdist(a, b) AS nat_sq",
+      s"$hofDt AS hof_dt", "long_vec_dot(a, b) AS nat_dt").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      assert(r.isNullAt(2) === r.isNullAt(3))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+      if (!r.isNullAt(2)) assert(r.getLong(2) === r.getLong(3))
+    }
+    assert(rows.count(_.isNullAt(1)) === 2)
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val lit = (xs: Array[Any]) =>
+      Literal.create(new org.apache.spark.sql.catalyst.util.GenericArrayData(xs),
+        ArrayType(LongType, containsNull = true))
+    val withNull = lit(Array[Any](1L, null, 3L))
+    val clean = lit(Array[Any](4L, 5L, 6L))
+    assert(LongVecSqDist(withNull, clean).eval(null) === null)
+    assert(LongVecDot(withNull, clean).eval(null) === null)
+    assert(LongVecSqDist(clean, clean).eval(null) === 0L)
+    assert(LongVecDot(clean, clean).eval(null) === (16L + 25L + 36L))
+  }
 }

@@ -105,4 +105,24 @@ class PackingSpec extends AnyFunSuite {
     assert(mismatches === 0L, "chunks must re-join to the original text")
     chunks.unpersist()
   }
+
+  test("splitOversize routes null-text rows through the small path untouched") {
+    // a null text must NOT vanish into the three-valued-NULL gap between
+    // the <=window and >window branches — it passes through as its own
+    // chunk_idx-0 row with chunk NULL
+    val df = spark.sql(
+      "SELECT * FROM VALUES " +
+        "(1L, 'a b c'), " +
+        "(2L, CAST(NULL AS STRING)), " +
+        "(3L, 'one two three four five six seven eight') " +
+        "AS t(doc_id, text)")
+    val out = Corpus.splitOversize(df, "doc_id", "text", window = 4)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    assert(byDoc.keySet === Set(1L, 2L, 3L), "all docs must survive the split")
+    val nullRow = byDoc(2L)
+    assert(nullRow.length === 1)
+    assert(nullRow.head.getLong(1) === 0L)   // chunk_idx 0
+    assert(nullRow.head.isNullAt(2))          // chunk passes through as NULL
+    assert(byDoc(3L).length === 2)            // 8 tokens at window 4 → 2 chunks
+  }
 }
