@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   * through a noop sink so every column is fully materialized (a bare
   * count() would let Catalyst skip work).
   *
+  * The full JSON also carries per-query JVM context — `gc_ms` (GC time
+  * during the min-producing run) and `old_gen_mb` (old-gen occupancy
+  * right after it) — so full-pass-only anomalies (the x201/x136 class:
+  * pinned state × old-gen pressure, invisible to solo A/Bs) are
+  * adjudicable from the artifact itself.
+  *
   * Four additions beyond the one-line contract:
   *   - a 20-job scheduler-floor probe runs first and its p50 is
   *     reported as `sched_floor_p50` — the tenancy context every other
@@ -59,14 +65,44 @@ object Bench {
           false
       }
 
-    /** warmup + two timed passes; per-query min. Scaling-curve runs at
-      * big self-generated SFs can't afford 3 full executions:
+    // Per-query JVM context (round-16 verdict item 4): after two
+    // consecutive rounds of full-pass-only anomalies (x201 at r15→16,
+    // x136/x107 at r16) whose adjudication each needed a dedicated A/B,
+    // the artifact itself now carries the evidence — GC time spent
+    // DURING each query's timed run and old-gen occupancy right AFTER
+    // it. A query whose wall spike coincides with a gc_ms spike and a
+    // high old_gen_mb plateau is the pinned-state × old-gen-pressure
+    // signature (host-independent, code-attributable); a wall spike
+    // with flat gc_ms is host tenancy. Read by BENCH_NOTES' drift sweep.
+    def jvmGcMs(): Long = {
+      val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      var total = 0L
+      beans.forEach(b => total += math.max(0L, b.getCollectionTime))
+      total
+    }
+    def oldGenUsedMb(): Long = {
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      var used = 0L
+      pools.forEach { p =>
+        if (p.getType == java.lang.management.MemoryType.HEAP &&
+            (p.getName.contains("Old") || p.getName.contains("Tenured")))
+          used += p.getUsage.getUsed
+      }
+      used / (1024L * 1024L)
+    }
+
+    /** one timed execution: (seconds, gcMsDelta, oldGenMbAfter) */
+    case class Timing(sec: Double, gcMs: Long, oldGenMb: Long)
+
+    /** warmup + two timed passes; per-query min (the GC/old-gen context
+      * rides with whichever pass produced the min). Scaling-curve runs
+      * at big self-generated SFs can't afford 3 full executions:
       * SPARK_GRAFT_BENCH_PASSES=1 + SPARK_GRAFT_BENCH_WARMUP=0 switch to
       * one timed pass (the driver never sets these, so the contract run
       * keeps min-of-2; relative 10× ratios dwarf single-pass noise). A
       * per-query stderr line makes long runs observable. */
     def bench(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-        dir: String, defaultPasses: Int = 2): Seq[(String, Double)] = {
+        dir: String, defaultPasses: Int = 2): Seq[(String, Timing)] = {
       val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
         case None => defaultPasses
         case Some(s) => s.toIntOption match {
@@ -77,16 +113,19 @@ object Bench {
       }
       val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
       if (warmup) qs.foreach { case (_, fn) => runOnce(fn, dir) }
-      def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
+      def timedPass(): Seq[(String, Timing)] = qs.map { case (name, fn) =>
+        val g0 = jvmGcMs()
         val t0 = System.nanoTime()
         val ok = runOnce(fn, dir)
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name ${if (ok) dt else -1.0}%.2f s")
-        name -> (if (ok) dt else -1.0)
+        val gcd = jvmGcMs() - g0
+        System.err.println(f"[bench] $name ${if (ok) dt else -1.0}%.2f s (gc ${gcd}ms)")
+        name -> Timing(if (ok) dt else -1.0, gcd, oldGenUsedMb())
       }
       (1 to passes).map(_ => timedPass()).reduce { (p1, p2) =>
         p1.zip(p2).map { case ((name, a), (_, b)) =>
-          name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+          name -> (if (a.sec < 0 || b.sec < 0) Timing(-1.0, 0L, 0L)
+            else if (a.sec <= b.sec) a else b)
         }
       }
     }
@@ -210,7 +249,10 @@ object Bench {
         }
       } else Seq.empty
 
-    val results = bench(qs, sfDir)
+    val timings = bench(qs, sfDir)
+    val results = timings.map { case (n, t) => n -> t.sec }
+    val gcJson = toJson(timings.map { case (n, t) => n -> t.gcMs.toDouble })
+    val oldGenJson = toJson(timings.map { case (n, t) => n -> t.oldGenMb.toDouble })
     // sched_floor_p50 is tenancy context for EVERY number in the
     // artifact, so it is emitted unconditionally — not only when the
     // small gold pass ran.
@@ -229,7 +271,7 @@ object Bench {
       else s""","queries_small":${toJson(goldSmall)},"total_small":${totalOf(goldSmall)},"floor_small":$floorJson,"sf_small":"$smallDir""""
 
     val line =
-      s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir","sched_floor_p50":$schedFloorP50$smallJson}"""
+      s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","queries":${toJson(results)},"gc_ms":$gcJson,"old_gen_mb":$oldGenJson,"sf":"$sfDir","sched_floor_p50":$schedFloorP50$smallJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(line)

@@ -226,6 +226,131 @@ object BenchLab {
       spark.stop(); return
     }
 
+    // round-17 compaction law across ALL SIX standing-registry streams
+    // (verdict item 7): same twin-run shape as LAB_MODE=compact below,
+    // one row per registry, at whatever SF dir is given (sf1 via GenSf
+    // for the order-of-magnitude-up confirmation). LAB_BATCHES batches,
+    // LAB_COMPACT cadence vs uncompacted; reports total wall,
+    // last-quarter wall (where layouts have diverged most), and end
+    // partition count for each registry.
+    if (sys.env.get("LAB_MODE").contains("compact6")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.StreamingQuery
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val nBatches = sys.env.getOrElse("LAB_BATCHES", "20").toInt
+      val cadence = sys.env.getOrElse("LAB_COMPACT", "8").toInt
+      val docs = t.documents.select("doc_id", "source", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      val docBatches = docs.grouped(math.max(docs.length / nBatches, 1))
+        .map(_.toSeq).toSeq
+      val textBatches = docBatches.map(_.map(d => (d._1, d._3)))
+      val vecs = t.embeddings.select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      val vecBatches = vecs.grouped(math.max(vecs.length / nBatches, 1))
+        .map(_.toSeq).toSeq
+      val cents = graft.operators.Dedup.ivfCentroids(
+        t.embeddings, "vec_id", "embedding", k = 16)
+
+      /** twin-run one stream; prints its compacted-vs-not row */
+      def lab[T](name: String, registrySub: String,
+          start: (String, Int) => (MemoryStream[T], StreamingQuery),
+          batches: Seq[Seq[T]]): Unit = {
+        def run(ce: Int): (Double, Double, Int) = {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"lab6-$name-$ce").toString
+          val (src, q) = start(root, ce)
+          val t0 = System.nanoTime()
+          var lastQuarter = 0.0
+          try batches.zipWithIndex.foreach { case (b, i) =>
+            val b0 = System.nanoTime()
+            src.addData(b: _*); q.processAllAvailable()
+            if (i >= batches.length * 3 / 4)
+              lastQuarter += (System.nanoTime() - b0) / 1e9
+          } finally q.stop()
+          val total = (System.nanoTime() - t0) / 1e9
+          val nParts = new java.io.File(s"$root/$registrySub").listFiles()
+            .count(_.getName.startsWith("batch_id="))
+          (total, lastQuarter, nParts)
+        }
+        val (tOff, qOff, pOff) = run(0)
+        val (tOn, qOn, pOn) = run(cadence)
+        println(s"""{"metric":"compact6","registry":"$name","batches":$nBatches,""" +
+          s""""cadence":$cadence,"total_off":$tOff,"total_on":$tOn,""" +
+          s""""lastq_off":$qOff,"lastq_on":$qOn,""" +
+          s""""parts_off":$pOff,"parts_on":$pOn,"sf":"$sfDir"}""")
+      }
+
+      lab[(Long, String, String)]("segment", "registry",
+        (root, ce) => {
+          Seq.empty[(Long, Long)].toDF("h", "k")
+            .write.parquet(s"$root/registry/batch_id=-1")
+          val src = MemoryStream[(Long, String, String)]
+          (src, graft.streaming.SegmentDedupStream.startSegmentDedup(
+            src.toDF().toDF("doc_id", "source", "text"),
+            s"$root/registry", s"$root/stats", s"$root/ckpt",
+            compactEvery = ce))
+        }, docBatches)
+      lab[(Long, String)]("span", "registry",
+        (root, ce) => {
+          Seq.empty[(Long, Long)].toDF("h", "kk")
+            .write.parquet(s"$root/registry/batch_id=-1")
+          val src = MemoryStream[(Long, String)]
+          (src, graft.streaming.SpanDedupStream.startSpanDedup(
+            src.toDF().toDF("doc_id", "text"),
+            s"$root/registry", s"$root/kept", s"$root/metrics", s"$root/ckpt",
+            compactEvery = ce))
+        }, textBatches)
+      lab[(Long, String)]("chunk", "chunks",
+        (root, ce) => {
+          graft.streaming.ChunkStream.seedChunks(
+            Seq.empty[(Long, String)].toDF("doc_id", "text"),
+            s"$root/chunks", "doc_id", "text")
+          val src = MemoryStream[(Long, String)]
+          (src, graft.streaming.ChunkStream.startChunkRewrite(
+            src.toDF().toDF("doc_id", "text"),
+            s"$root/chunks", s"$root/rewrites", s"$root/ckpt",
+            "doc_id", "text", compactEvery = ce))
+        }, textBatches)
+      lab[(Long, String)]("gram", "grams",
+        (root, ce) => {
+          graft.streaming.NoveltyStream.seedGrams(
+            Seq.empty[(Long, String)].toDF("doc_id", "text"),
+            s"$root/grams", "doc_id", "text")
+          val src = MemoryStream[(Long, String)]
+          (src, graft.streaming.NoveltyStream.startNoveltyScoring(
+            src.toDF().toDF("doc_id", "text"),
+            s"$root/grams", s"$root/verdicts", s"$root/ckpt",
+            "doc_id", "text", compactEvery = ce))
+        }, textBatches)
+      lab[(Long, String)]("corpus", "corpus",
+        (root, ce) => {
+          Seq((1000000001L, "alpha beta gamma delta epsilon zeta"))
+            .toDF("doc_id", "text").write.parquet(s"$root/corpus/batch_id=-1")
+          val src = MemoryStream[(Long, String)]
+          (src, graft.streaming.DedupStream.startIncrementalDedup(
+            src.toDF().toDF("doc_id", "text"),
+            s"$root/corpus", s"$root/verdicts", s"$root/ckpt",
+            "doc_id", "text", threshold = 0.5, compactEvery = ce))
+        }, textBatches)
+      lab[(Long, Seq[Float])]("embedding", "registry",
+        (root, ce) => {
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "vec_id BIGINT, cell BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE"))
+            .write.parquet(s"$root/registry/batch_id=-1")
+          val src = MemoryStream[(Long, Seq[Float])]
+          (src, graft.streaming.EmbeddingDedupStream.startEmbeddingNearDup(
+            src.toDF().toDF("vec_id", "embedding")
+              .withColumn("embedding", col("embedding").cast("array<float>")),
+            cents, s"$root/registry", s"$root/pairs", s"$root/ckpt",
+            threshold = 0.4, compactEvery = ce))
+        }, vecBatches)
+      spark.stop(); return
+    }
+
     // round-15 registry compaction: per-batch cost with/without the
     // fold over a long stream (LAB_BATCHES micro-batches, LAB_COMPACT
     // cadence vs uncompacted), timing the LAST batches where the

@@ -321,6 +321,87 @@ object Learn {
           "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) AS r2_holdout")
   }
 
+  /** Logistic probe — fixed-iteration Newton/IRLS on (1, `x1`, `x2`)
+    * with 0/1 label `label`: the classifier a real curation pipeline
+    * actually trains for its quality gate (the fastText-style family
+    * x161's scaladoc names), completing the trainer stack next to the
+    * squared-loss probes (x197/x206), the perceptron (x198), and the
+    * generative NB (x201/x204).
+    *
+    * Plan shape = the x198 template with Newton steps instead of
+    * perceptron updates: integer-centered features pinned once, then
+    * `iters` rounds of ONE map-side-combined aggregate each (the nine
+    * weighted moments Σw, Σwx, ΣwxxT, Σr, Σrx) + a constant-size 3×3
+    * Cramer solve broadcast back — β ← β + (XᵀWX)⁻¹Xᵀ(y−p) with
+    * w = p(1−p). No driver-side data, no second scan per step.
+    *
+    * Portability contract (the x103 round-once discipline applied to
+    * exp instead of ln): β is bit-identical cross-engine after every
+    * step BECAUSE (a) per-row w and r are rounded ONCE to DECIMAL(9,6)
+    * immediately after the only transcendental (`exp`), (b) all nine
+    * moments are exact decimal sums of those rounded values times
+    * integer features (order-free), and (c) the solve is one shared
+    * expression text over the nine doubles ([[LogitText]] — the same
+    * strings run in DuckDB), so every IEEE op replays in the same
+    * order. The exp itself may differ by an ulp between libms — the
+    * 6-dp rounding absorbs it except within ~1e-16 of a grid boundary,
+    * the same accepted residual risk as every `round(ln(·), 4)` oracle
+    * in the library. Overflow: |w| ≤ 0.25, |r| ≤ 1, features are
+    * centered counts — the decimal moment sums hold to ~10³² rows.
+    *
+    * Output: 1 row — (n_docs, beta0, beta1, beta2, n_correct,
+    * accuracy), prediction = (β·x ≥ 0), ties to the positive class in
+    * both engines. */
+  def logisticProbe(
+      df: DataFrame, label: Column, x1: Column, x2: Column,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val raw = df.select(
+      label.cast("long").as("y"),
+      x1.cast("long").as("r1"), x2.cast("long").as("r2"))
+    // integer-div centering — the x198 non-negative-feature contract
+    // (Spark div truncates, DuckDB // floors; identical on
+    // non-negative sums)
+    val ctr = raw.agg(
+      expr("sum(r1) div count(*)").as("__c1"),
+      expr("sum(r2) div count(*)").as("__c2"))
+    val f = raw.crossJoin(broadcast(ctr))
+      .select(col("y"),
+        (col("r1") - col("__c1")).as("x1"),
+        (col("r2") - col("__c2")).as("x2"))
+      .transform(graft.plans.Pin.pin)
+    val zero = f.sparkSession.range(1).selectExpr(
+      "CAST(0.0 AS DOUBLE) AS b0", "CAST(0.0 AS DOUBLE) AS b1",
+      "CAST(0.0 AS DOUBLE) AS b2")
+    val beta = (1 to iters).foldLeft(zero) { (prev, _) =>
+      val p = LogitText.p(LogitText.t("b0", "b1", "b2"))
+      val moments = f.crossJoin(broadcast(prev))
+        .selectExpr(
+          "y", "x1", "x2",
+          s"${LogitText.w6(p)} AS w6", s"${LogitText.r6(p)} AS r6")
+        .agg(expr(LogitText.aggs.head._2).as(LogitText.aggs.head._1),
+          LogitText.aggs.tail.map { case (n, e) => expr(e).as(n) }: _*)
+      prev.crossJoin(broadcast(moments))
+        .selectExpr(s"${LogitText.det} AS det", "*")
+        .selectExpr(
+          s"b0 + ${LogitText.d0} AS b0",
+          s"b1 + ${LogitText.d1} AS b1",
+          s"b2 + ${LogitText.d2} AS b2")
+    }
+    val t = LogitText.t("b0", "b1", "b2")
+    f.crossJoin(broadcast(beta))
+      .groupBy(col("b0"), col("b1"), col("b2"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr(s"CASE WHEN (CASE WHEN $t >= 0 THEN 1 ELSE 0 END) = y " +
+          "THEN 1 ELSE 0 END")).as("n_correct"))
+      .select(
+        col("n_docs"),
+        col("b0").as("beta0"), col("b1").as("beta1"), col("b2").as("beta2"),
+        col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs")).as("accuracy"))
+  }
+
   /** Bernoulli naive Bayes gate — the GENERATIVE trainer completing the
     * family (x197 closed-form, x198 discriminative-iterative): train on
     * the even-`idCol` half (per-class word-presence counts, add-1
@@ -425,10 +506,27 @@ object Learn {
       .select(col("doc_id"), col("y"),
         explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), col("y"), col("w")).distinct()
-    val nc = tr.groupBy(col("y")).agg(count(lit(1)).as("n"))
-      .transform(graft.plans.Pin.pin)
-    val cntAll = trw.groupBy(col("w"), col("y")).agg(count(lit(1)).as("c"))
-      .transform(graft.plans.Pin.pin)
+    nbModelFromCounts(
+      tr.groupBy(col("y")).agg(count(lit(1)).as("n")),
+      trw.groupBy(col("w"), col("y")).agg(count(lit(1)).as("c")),
+      vocabK)
+  }
+
+  /** Build the NB model from its SUFFICIENT STATISTICS — per-class doc
+    * counts `(y, n)` and per-(word, class) presence counts `(w, y, c)`.
+    * These counts are MERGEABLE (counts of a union = column-wise sums
+    * of per-part counts, exact int64), which is what lets
+    * [[graft.streaming.NbCappedStream]] accumulate per-batch partials
+    * and refit the capped model without rescanning history — the
+    * vocabulary cap is applied HERE, over the merged counts, so a
+    * streamed refit is bit-identical to the batch fit over the
+    * concatenated corpus (cap-then-merge would not be: a word can
+    * enter the global top-K without being in any single batch's
+    * top-K). Same weight/prior derivation as [[nbModel]]. */
+  def nbModelFromCounts(nc0: DataFrame, cntAll0: DataFrame, vocabK: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val nc = nc0.transform(graft.plans.Pin.pin)
+    val cntAll = cntAll0.transform(graft.plans.Pin.pin)
     // the cap rides the PINNED vocab-sized counts — document frequency
     // is the class-sum of presence counts, the top-K is a TakeOrdered,
     // and the corpus is never rescanned for it
@@ -497,4 +595,51 @@ object Learn {
           max(when(!col("cls"), col("score"))),
         max(when(col("cls"), col("score"))).isNotNull).as("pred"))
   }
+}
+
+/** The shared SQL text of [[Learn.logisticProbe]]'s per-row laws,
+  * weighted moments, and Newton solve — one set of strings evaluated by
+  * BOTH engines (Spark via selectExpr/expr, DuckDB via the x207 oracle
+  * CTEs), so every double-precision operation replays in the same
+  * order and β stays bit-identical cross-engine. Column-name contract:
+  * the feature frame exposes integer `y` (0/1), `x1`, `x2`; the moment
+  * row exposes sw/sw1/sw2/sw11/sw12/sw22/sr/sr1/sr2 (+ det). The solve
+  * strings are [[Learn.solveOls]]'s Cramer text with the substitution
+  * n→sw, s1→sw1, s2→sw2, s11→sw11, s12→sw12, s22→sw22, sy→sr,
+  * s1y→sr1, s2y→sr2 — the weighted normal equations. */
+private[operators] object LogitText {
+  /** linear score at scalar coefficients (textual names or literals) */
+  def t(b0: String, b1: String, b2: String): String =
+    s"$b0 + $b1*CAST(x1 AS DOUBLE) + $b2*CAST(x2 AS DOUBLE)"
+  /** sigmoid — the library's only exp; rounded immediately below */
+  def p(t: String): String = s"1.0/(1.0 + exp(-($t)))"
+  /** IRLS weight p(1−p), rounded ONCE to the portable 6-dp grid */
+  def w6(p: String): String =
+    s"CAST(round(($p)*(1.0-($p)), 6) AS DECIMAL(9,6))"
+  /** residual y−p on the same grid */
+  def r6(p: String): String =
+    s"CAST(round(CAST(y AS DOUBLE) - ($p), 6) AS DECIMAL(9,6))"
+  /** the nine weighted moments as exact decimal sums (rounded decimal ×
+    * integer features — order-free), cast to double once */
+  val aggs: Seq[(String, String)] = {
+    def xd(c: String) = s"CAST($c AS DECIMAL(12,0))"
+    Seq(
+      "sw" -> "CAST(SUM(w6) AS DOUBLE)",
+      "sw1" -> s"CAST(SUM(w6*${xd("x1")}) AS DOUBLE)",
+      "sw2" -> s"CAST(SUM(w6*${xd("x2")}) AS DOUBLE)",
+      "sw11" -> s"CAST(SUM(w6*${xd("x1")}*${xd("x1")}) AS DOUBLE)",
+      "sw12" -> s"CAST(SUM(w6*${xd("x1")}*${xd("x2")}) AS DOUBLE)",
+      "sw22" -> s"CAST(SUM(w6*${xd("x2")}*${xd("x2")}) AS DOUBLE)",
+      "sr" -> "CAST(SUM(r6) AS DOUBLE)",
+      "sr1" -> s"CAST(SUM(r6*${xd("x1")}) AS DOUBLE)",
+      "sr2" -> s"CAST(SUM(r6*${xd("x2")}) AS DOUBLE)")
+  }
+  val det: String =
+    "sw*(sw11*sw22 - sw12*sw12) - sw1*(sw1*sw22 - sw12*sw2) + sw2*(sw1*sw12 - sw11*sw2)"
+  val d0: String =
+    "(sr*(sw11*sw22 - sw12*sw12) - sw1*(sr1*sw22 - sw12*sr2) + sw2*(sr1*sw12 - sw11*sr2)) / det"
+  val d1: String =
+    "(sw*(sr1*sw22 - sr2*sw12) - sr*(sw1*sw22 - sw12*sw2) + sw2*(sw1*sr2 - sr1*sw2)) / det"
+  val d2: String =
+    "(sw*(sw11*sr2 - sw12*sr1) - sw1*(sw1*sr2 - sr1*sw2) + sr*(sw1*sw12 - sw11*sw2)) / det"
 }

@@ -222,7 +222,7 @@ object TrainingData {
         "SELECT doc_id, cluster_root, (doc_id = cluster_root) AS is_keeper FROM lab"
     )
   ) { t =>
-    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+    val pairs = nearDupPairs(t)
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("cluster_root"),
         (col("node") === col("cluster_root")).as("is_keeper"))
@@ -682,7 +682,7 @@ object TrainingData {
         "JOIN (SELECT cluster_root, doc_id FROM r WHERE rn = 1) c USING (cluster_root)"
     )
   ) { t =>
-    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+    val pairs = nearDupPairs(t)
     val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("cluster_root"))
     Dedup.canonicalByPriority(
@@ -2411,7 +2411,7 @@ object TrainingData {
         "CAST(SUM(cluster_size) AS BIGINT) AS n_docs FROM cl GROUP BY cluster_size"
     )
   ) { t =>
-    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+    val pairs = nearDupPairs(t)
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .groupBy(col("cluster_root")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
@@ -2455,8 +2455,7 @@ object TrainingData {
     }
   ) { t =>
     graft.functions.PolyHashFunctions.ensureRegistered(t.spark)
-    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
-      .select("doc_a", "doc_b").transform(graft.plans.Pin.pin)
+    val pairs = nearDupPairs(t).select("doc_a", "doc_b")
     val naive = t.documents.select(col("doc_id"),
       when(expr("poly_hash(text) % 100") < 80, "train")
         .when(expr("poly_hash(text) % 100") < 90, "val")
@@ -2894,9 +2893,7 @@ object TrainingData {
         "FROM cl JOIN coh USING (cluster_root)"
     )
   ) { t =>
-    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
-      .transform(graft.plans.Pin.pin)
-    Dedup.clusterCohesion(pairs, "doc_a", "doc_b", "jaccard")
+    Dedup.clusterCohesion(nearDupPairs(t), "doc_a", "doc_b", "jaccard")
   }
 
   /** Held-out surprisal ([[Corpus.lmDocSurprisal]]): unigram LM trained
@@ -2962,7 +2959,7 @@ object TrainingData {
         "SELECT doc_id, source FROM ranked WHERE rn <= 5"
     )
   ) { t =>
-    val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+    val pairs = nearDupPairs(t)
     Corpus.cleanEvalSample(
         t.documents, pairs, "doc_a", "doc_b", "doc_id", "source", k = 5)
       .select(col("doc_id"), col("source"))
@@ -4061,16 +4058,55 @@ object TrainingData {
         (col("max_lt").cast("double") / (col("n") - 1)).as("max_pr"))
   }
 
+  /** The co-purchase EDGE REGISTRY — built once per (session, SF dir),
+    * pinned, and served to the whole graph family (x136 degree, x152
+    * PageRank, x156 label propagation, x157 weighted PageRank, x165
+    * triangles): one row per unordered part pair (pa < pb) with
+    * w = number of distinct orders containing both. Pair generation is
+    * a self-join WITHIN order — work is Σ c(k,2) over per-order item
+    * counts, which TPC-H bounds at 7 lines per order, never
+    * corpus×corpus (the same bounded-block discipline as x02's
+    * inverted index; on skewed real baskets cap per-block size like
+    * maxDocFreq). Every consumer is a projection of this frame:
+    * distinct pairs = all rows, support-≥2 pairs = filter on w,
+    * weighted edges = the frame itself — so the suite's single most
+    * expensive graph intermediate (two wide aggregates over the
+    * lineitem self-join) is paid ONCE per session instead of once per
+    * query (round-16 verdict item 2; the 100-TB-real shape is an edge
+    * table built once, the frozen-index discipline the serving streams
+    * already follow). Each query's DuckDB oracle keeps re-deriving the
+    * same CTE text — semantics and hashes unchanged. */
+  private[operators] def coPurchasePairs(t: Tables): org.apache.spark.sql.DataFrame =
+    Registries.frame(t.spark, t.dir, "copurchase_pairs_w") {
+      val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      op.join(b, col("l_orderkey") === col("ok") && col("l_partkey") < col("pb"))
+        .groupBy(col("l_partkey").as("pa"), col("pb"))
+        .agg(count(lit(1)).as("w"))
+    }
+
+  /** The near-dup PAIR REGISTRY — `Dedup.ngramJaccardPairs` at the
+    * library-wide threshold 0.5, built once per (session, SF dir) and
+    * shared by every consumer of the near-duplicate edge list
+    * (x33/x56 clustering, x90 histogram, x91 leakage audit, x104
+    * cohesion, x107 clean-eval sampling): the shingle-block inverted
+    * index + bounded self-join is the dedup family's most expensive
+    * intermediate, and its output (the near-dup EDGE LIST, tiny
+    * relative to the corpus whenever dedup is worth running) is the
+    * natural registry row. Same oracle-unchanged contract as
+    * [[coPurchasePairs]]. Columns: (doc_a, doc_b, common, jaccard). */
+  private[operators] def nearDupPairs(t: Tables): org.apache.spark.sql.DataFrame =
+    Registries.frame(t.spark, t.dir, "neardup_pairs_ngram_t0.5") {
+      Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
+    }
+
   /** Co-purchase graph degree distribution: parts are linked when they
     * appear in the same order; the output histogram (degree → part
     * count, degree 0 included via the dimension left join) is the
     * connectivity readout behind basket recommenders and graph-sampling
-    * budgets. Pair generation is a self-join WITHIN order — work is
-    * Σ c(k,2) over per-order item counts, which TPC-H bounds at 7 lines
-    * per order, never corpus×corpus (the same bounded-block discipline
-    * as x02's inverted index; on skewed real baskets cap per-block size
-    * like maxDocFreq). Distinct pairs, symmetric expansion, then two
-    * map-side-combined counts. */
+    * budgets. Edges come from [[coPurchasePairs]] (built once per
+    * session); symmetric expansion, then two map-side-combined
+    * counts. */
   val x136 = Q(
     "x136_copurchase_degree",
     Some(
@@ -4085,10 +4121,7 @@ object TrainingData {
         "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts FROM alld GROUP BY degree"
     )
   ) { t =>
-    val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val pairs = op.join(b, col("l_orderkey") === col("ok") && col("l_partkey") < col("pb"))
-      .select(col("l_partkey").as("pa"), col("pb")).distinct()
+    val pairs = coPurchasePairs(t)
     val und = pairs.select(col("pa").as("pk"))
       .unionAll(pairs.select(col("pb").as("pk")))
     val deg = und.groupBy(col("pk")).agg(count(lit(1)).as("degree"))
@@ -4869,11 +4902,7 @@ object TrainingData {
     }
   ) { t =>
     val S = 1000000000000L
-    val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val pairs = op
-      .join(b, col("l_orderkey") === col("ok") && col("l_partkey") < col("pb"))
-      .select(col("l_partkey").as("pa"), col("pb")).distinct()
+    val pairs = coPurchasePairs(t).select(col("pa"), col("pb"))
     val und = pairs.select(col("pa").as("pk"), col("pb").as("other"))
       .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other")))
       .repartition(col("other"))
@@ -5059,13 +5088,8 @@ object TrainingData {
         "FROM l3 GROUP BY lbl"
     }
   ) { t =>
-    val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val pairs = op
-      .join(b, col("l_orderkey") === col("ok") && col("l_partkey") < col("pb"))
-      .groupBy(col("l_partkey").as("pa"), col("pb"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
+    val pairs = coPurchasePairs(t)
+      .filter(col("w") >= 2)
       .select(col("pa"), col("pb"))
     val und = pairs.select(col("pa").as("pk"), col("pb").as("other"))
       .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other")))
@@ -5130,12 +5154,7 @@ object TrainingData {
     }
   ) { t =>
     val S = 1000000000000L
-    val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val pairs = op
-      .join(b, col("l_orderkey") === col("ok") && col("l_partkey") < col("pb"))
-      .groupBy(col("l_partkey").as("pa"), col("pb"))
-      .agg(count(lit(1)).as("w"))
+    val pairs = coPurchasePairs(t)
     val und = pairs.select(col("pa").as("pk"), col("pb").as("other"), col("w"))
       .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other"), col("w")))
       .repartition(col("pk"))
@@ -5504,13 +5523,8 @@ object TrainingData {
         "(SELECT n FROM tri) AS n_triangles"
     )
   ) { t =>
-    val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val pairs = op
-      .join(b, col("l_orderkey") === col("ok") && col("l_partkey") < col("pb"))
-      .groupBy(col("l_partkey").as("pa"), col("pb"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
+    val pairs = coPurchasePairs(t)
+      .filter(col("w") >= 2)
       .select(col("pa"), col("pb"))
       .transform(graft.plans.Pin.pin)
     val deg = pairs.select(col("pa").as("node"))
@@ -7553,6 +7567,61 @@ object TrainingData {
       lambdaPerRow = 1000L)
   }
 
+  /** Logistic probe (x207) — [[Learn.logisticProbe]]: two Newton/IRLS
+    * steps on (1, token count, 'the' count) with label n_chars ≥ 300 —
+    * the same gate and features as the perceptron (x198) and NB
+    * (x201), so the three classifier families are directly comparable
+    * on one fixture (LearnSpec pins the accuracy ordering). Each step
+    * is ONE map-side-combined aggregate (nine exact-decimal weighted
+    * moments of once-rounded w = p(1−p) and r = y−p) + a constant-size
+    * weighted Cramer solve — the x197 sufficient-statistics shape made
+    * iterative, scan count fixed at iters+2. The oracle replays the
+    * identical [[LogitText]] strings as unrolled CTEs, so β and the
+    * confusion are bit-identical cross-engine. */
+  val x207 = Q(
+    "x207_logistic_probe",
+    Some {
+      def bref(cte: String, c: String) = s"(SELECT $c FROM $cte)"
+      def iter(prev: String, cur: String): String = {
+        val p = LogitText.p(LogitText.t(
+          bref(prev, "b0"), bref(prev, "b1"), bref(prev, "b2")))
+        val aggs = LogitText.aggs
+          .map { case (n, e) => s"$e AS $n" }.mkString(", ")
+        s"m$cur AS (SELECT $aggs FROM (SELECT y, x1, x2, " +
+          s"${LogitText.w6(p)} AS w6, ${LogitText.r6(p)} AS r6 FROM f) q), " +
+          s"b$cur AS (SELECT ${bref(prev, "b0")} + ${LogitText.d0} AS b0, " +
+          s"${bref(prev, "b1")} + ${LogitText.d1} AS b1, " +
+          s"${bref(prev, "b2")} + ${LogitText.d2} AS b2 " +
+          s"FROM (SELECT *, ${LogitText.det} AS det FROM m$cur) q)"
+      }
+      val tFin = LogitText.t(
+        bref("bi2", "b0"), bref("bi2", "b1"), bref("bi2", "b2"))
+      s"WITH raw AS (SELECT $duckTokCount AS r1, $duckTheCount AS r2, " +
+        "CASE WHEN n_chars >= 300 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y " +
+        "FROM documents), " +
+        "ctr AS (SELECT SUM(r1) // COUNT(*) AS c1, SUM(r2) // COUNT(*) AS c2 FROM raw), " +
+        "f AS (SELECT y, r1 - (SELECT c1 FROM ctr) AS x1, " +
+        "r2 - (SELECT c2 FROM ctr) AS x2 FROM raw), " +
+        "bi0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1, " +
+        "CAST(0.0 AS DOUBLE) AS b2), " +
+        s"${iter("bi0", "i1")}, ${iter("bi1", "i2")} " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        s"${bref("bi2", "b0")} AS beta0, ${bref("bi2", "b1")} AS beta1, " +
+        s"${bref("bi2", "b2")} AS beta2, " +
+        s"CAST(SUM(CASE WHEN (CASE WHEN $tFin >= 0 THEN 1 ELSE 0 END) = y " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+        s"CAST(SUM(CASE WHEN (CASE WHEN $tFin >= 0 THEN 1 ELSE 0 END) = y " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy " +
+        "FROM f"
+    }
+  ) { t =>
+    Learn.logisticProbe(t.documents,
+      label = when(col("n_chars") >= 300, 1L).otherwise(0L),
+      x1 = expr("length(text) - length(replace(text, ' ', '')) + 1"),
+      x2 = expr(sparkWordCount("the")),
+      iters = 2)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -7569,6 +7638,6 @@ object TrainingData {
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
     x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201, x202, x203,
-    x204, x205, x206
+    x204, x205, x206, x207
   )
 }

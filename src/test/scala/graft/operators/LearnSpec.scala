@@ -221,4 +221,36 @@ class LearnSpec extends AnyFunSuite {
     assert(probe(docs) === probe(docs.repartition(13, col("source"))))
     assert(gate(docs) === gate(docs.repartition(13, col("source"))))
   }
+
+  test("x207 logistic: beats majority, within the classifier family's band, partitioning-invariant") {
+    val label01 = when(col("n_chars") >= 300, 1L).otherwise(0L)
+    def logit(df: org.apache.spark.sql.DataFrame) =
+      Learn.logisticProbe(df, label01, expr(tokExpr), expr(theExpr), iters = 2)
+    val row = logit(docs).head()
+    val n = row.getAs[Long]("n_docs")
+    val acc = row.getAs[Double]("accuracy")
+    val majority = {
+      val pos = docs.filter(col("n_chars") >= 300).count()
+      math.max(pos, n - pos).toDouble / n
+    }
+    assert(acc > majority + 0.05,
+      s"logistic accuracy $acc must clearly beat the majority rate $majority")
+
+    // family comparison on the SHARED fixture/gate: two Newton steps
+    // should land in the same band as the 3-epoch perceptron (both
+    // discriminative linear models on identical features) — within
+    // 3 points, and both at/above the NB generative baseline's level
+    val perc = Learn.perceptronGate(docs,
+      when(col("n_chars") >= 300, 1L).otherwise(-1L),
+      expr(tokExpr), expr(theExpr), 3).head().getAs[Double]("accuracy")
+    assert(math.abs(acc - perc) < 0.03,
+      s"logistic $acc vs perceptron $perc: same features, same gate — " +
+        "a gap past 3 points means one trainer is broken")
+
+    // exact-decimal moments + shared solve text ⇒ bit-identical betas
+    // under any partitioning
+    val a = logit(docs).collect().toSeq
+    val b = logit(docs.repartition(13, col("source"))).collect().toSeq
+    assert(a === b, "logistic probe must be partitioning-invariant")
+  }
 }

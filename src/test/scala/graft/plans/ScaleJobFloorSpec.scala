@@ -27,7 +27,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * plan change moves a count DOWN, update the pin and the BASELINE.md
   * footnote together; UP is the regression this spec exists to catch.
   */
-class ScaleJobFloorSpec extends AnyFunSuite {
+class ScaleJobFloorSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -39,6 +40,23 @@ class ScaleJobFloorSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** The registry frames ([[graft.operators.Registries]]) are memoized
+    * per session, and under sbt's shared-JVM test run another suite may
+    * have built them FIRST under a different profile (measured: after
+    * GoldJobFloorSpec leaves its AQE-off bench profile, DeterminismSpec
+    * builds the sf0.01 co-purchase registry under it, and x165's
+    * downstream AQE plan over that differently-laid-out pinned frame
+    * materializes 35 stage jobs instead of 15). The floors pin the
+    * DRIVER's condition — registries built in Bench's own cluster
+    * profile — so this suite drops any cross-suite entries and lets its
+    * own warm runs rebuild them under the profile above. Also resets
+    * the two conf knobs in case an earlier suite's profile leaked. */
+  override def beforeAll(): Unit = {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    graft.operators.Registries.clear()
+  }
 
   private val sf = "/root/testdata/sf0.01"
 
@@ -73,11 +91,20 @@ class ScaleJobFloorSpec extends AnyFunSuite {
   // (a lost broadcast) multiplies across the 3 iterations and lands
   // well past +1.
   private val floors = Map(
-    "x152_copurchase_pagerank" -> 25,
-    "x157_weighted_pagerank" -> 23,
-    "x156_label_propagation" -> 21,
+    // graph family re-measured in round 17 after the co-purchase edge
+    // registry landed (pairs built once per session — the counted run
+    // serves from the pin, so the pair-build jobs moved out of every
+    // per-query count): isolated-session readings 22/20/18 (+1
+    // shared-session headroom, the x152 rule below). x136/x165 added
+    // per the round-16 verdict (item 3) — same regression class (lost
+    // edge pre-partition / lost pin multiplies across iterations).
+    "x152_copurchase_pagerank" -> 23,
+    "x157_weighted_pagerank" -> 21,
+    "x156_label_propagation" -> 19,
+    "x136_copurchase_degree" -> 6,
+    "x165_triangle_count" -> 16,
     "x182_release_pipeline_v2" -> 22,
-    "x104_cluster_cohesion" -> 15,
+    "x104_cluster_cohesion" -> 10,
     // the NB trainers measure 31/35 in both isolated and same-suite
     // sessions; +1 headroom for the x152-style shared-session AQE
     // stage-boundary shift. The count is pin-heavy by design (nc, cnt,
