@@ -365,14 +365,14 @@ object BenchLab {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
         .sortBy(_._1)
       val batches = docs.grouped(math.max(docs.length / nBatches, 1)).toSeq
-      def run(compactEvery: Int): (Double, Double, Int) = {
+      def run(compactEvery: Int, compactMaxParts: Int = 0): (Double, Double, Int) = {
         val root = java.nio.file.Files.createTempDirectory("lab-compact").toString
         val (reg, stats, ckpt) = (s"$root/registry", s"$root/stats", s"$root/ckpt")
         Seq.empty[(Long, Long)].toDF("h", "k").write.parquet(s"$reg/batch_id=-1")
         val src = MemoryStream[(Long, String, String)]
         val q = graft.streaming.SegmentDedupStream.startSegmentDedup(
           src.toDF().toDF("doc_id", "source", "text"), reg, stats, ckpt,
-          compactEvery = compactEvery)
+          compactEvery = compactEvery, compactMaxParts = compactMaxParts)
         val t0 = System.nanoTime()
         var lastQuarter = 0.0
         try {
@@ -392,6 +392,11 @@ object BenchLab {
       val (tOn, qOn, pOn) = run(cadence)
       println(f"[lab] compact off: total=$tOff%.1f last-quarter=$qOff%.1f partitions=$pOff")
       println(f"[lab] compact every $cadence: total=$tOn%.1f last-quarter=$qOn%.1f partitions=$pOn")
+      // LAB_TIER=<maxParts>: third arm — the geometric size-tiered fold
+      sys.env.get("LAB_TIER").map(_.toInt).filter(_ > 0).foreach { mp =>
+        val (tT, qT, pT) = run(0, mp)
+        println(f"[lab] compact tiered maxParts=$mp: total=$tT%.1f last-quarter=$qT%.1f partitions=$pT")
+      }
       spark.stop(); return
     }
 

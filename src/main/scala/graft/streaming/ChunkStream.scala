@@ -68,12 +68,14 @@ object ChunkStream {
       idCol: String,
       textCol: String,
       chunkWords: Int = 16,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      compactMaxParts: Int = 0): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         RegistryCompaction.maybeCompact(spark, chunksPath, batchId, compactEvery)
+        RegistryCompaction.maybeCompactTiered(spark, chunksPath, batchId, compactMaxParts)
         val standing = spark.read.parquet(chunksPath)
           .filter(col("batch_id") =!= batchId) // replay: ignore own prior attempt
           .select(col("h"))

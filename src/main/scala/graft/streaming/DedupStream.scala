@@ -50,12 +50,14 @@ object DedupStream {
       textCol: String,
       threshold: Double,
       admitUnique: Boolean = true,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      compactMaxParts: Int = 0): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         RegistryCompaction.maybeCompact(spark, corpusPath, batchId, compactEvery)
+        RegistryCompaction.maybeCompactTiered(spark, corpusPath, batchId, compactMaxParts)
         val corpus = spark.read.parquet(corpusPath)
           .filter(col("batch_id") =!= batchId) // replay: ignore own prior attempt
           .select(col(idCol), col(textCol))

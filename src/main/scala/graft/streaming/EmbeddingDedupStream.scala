@@ -55,7 +55,8 @@ object EmbeddingDedupStream {
       pairsPath: String,
       checkpoint: String,
       threshold: Double,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      compactMaxParts: Int = 0): StreamingQuery = {
     val centRows: Array[Row] = centroids
       .select(col("cent_id").cast("long"), col("ce"), col("cn").cast("double"))
       .collect()
@@ -66,6 +67,9 @@ object EmbeddingDedupStream {
         graft.functions.VectorExpressions.ensureRegistered(spark)
         RegistryCompaction.maybeCompact(spark, registryPath, batchId,
           compactEvery,
+          Some("vec_id BIGINT, cell BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, batch_id BIGINT"))
+        RegistryCompaction.maybeCompactTiered(spark, registryPath, batchId,
+          compactMaxParts,
           Some("vec_id BIGINT, cell BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, batch_id BIGINT"))
         val cents = spark.createDataFrame(
           spark.sparkContext.parallelize(centRows.toSeq, 1), centroidSchema)

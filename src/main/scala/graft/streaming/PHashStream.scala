@@ -73,7 +73,8 @@ object PHashStream {
       pairsPath: String,
       checkpoint: String,
       maxHamming: Int = 7,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      compactMaxParts: Int = 0): StreamingQuery = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8-band blocking guarantees recall only for maxHamming in [0,7], got $maxHamming")
     newMedia.writeStream
@@ -93,6 +94,8 @@ object PHashStream {
 
         RegistryCompaction.maybeCompact(spark, registryPath, batchId,
           compactEvery, Some("doc_id BIGINT, phash BIGINT, batch_id BIGINT"))
+        RegistryCompaction.maybeCompactTiered(spark, registryPath, batchId,
+          compactMaxParts, Some("doc_id BIGINT, phash BIGINT, batch_id BIGINT"))
 
         val standing = spark.read
           .schema("doc_id BIGINT, phash BIGINT, batch_id BIGINT")

@@ -60,6 +60,90 @@ object RegistryCompaction {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compact(spark, registryPath, batchId, schema)
 
+  /** Size-tiered fold — the geometric form the sf1 measurement forces
+    * (BENCH_NOTES_r17 / SCALE.md "compaction at sf1"): the flat
+    * [[compact]] rewrites the ENTIRE standing registry every
+    * `compactEvery` batches, so its total rewrite work over N batches
+    * is O(N²/cadence) in registry size — measured profitable at sf0.1
+    * (−34 %, small registry, many dirs) but break-even-to-worse at sf1
+    * where the fold's rewrite dominates the small-files saving it buys.
+    * The tiered rule is the LSM/Lucene answer: trigger only when MORE
+    * than `maxParts` standing partitions exist, and fold ONLY the
+    * smallest-by-bytes ⌈half⌉ of them, leaving large folded runs in
+    * place. Runs then grow geometrically, each row is rewritten
+    * O(log N) times over the stream's life, and the directory count
+    * stays ≤ maxParts + 1 — constant per-batch listing cost at ANY
+    * registry size. Consumers are unaffected: the layout is still
+    * `batch_id=<id>` dirs (folds land at unique negative ids), rows
+    * still form a SET, and membership/MIN-per-key reads are invariant
+    * to which dir holds a row (TieredCompactionSpec pins twin-run
+    * equality, the bound, and the crash windows).
+    *
+    * Crash protocol (same tmp-dir discipline as [[compact]], extended
+    * with a fold-set manifest because a subset fold must remember
+    * WHICH dirs it subsumed):
+    *
+    *   1. write `distinct(fold set rows)` to `_compact_tmp` (Spark's
+    *      `_SUCCESS` lands with the files), then write the manifest
+    *      `_folded` listing the subsumed partition names — the
+    *      manifest, not `_SUCCESS`, is the completion marker;
+    *   2. delete exactly the manifest's partitions;
+    *   3. rename tmp → `batch_id=-(batchId+2)`.
+    *
+    * Replay windows: target dir already exists → this batch's fold
+    * finished, no-op. Tmp without manifest → the fold never completed
+    * and nothing was deleted — drop tmp, refold from the live listing.
+    * Tmp with manifest → finish steps 2–3 verbatim (recomputing after
+    * a partial delete would lose subsumed rows). */
+  def maybeCompactTiered(
+      spark: SparkSession,
+      registryPath: String,
+      batchId: Long,
+      maxParts: Int,
+      schema: Option[String] = None): Unit = {
+    if (maxParts <= 0) return
+    val root = new Path(registryPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val target = new Path(root, s"batch_id=${-(batchId + 2)}")
+    if (fs.exists(target)) return // replay of a finished fold
+    val tmp = new Path(root, "_compact_tmp")
+    val manifest = new Path(tmp, "_folded")
+    def standing() = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch_id=") &&
+        p.getName != s"batch_id=$batchId")
+
+    val foldNames: Seq[String] =
+      if (fs.exists(manifest)) {
+        // complete fold from a crashed attempt: finish delete + rename
+        val in = fs.open(manifest)
+        val text = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+        text.split("\n").toSeq.filter(_.nonEmpty)
+      } else {
+        if (fs.exists(tmp)) fs.delete(tmp, true) // incomplete: refold
+        val parts = standing()
+        if (parts.length <= maxParts) return
+        val bySize = parts
+          .map(p => p -> fs.getContentSummary(p).getLength)
+          .sortBy { case (p, len) => (len, p.getName) }
+        val names = bySize.take((parts.length + 1) / 2).map(_._1.getName)
+        val ids = names.map(_.stripPrefix("batch_id=").toLong)
+        val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+        reader.parquet(registryPath)
+          .filter(col("batch_id").isin(ids: _*))
+          .drop("batch_id")
+          .distinct()
+          .write.mode("overwrite").parquet(tmp.toString)
+        val out = fs.create(manifest, true)
+        try out.write(names.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        names.toSeq
+      }
+    foldNames.foreach(n => fs.delete(new Path(root, n), true))
+    fs.rename(tmp, target)
+  }
+
   /** Fold every standing partition (everything except `batchId`'s own)
     * into `batch_id=-(batchId+2)`. `schema` (DDL including a
     * `batch_id BIGINT` column) pins the read where the stream itself

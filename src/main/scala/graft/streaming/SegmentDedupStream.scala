@@ -66,13 +66,16 @@ object SegmentDedupStream {
       registryPath: String,
       statsPath: String,
       checkpoint: String,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      compactMaxParts: Int = 0): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         RegistryCompaction.maybeCompact(spark, registryPath, batchId,
           compactEvery, Some("h BIGINT, k BIGINT, batch_id BIGINT"))
+        RegistryCompaction.maybeCompactTiered(spark, registryPath, batchId,
+          compactMaxParts, Some("h BIGINT, k BIGINT, batch_id BIGINT"))
         val standingMin = spark.read
           .schema("h BIGINT, k BIGINT, batch_id BIGINT")
           .parquet(registryPath)

@@ -50,13 +50,16 @@ object SpanDedupStream {
       metricsPath: String,
       checkpoint: String,
       k: Int = 8,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      compactMaxParts: Int = 0): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         RegistryCompaction.maybeCompact(spark, registryPath, batchId,
           compactEvery, Some("h BIGINT, kk BIGINT, batch_id BIGINT"))
+        RegistryCompaction.maybeCompactTiered(spark, registryPath, batchId,
+          compactMaxParts, Some("h BIGINT, kk BIGINT, batch_id BIGINT"))
         val standingMin = spark.read
           .schema("h BIGINT, kk BIGINT, batch_id BIGINT")
           .parquet(registryPath)
