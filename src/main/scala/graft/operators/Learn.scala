@@ -402,6 +402,92 @@ object Learn {
         (col("n_correct").cast("double") / col("n_docs")).as("accuracy"))
   }
 
+  /** ONE-SCAN logistic probe — [[logisticProbe]]'s scale path: because
+    * the loss depends on the data only through the multiset of
+    * (label, x1, x2) rows, and the features are small-domain integers,
+    * the corpus collapses to a FEATURE HISTOGRAM (y, r1, r2, c) in one
+    * map-side-combined pass; every IRLS iteration (and the final
+    * confusion) then runs over the histogram's cells weighted by c —
+    * at 100 TB the training cost is ONE corpus scan, and adding Newton
+    * iterations is free (cells ≤ the product of the feature domains,
+    * a broadcast-sized frame). The histogram is also the MERGEABLE
+    * artifact ([[graft.streaming.LogitStream]]): histograms of a union
+    * are cell-wise count sums, so a streamed refit is bit-identical to
+    * the batch fit by construction.
+    *
+    * Same portable-text discipline as [[logisticProbe]]
+    * ([[LogitText]]): per-cell w/r are rounded once onto the 1e-6
+    * integer grid right after the exp, and the nine weighted moments
+    * are exact DECIMAL(38,0) sums of int64 cell terms × counts
+    * (|term| ≤ 0.25e6·max|x|² and c ≤ corpus rows — both fit 19
+    * digits), divided by 1e6 once at the double cast. β may differ
+    * from [[logisticProbe]]'s by final-ulp rounding-path differences
+    * (one vs two double roundings per moment) — LearnSpec pins the
+    * agreement; the registered query (x208) carries its own oracle.
+    *
+    * Caller contract: features must be small-domain integers (counts,
+    * band ids); bucketize anything continuous first, or the histogram
+    * is corpus-sized and the collapse buys nothing. */
+  def logisticProbeHist(
+      df: DataFrame, label: Column, x1: Column, x2: Column,
+      iters: Int = 2): DataFrame =
+    logisticFitFromHist(
+      df.select(label.cast("long").as("y"),
+          x1.cast("long").as("r1"), x2.cast("long").as("r2"))
+        .groupBy(col("y"), col("r1"), col("r2"))
+        .agg(count(lit(1)).as("c")),
+      iters)
+
+  /** IRLS fit from a (y, r1, r2, c) feature histogram — shared by the
+    * batch path ([[logisticProbeHist]]) and the streaming refit
+    * ([[graft.streaming.LogitStream]], merged per-batch partials).
+    * Centering means derive from the histogram
+    * (Σc·r ÷ Σc — exact int64, non-negative-feature contract as
+    * [[perceptronGate]]); the histogram is pinned HERE so both paths
+    * iterate over one materialized cell frame. */
+  def logisticFitFromHist(hist0: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val hist = hist0.transform(graft.plans.Pin.pin)
+    val ctr = hist.agg(
+      expr("sum(c * r1) div sum(c)").as("__c1"),
+      expr("sum(c * r2) div sum(c)").as("__c2"))
+    val f = hist.crossJoin(broadcast(ctr))
+      .select(col("y"),
+        (col("r1") - col("__c1")).as("x1"),
+        (col("r2") - col("__c2")).as("x2"),
+        col("c"))
+    val zero = f.sparkSession.range(1).selectExpr(
+      "CAST(0.0 AS DOUBLE) AS b0", "CAST(0.0 AS DOUBLE) AS b1",
+      "CAST(0.0 AS DOUBLE) AS b2")
+    val beta = (1 to iters).foldLeft(zero) { (prev, _) =>
+      val p = LogitText.p(LogitText.t("b0", "b1", "b2"))
+      val moments = f.crossJoin(broadcast(prev))
+        .selectExpr(
+          "y", "x1", "x2", "c",
+          s"${LogitText.w6i(p)} AS w6i", s"${LogitText.r6i(p)} AS r6i")
+        .agg(expr(LogitText.aggsW.head._2).as(LogitText.aggsW.head._1),
+          LogitText.aggsW.tail.map { case (n, e) => expr(e).as(n) }: _*)
+      prev.crossJoin(broadcast(moments))
+        .selectExpr(s"${LogitText.det} AS det", "*")
+        .selectExpr(
+          s"b0 + ${LogitText.d0} AS b0",
+          s"b1 + ${LogitText.d1} AS b1",
+          s"b2 + ${LogitText.d2} AS b2")
+    }
+    val t = LogitText.t("b0", "b1", "b2")
+    f.crossJoin(broadcast(beta))
+      .groupBy(col("b0"), col("b1"), col("b2"))
+      .agg(
+        sum(col("c")).cast("long").as("n_docs"),
+        sum(expr(s"CASE WHEN (CASE WHEN $t >= 0 THEN 1 ELSE 0 END) = y " +
+          "THEN c ELSE 0 END")).cast("long").as("n_correct"))
+      .select(
+        col("n_docs"),
+        col("b0").as("beta0"), col("b1").as("beta1"), col("b2").as("beta2"),
+        col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs")).as("accuracy"))
+  }
+
   /** Bernoulli naive Bayes gate — the GENERATIVE trainer completing the
     * family (x197 closed-form, x198 discriminative-iterative): train on
     * the even-`idCol` half (per-class word-presence counts, add-1
@@ -633,6 +719,32 @@ private[operators] object LogitText {
       "sr" -> "CAST(SUM(r6) AS DOUBLE)",
       "sr1" -> s"CAST(SUM(r6*${xd("x1")}) AS DOUBLE)",
       "sr2" -> s"CAST(SUM(r6*${xd("x2")}) AS DOUBLE)")
+  }
+  /** integer-grid twins of [[w6]]/[[r6]] for the HISTOGRAM form: the
+    * same 1e-6 grid as micro-units in int64, so weighted moments can
+    * run as exact DECIMAL(38,0) sums of (int64 cell term) × (count) */
+  def w6i(p: String): String =
+    s"CAST(round(($p)*(1.0-($p)) * 1000000.0) AS BIGINT)"
+  def r6i(p: String): String =
+    s"CAST(round((CAST(y AS DOUBLE) - ($p)) * 1000000.0) AS BIGINT)"
+  /** the nine weighted moments over histogram cells: per-cell int64
+    * term (micro-units × integer features; |term| ≤ 0.25e6·max|x|² —
+    * 19 digits) × DECIMAL(19,0) count, summed exactly, one /1e6 at the
+    * double cast. DECIMAL(19,0)×DECIMAL(19,0) is 38-wide in BOTH
+    * engines (Spark caps p1+p2+1=39 at 38; DuckDB uses w1+w2=38). */
+  val aggsW: Seq[(String, String)] = {
+    def m(term: String) =
+      s"CAST(SUM(CAST($term AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE) / 1000000.0"
+    Seq(
+      "sw" -> m("w6i"),
+      "sw1" -> m("w6i*x1"),
+      "sw2" -> m("w6i*x2"),
+      "sw11" -> m("w6i*x1*x1"),
+      "sw12" -> m("w6i*x1*x2"),
+      "sw22" -> m("w6i*x2*x2"),
+      "sr" -> m("r6i"),
+      "sr1" -> m("r6i*x1"),
+      "sr2" -> m("r6i*x2"))
   }
   val det: String =
     "sw*(sw11*sw22 - sw12*sw12) - sw1*(sw1*sw22 - sw12*sw2) + sw2*(sw1*sw12 - sw11*sw2)"

@@ -7622,6 +7622,67 @@ object TrainingData {
       iters = 2)
   }
 
+  /** One-scan logistic probe (x208) — [[Learn.logisticProbeHist]]:
+    * x207's IRLS restated over the FEATURE HISTOGRAM. The loss depends
+    * on the corpus only through the (label, x1, x2) multiset, and both
+    * features are small-domain integer counts, so one
+    * map-side-combined groupBy collapses the corpus to ≤ |x1 domain| ×
+    * |x2 domain| × 2 cells — after which every Newton iteration (and
+    * the confusion) is arithmetic over a broadcast-sized frame. THIS is
+    * the 100 TB registered form: training cost = one corpus scan,
+    * iterations free; x207 keeps the row-form contract the oracle
+    * family started from. Weighted moments are exact DECIMAL(38,0)
+    * sums of int64 micro-unit terms × cell counts ([[LogitText]]
+    * aggsW — identical text both engines), so the fit carries a full
+    * hash oracle. The histogram is also the mergeable partial behind
+    * [[graft.streaming.LogitStream]]'s streamed refit. */
+  val x208 = Q(
+    "x208_logistic_probe_hist",
+    Some {
+      def bref(cte: String, c: String) = s"(SELECT $c FROM $cte)"
+      def iter(prev: String, cur: String): String = {
+        val p = LogitText.p(LogitText.t(
+          bref(prev, "b0"), bref(prev, "b1"), bref(prev, "b2")))
+        val aggs = LogitText.aggsW
+          .map { case (n, e) => s"$e AS $n" }.mkString(", ")
+        s"m$cur AS (SELECT $aggs FROM (SELECT y, x1, x2, c, " +
+          s"${LogitText.w6i(p)} AS w6i, ${LogitText.r6i(p)} AS r6i FROM f) q), " +
+          s"b$cur AS (SELECT ${bref(prev, "b0")} + ${LogitText.d0} AS b0, " +
+          s"${bref(prev, "b1")} + ${LogitText.d1} AS b1, " +
+          s"${bref(prev, "b2")} + ${LogitText.d2} AS b2 " +
+          s"FROM (SELECT *, ${LogitText.det} AS det FROM m$cur) q)"
+      }
+      val tFin = LogitText.t(
+        bref("bi2", "b0"), bref("bi2", "b1"), bref("bi2", "b2"))
+      s"WITH raw AS (SELECT $duckTokCount AS r1, $duckTheCount AS r2, " +
+        "CASE WHEN n_chars >= 300 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y " +
+        "FROM documents), " +
+        "hist AS (SELECT y, r1, r2, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM raw GROUP BY y, r1, r2), " +
+        "ctr AS (SELECT SUM(c * r1) // SUM(c) AS c1, " +
+        "SUM(c * r2) // SUM(c) AS c2 FROM hist), " +
+        "f AS (SELECT y, r1 - (SELECT c1 FROM ctr) AS x1, " +
+        "r2 - (SELECT c2 FROM ctr) AS x2, c FROM hist), " +
+        "bi0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1, " +
+        "CAST(0.0 AS DOUBLE) AS b2), " +
+        s"${iter("bi0", "i1")}, ${iter("bi1", "i2")} " +
+        "SELECT CAST(SUM(c) AS BIGINT) AS n_docs, " +
+        s"${bref("bi2", "b0")} AS beta0, ${bref("bi2", "b1")} AS beta1, " +
+        s"${bref("bi2", "b2")} AS beta2, " +
+        s"CAST(SUM(CASE WHEN (CASE WHEN $tFin >= 0 THEN 1 ELSE 0 END) = y " +
+        "THEN c ELSE 0 END) AS BIGINT) AS n_correct, " +
+        s"CAST(SUM(CASE WHEN (CASE WHEN $tFin >= 0 THEN 1 ELSE 0 END) = y " +
+        "THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS accuracy " +
+        "FROM f"
+    }
+  ) { t =>
+    Learn.logisticProbeHist(t.documents,
+      label = when(col("n_chars") >= 300, 1L).otherwise(0L),
+      x1 = expr("length(text) - length(replace(text, ' ', '')) + 1"),
+      x2 = expr(sparkWordCount("the")),
+      iters = 2)
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -7638,6 +7699,6 @@ object TrainingData {
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
     x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201, x202, x203,
-    x204, x205, x206, x207
+    x204, x205, x206, x207, x208
   )
 }
