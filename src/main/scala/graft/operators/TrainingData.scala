@@ -4085,6 +4085,56 @@ object TrainingData {
         .agg(count(lit(1)).as("w"))
     }
 
+  /** Support-≥2 co-purchase pairs — the min-support edge cut x156/x165
+    * share (co-purchased in ≥ 2 distinct orders), registered as its own
+    * pinned projection of [[coPurchasePairs]] so the filter runs once
+    * per session, not once per query invocation. Tiny at any SF
+    * relative to the raw pairs (sf0.1: 1.196M → 3.6k). */
+  private[operators] def coPurchasePairsMin2(t: Tables): org.apache.spark.sql.DataFrame =
+    Registries.frame(t.spark, t.dir, "copurchase_pairs_min2") {
+      coPurchasePairs(t).filter(col("w") >= 2).select(col("pa"), col("pb"))
+    }
+
+  /** x152's SERVING layout of the edge registry: the symmetric
+    * expansion (pk, other), PRE-PARTITIONED on the iteration join key
+    * `other` — built once per session so every PageRank invocation's
+    * three contribution joins reuse one standing distribution (the
+    * pre-partition-then-pin discipline measured in round 9; now the
+    * partitioned frame itself is session-lifetime, so steady-state
+    * serving pays only the iterations). */
+  private[operators] def coPurchaseUndByOther(t: Tables): org.apache.spark.sql.DataFrame =
+    Registries.frame(t.spark, t.dir, "copurchase_und_by_other") {
+      val pairs = coPurchasePairs(t).select(col("pa"), col("pb"))
+      pairs.select(col("pa").as("pk"), col("pb").as("other"))
+        .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other")))
+        .repartition(col("other"))
+    }
+
+  /** x157's serving layout: the WEIGHTED symmetric expansion
+    * (pk, other, w) pre-partitioned on `pk` (weighted PageRank joins
+    * rank and out-weight on the SOURCE key). Same once-per-session
+    * discipline as [[coPurchaseUndByOther]]. */
+  private[operators] def coPurchaseUndWByPk(t: Tables): org.apache.spark.sql.DataFrame =
+    Registries.frame(t.spark, t.dir, "copurchase_und_w_by_pk") {
+      val pairs = coPurchasePairs(t)
+      pairs.select(col("pa").as("pk"), col("pb").as("other"), col("w"))
+        .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other"), col("w")))
+        .repartition(col("pk"))
+    }
+
+  /** The customer↔part BIPARTITE edge registry (x162's HITS graph):
+    * one orders⋈lineitem join, DISTINCT-combined, built once per
+    * session. Distinct frame, so the half-step SUMs read the same rows
+    * the per-query build produced. */
+  private[operators] def coPurchaseBipartite(t: Tables): org.apache.spark.sql.DataFrame =
+    Registries.frame(t.spark, t.dir, "copurchase_bipartite_cp") {
+      t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+    }
+
   /** The near-dup PAIR REGISTRY — `Dedup.ngramJaccardPairs` at the
     * library-wide threshold 0.5, built once per (session, SF dir) and
     * shared by every consumer of the near-duplicate edge list
@@ -4902,11 +4952,7 @@ object TrainingData {
     }
   ) { t =>
     val S = 1000000000000L
-    val pairs = coPurchasePairs(t).select(col("pa"), col("pb"))
-    val und = pairs.select(col("pa").as("pk"), col("pb").as("other"))
-      .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other")))
-      .repartition(col("other"))
-      .transform(graft.plans.Pin.pin)
+    val und = coPurchaseUndByOther(t)
     val deg = und.groupBy(col("pk")).agg(count(lit(1)).as("degree"))
       .transform(graft.plans.Pin.pin)
     val parts = t.part.select(col("p_partkey").as("pk"))
@@ -5088,9 +5134,7 @@ object TrainingData {
         "FROM l3 GROUP BY lbl"
     }
   ) { t =>
-    val pairs = coPurchasePairs(t)
-      .filter(col("w") >= 2)
-      .select(col("pa"), col("pb"))
+    val pairs = coPurchasePairsMin2(t)
     val und = pairs.select(col("pa").as("pk"), col("pb").as("other"))
       .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other")))
       .repartition(col("other"))
@@ -5154,11 +5198,7 @@ object TrainingData {
     }
   ) { t =>
     val S = 1000000000000L
-    val pairs = coPurchasePairs(t)
-    val und = pairs.select(col("pa").as("pk"), col("pb").as("other"), col("w"))
-      .unionAll(pairs.select(col("pb").as("pk"), col("pa").as("other"), col("w")))
-      .repartition(col("pk"))
-      .transform(graft.plans.Pin.pin)
+    val und = coPurchaseUndWByPk(t)
     val wd = und.groupBy(col("pk")).agg(sum(col("w")).as("wsum"))
       .transform(graft.plans.Pin.pin)
     val parts = t.part.select(col("p_partkey").as("pk"))
@@ -5378,20 +5418,14 @@ object TrainingData {
         .select(col(key),
           expr(s"$v div greatest(CAST(1 AS BIGINT), __mx div ${S}L)").as(v))
     }
-    // checkpointed in the DISTINCT's own output partitioning — both
-    // measured alternatives lost at sf1: repartition(p) before the
-    // checkpoint (reusable by two of the three downstream keys) 24 s →
-    // 32 s, and dual p- and c-partitioned checkpoints 24 s → 38 s; on
-    // this bipartite frame the extra 6M-row materialization exchange
-    // costs more than the per-half-step exchanges it removes (unlike
-    // x152/x157, whose single join key makes the pre-partition free to
-    // reuse every round)
-    val ed = t.orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-      .transform(graft.plans.Pin.pin)
+    // registry keeps the DISTINCT's own output partitioning — both
+    // measured pre-partition alternatives lost at sf1 (r16 numbers:
+    // repartition(p) before the pin 24 s → 32 s, dual p- and
+    // c-partitioned pins 24 s → 38 s; on this bipartite frame the
+    // extra 6M-row materialization exchange costs more than the
+    // per-half-step exchanges it removes, unlike x152/x157 whose
+    // single join key makes the pre-partition free to reuse)
+    val ed = coPurchaseBipartite(t)
     val a1 = nrm(ed.groupBy(col("p")).agg((count(lit(1)) * S).as("a")), "p", "a")
     val h1 = nrm(ed.join(a1, "p").groupBy(col("c")).agg(sum(col("a")).as("h")),
       "c", "h")
@@ -5523,10 +5557,7 @@ object TrainingData {
         "(SELECT n FROM tri) AS n_triangles"
     )
   ) { t =>
-    val pairs = coPurchasePairs(t)
-      .filter(col("w") >= 2)
-      .select(col("pa"), col("pb"))
-      .transform(graft.plans.Pin.pin)
+    val pairs = coPurchasePairsMin2(t)
     val deg = pairs.select(col("pa").as("node"))
       .unionAll(pairs.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
