@@ -1310,7 +1310,11 @@ object TrainingData {
         "FROM keyed) t"
     }
   ) { t =>
-    Dedup.leakageSafeSplit(t.documents, "doc_id", "text", threshold = 0.5)
+    // the registered pair frame IS the registry entry (threshold 0.5),
+    // so the split serves from the session-lifetime pair build like
+    // the rest of the near-dup family; Dedup.leakageSafeSplit keeps
+    // the self-contained form for external callers
+    Dedup.leakageSafeSplitFromPairs(t.documents, "doc_id", nearDupPairs(t))
   }
 
   /** Chunk-level duplication coverage — the duplicated-substring signal
