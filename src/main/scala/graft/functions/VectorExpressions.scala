@@ -26,6 +26,16 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
 
+  // null elements poison the fold exactly like the HOF twin
+  // (aggregate(zip_with(...)): a null product makes acc + null null) —
+  // the check is emitted only when an element type is actually
+  // nullable, same switch as LongVecSqDist/LongVecDot
+  private def elemNullable: Boolean =
+    VectorExpressions.anyElementNullable(left, right)
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -33,6 +43,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -44,10 +55,14 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (elemNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $acc;

@@ -488,6 +488,71 @@ object Learn {
         (col("n_correct").cast("double") / col("n_docs")).as("accuracy"))
   }
 
+  /** Per-group one-scan logistic probes — [[logisticProbeHist]] with a
+    * grouping key, the per-domain calibration form (one quality gate
+    * per source/language — x199's per-source OLS pattern applied to
+    * the classifier): the histogram gains the key, centering means are
+    * PER GROUP (each domain's own feature distribution), and the IRLS
+    * state becomes a groups-bounded β table that broadcasts into each
+    * iteration's one map-side-combined moment aggregate. Still ONE
+    * corpus scan total; per-iteration work is histogram-cells-sized.
+    *
+    * Degenerate groups (singular weighted normal equations — constant
+    * features or a single cell) keep their previous β instead of going
+    * NaN: the Newton delta is gated on det ≠ 0 ([[LogitText.dSafe]],
+    * same text both engines), so a tiny source yields the zero model
+    * (predict by intercept sign at β=0 → positive class) rather than
+    * poisoning the output row. */
+  def logisticProbeHistBy(
+      df: DataFrame, key: Column, label: Column, x1: Column, x2: Column,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val hist = df
+      .select(key.as("key"), label.cast("long").as("y"),
+        x1.cast("long").as("r1"), x2.cast("long").as("r2"))
+      .groupBy(col("key"), col("y"), col("r1"), col("r2"))
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.plans.Pin.pin)
+    val ctr = hist.groupBy(col("key")).agg(
+      expr("sum(c * r1) div sum(c)").as("__c1"),
+      expr("sum(c * r2) div sum(c)").as("__c2"))
+    val f = hist.join(broadcast(ctr), "key")
+      .select(col("key"), col("y"),
+        (col("r1") - col("__c1")).as("x1"),
+        (col("r2") - col("__c2")).as("x2"),
+        col("c"))
+    val zero = f.select(col("key")).distinct().selectExpr(
+      "key", "CAST(0.0 AS DOUBLE) AS b0", "CAST(0.0 AS DOUBLE) AS b1",
+      "CAST(0.0 AS DOUBLE) AS b2")
+    val betas = (1 to iters).foldLeft(zero) { (prev, _) =>
+      val p = LogitText.p(LogitText.t("b0", "b1", "b2"))
+      val m = f.join(broadcast(prev), "key")
+        .selectExpr("key", "y", "x1", "x2", "c",
+          s"${LogitText.w6i(p)} AS w6i", s"${LogitText.r6i(p)} AS r6i")
+        .groupBy(col("key"))
+        .agg(expr(LogitText.aggsW.head._2).as(LogitText.aggsW.head._1),
+          LogitText.aggsW.tail.map { case (n, e) => expr(e).as(n) }: _*)
+      m.join(prev, "key")
+        .selectExpr(s"${LogitText.det} AS det", "*")
+        .selectExpr("key",
+          s"b0 + ${LogitText.dSafe(LogitText.d0)} AS b0",
+          s"b1 + ${LogitText.dSafe(LogitText.d1)} AS b1",
+          s"b2 + ${LogitText.dSafe(LogitText.d2)} AS b2")
+    }
+    val t = LogitText.t("b0", "b1", "b2")
+    f.join(broadcast(betas), "key")
+      .groupBy(col("key"), col("b0"), col("b1"), col("b2"))
+      .agg(
+        sum(col("c")).cast("long").as("n_docs"),
+        sum(expr(s"CASE WHEN (CASE WHEN $t >= 0 THEN 1 ELSE 0 END) = y " +
+          "THEN c ELSE 0 END")).cast("long").as("n_correct"))
+      .select(
+        col("key"), col("n_docs"),
+        col("b0").as("beta0"), col("b1").as("beta1"), col("b2").as("beta2"),
+        col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs")).as("accuracy"))
+  }
+
   /** Bernoulli naive Bayes gate — the GENERATIVE trainer completing the
     * family (x197 closed-form, x198 discriminative-iterative): train on
     * the even-`idCol` half (per-class word-presence counts, add-1
@@ -746,6 +811,12 @@ private[operators] object LogitText {
       "sr1" -> m("r6i*x1"),
       "sr2" -> m("r6i*x2"))
   }
+  /** det-gated Newton delta for the GROUPED form: a degenerate group
+    * (singular weighted normal equations) keeps its previous β instead
+    * of propagating NaN across engines. CASE chooses, never errors —
+    * double division by zero is Inf/NaN in both engines, and the
+    * unselected branch's value is discarded identically. */
+  def dSafe(d: String): String = s"(CASE WHEN det = 0.0 THEN 0.0 ELSE $d END)"
   val det: String =
     "sw*(sw11*sw22 - sw12*sw12) - sw1*(sw1*sw22 - sw12*sw2) + sw2*(sw1*sw12 - sw11*sw2)"
   val d0: String =

@@ -7718,6 +7718,65 @@ object TrainingData {
       iters = 2)
   }
 
+  /** Per-source grouped logistic probes (x209) —
+    * [[Learn.logisticProbeHistBy]]: one calibrated quality gate per
+    * domain, x199's per-source pattern applied to the classifier. A
+    * global gate hides per-domain slope differences (a threshold tuned
+    * on the pooled corpus systematically over/under-prunes individual
+    * sources — x101/x135's motivation); mixed crawls gate per source.
+    * Same one-scan histogram shape as x208 with the key riding the
+    * cells; the IRLS state is a sources-bounded broadcast β table and
+    * degenerate groups keep β (det-gated delta) instead of going NaN.
+    * The oracle replays the per-group iterations as keyed joins —
+    * every moment exact, full hash gate. */
+  val x209 = Q(
+    "x209_grouped_logistic",
+    Some {
+      def iter(prev: String, cur: String): String = {
+        val p = LogitText.p(LogitText.t("b0", "b1", "b2"))
+        val aggs = LogitText.aggsW
+          .map { case (n, e) => s"$e AS $n" }.mkString(", ")
+        s"m$cur AS (SELECT key, $aggs FROM (SELECT f.key, f.y, f.x1, f.x2, f.c, " +
+          s"${LogitText.w6i(p)} AS w6i, ${LogitText.r6i(p)} AS r6i " +
+          s"FROM f JOIN $prev b USING (key)) q GROUP BY key), " +
+          s"b$cur AS (SELECT m.key, " +
+          s"b.b0 + ${LogitText.dSafe(LogitText.d0)} AS b0, " +
+          s"b.b1 + ${LogitText.dSafe(LogitText.d1)} AS b1, " +
+          s"b.b2 + ${LogitText.dSafe(LogitText.d2)} AS b2 " +
+          s"FROM (SELECT *, ${LogitText.det} AS det FROM m$cur) m " +
+          s"JOIN $prev b USING (key))"
+      }
+      val tFin = LogitText.t("b0", "b1", "b2")
+      s"WITH raw AS (SELECT source AS key, $duckTokCount AS r1, $duckTheCount AS r2, " +
+        "CASE WHEN n_chars >= 300 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y " +
+        "FROM documents), " +
+        "hist AS (SELECT key, y, r1, r2, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM raw GROUP BY key, y, r1, r2), " +
+        "ctr AS (SELECT key, SUM(c * r1) // SUM(c) AS c1, " +
+        "SUM(c * r2) // SUM(c) AS c2 FROM hist GROUP BY key), " +
+        "f AS (SELECT h.key, h.y, h.r1 - ctr.c1 AS x1, h.r2 - ctr.c2 AS x2, h.c " +
+        "FROM hist h JOIN ctr USING (key)), " +
+        "bi0 AS (SELECT DISTINCT key, CAST(0.0 AS DOUBLE) AS b0, " +
+        "CAST(0.0 AS DOUBLE) AS b1, CAST(0.0 AS DOUBLE) AS b2 FROM f), " +
+        s"${iter("bi0", "i1")}, ${iter("bi1", "i2")} " +
+        "SELECT f.key AS source, CAST(SUM(c) AS BIGINT) AS n_docs, " +
+        "b0 AS beta0, b1 AS beta1, b2 AS beta2, " +
+        s"CAST(SUM(CASE WHEN (CASE WHEN $tFin >= 0 THEN 1 ELSE 0 END) = y " +
+        "THEN c ELSE 0 END) AS BIGINT) AS n_correct, " +
+        s"CAST(SUM(CASE WHEN (CASE WHEN $tFin >= 0 THEN 1 ELSE 0 END) = y " +
+        "THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS accuracy " +
+        "FROM f JOIN bi2 b USING (key) GROUP BY f.key, b0, b1, b2"
+    }
+  ) { t =>
+    Learn.logisticProbeHistBy(t.documents,
+      key = col("source"),
+      label = when(col("n_chars") >= 300, 1L).otherwise(0L),
+      x1 = expr("length(text) - length(replace(text, ' ', '')) + 1"),
+      x2 = expr(sparkWordCount("the")),
+      iters = 2)
+      .withColumnRenamed("key", "source")
+  }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -7734,6 +7793,6 @@ object TrainingData {
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
     x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201, x202, x203,
-    x204, x205, x206, x207, x208
+    x204, x205, x206, x207, x208, x209
   )
 }

@@ -156,6 +156,22 @@ class VectorExpressionsSpec extends AnyFunSuite {
       if (!r.isNullAt(2)) assert(r.getLong(2) === r.getLong(3))
     }
     assert(rows.count(_.isNullAt(1)) === 2)
+    // float_vec_dot carries the same null-element law
+    val fdf = spark.sql(
+      "SELECT * FROM VALUES " +
+        "(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), " +
+        "(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) " +
+        "AS t(a, b)")
+    val hofF = "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val frows = fdf.selectExpr(s"$hofF AS hof", "float_vec_dot(a, b) AS nat").collect()
+    frows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    assert(frows.count(_.isNullAt(1)) === 1)
     // interpreted path agrees with codegen
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, LongType}

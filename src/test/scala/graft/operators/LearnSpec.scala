@@ -253,4 +253,42 @@ class LearnSpec extends AnyFunSuite {
     val b = logit(docs.repartition(13, col("source"))).collect().toSeq
     assert(a === b, "logistic probe must be partitioning-invariant")
   }
+
+  test("x209 grouped logistic: one fit per source, each beats its group majority, invariant") {
+    val label01 = when(col("n_chars") >= 300, 1L).otherwise(0L)
+    def fit(df: org.apache.spark.sql.DataFrame) =
+      Learn.logisticProbeHistBy(df, col("source"), label01,
+        expr(tokExpr), expr(theExpr), iters = 2)
+    val rows = fit(docs).collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(rows.length.toLong === nSources, "one fit row per source")
+    // every per-source gate must beat ITS OWN majority rate (weaker
+    // per group than globally — small groups — so require +0.02)
+    val majority = docs
+      .groupBy(col("source"))
+      .agg((greatest(
+        sum(when(col("n_chars") >= 300, 1L).otherwise(0L)),
+        sum(when(col("n_chars") >= 300, 0L).otherwise(1L))).cast("double") /
+        count(lit(1))).as("maj"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (src, acc) = (r.getString(0), r.getAs[Double]("accuracy"))
+      assert(acc > majority(src) + 0.02,
+        s"source $src: accuracy $acc vs majority ${majority(src)}")
+    }
+    // partitioning invariance (exact moments, broadcast beta table)
+    val a = fit(docs).collect().map(_.toString).sorted.toSeq
+    val b = fit(docs.repartition(13, col("doc_id"))).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a === b)
+
+    // degenerate-group guard: a single-doc source must yield a defined
+    // row (det-gated delta keeps beta = 0), never NaN
+    val tiny = docs.limit(1).withColumn("source", lit("__singleton"))
+    val one = fit(docs.unionByName(tiny))
+      .filter(col("key") === "__singleton").head()
+    for (c <- Seq("beta0", "beta1", "beta2"))
+      assert(!one.getAs[Double](c).isNaN, s"$c must not be NaN for a degenerate group")
+    assert(one.getAs[Long]("n_docs") === 1L)
+  }
 }
