@@ -675,6 +675,8 @@ object Dedup {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
         x => x.getField("v")).as("centroid"))
+      // medians of non-null components — re-tag for branch-free dots
+      .withColumn("centroid", expr("known_not_null_elements(centroid)"))
     val scored = df
       .select(col(labelCol).as("label"), col(idCol).as("vid"), col(vecCol).as("e"))
       .join(broadcast(cents), Seq("label"))
@@ -785,6 +787,11 @@ object Dedup {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mv")))),
           x => x.getField("mv").cast("float")).as("ce"))
+        // the struct-field lambda re-widens elements to nullable (agg
+        // outputs are nullable in the schema even though every group
+        // here is non-empty) — re-tag so every centroid dot downstream
+        // stays branch-free (PlanSweepSpec pins this)
+        .withColumn("ce", expr("known_not_null_elements(ce)"))
         .select(col("cell").as("cent_id"), col("ce"),
           sqrt(expr("float_vec_dot(ce, ce)")).as("cn"))
     }
@@ -2100,8 +2107,14 @@ object Dedup {
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignedRaw
+      // double→bigint casts are force-nullable (overflow ⇒ NULL), so
+      // the quantized array reports nullable elements; under the
+      // ⌊v·10⁶⌋ INPUT-MAGNITUDE CONTRACT (PqSubSqDist scaladoc —
+      // unit-ish vectors, |q| ≪ 2⁶³) the cast never nulls — re-tag so
+      // the scoring long_vec_dot stays branch-free
       .withColumn("qv", expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+        "known_not_null_elements(" +
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))"))
       .transform(graft.plans.Pin.pin)
     val a = assigned.select(col("cell"), col(idCol).as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
@@ -2121,6 +2134,9 @@ object Dedup {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("sv")))),
         x => x.getField("sv")).as("cs"))
+      // sums of non-null slots over non-empty groups — re-tag so the
+      // long_vec_dot scoring loop stays branch-free
+      .withColumn("cs", expr("known_not_null_elements(cs)"))
     val scored = assigned
       .join(comps, assigned(idCol) === comps("node"))
       .join(cellSums, "cell")
@@ -2187,7 +2203,11 @@ object Dedup {
       ks: Int = 16, lloydIters: Int = 0): (DataFrame, DataFrame) = {
     graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
     val q = df.select(col(idCol),
-      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+      // re-tag: the double→bigint cast is force-nullable but never
+      // nulls under the ⌊v·10⁶⌋ input-magnitude contract (PqSubSqDist
+      // scaladoc) — keeps every codebook sqdist branch-free
+      expr(s"known_not_null_elements(" +
+          s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))")
         .as("q"))
 
     /** nearest-codebook assignment under exact integer squared distance,
@@ -2235,6 +2255,9 @@ object Dedup {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv")).as(bv))
+        // cv is coalesce(mean, seed) — never null; re-tag so the next
+        // round's assignment sqdists stay branch-free
+        .withColumn(bv, expr(s"known_not_null_elements($bv)"))
     }
 
     var c1 = q.filter(col(idCol) < ks)
@@ -2244,7 +2267,11 @@ object Dedup {
       .select(col(idCol), col("code").as("code1"), col("cv").as("cv1"))
     val resid = q.join(best1, Seq(idCol))
       .select(col(idCol), col("code1"),
-        expr("zip_with(q, cv1, (x, y) -> x - y)").as("res"))
+        // zip_with always reports nullable elements (it null-pads a
+        // shorter side) — q and cv1 are same-dim by construction (one
+        // quantization of one corpus), so re-tag to keep the stage-2
+        // sqdist loops branch-free
+        expr("known_not_null_elements(zip_with(q, cv1, (x, y) -> x - y))").as("res"))
     // stage-2 seeds are the residuals of ids ks..2ks−1 under the FINAL
     // stage-1 book (trained or seed) — residual k-means trains stage 2
     // on the residual distribution the trained stage 1 actually leaves
@@ -2260,7 +2287,8 @@ object Dedup {
         col("b2.d").as("err2"))
     val recon = c1.crossJoin(c2)
       .select(col("c1_id").as("code1"), col("c2_id").as("code2"),
-        expr("zip_with(c1, c2, (x, y) -> x + y)").as("rv"))
+        // same-dim books (one corpus quantization) — see `res` above
+        expr("known_not_null_elements(zip_with(c1, c2, (x, y) -> x + y))").as("rv"))
     (codes, recon)
   }
 
@@ -2296,7 +2324,9 @@ object Dedup {
       topK: Int, excludeSelf: Boolean): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(qraw.sparkSession)
     val queries = qraw.select(col("query_id"),
-      expr("transform(qvec, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+      // re-tag per the ⌊v·10⁶⌋ input-magnitude contract — see rvqIndex
+      expr("known_not_null_elements(" +
+          "transform(qvec, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))")
         .as("qv"))
     val scored = codes.join(broadcast(recon), Seq("code1", "code2"))
       .crossJoin(broadcast(queries))

@@ -57,7 +57,23 @@ final class Tables private (val spark: SparkSession, val dir: String) {
     }
   }
   lazy val documents: DataFrame  = read("documents")
-  lazy val embeddings: DataFrame = read("embeddings")
+  /** `embedding` is re-tagged `array<float>` with
+    * `containsNull = false` at the scan: parquet list elements always
+    * decode as nullable (the writer marks them `optional` regardless
+    * of the data, and an explicit read schema is re-widened by
+    * `asNullable`), which would drag a per-slot isNullAt branch into
+    * every downstream vector kernel (round-17 verdict item 1). The
+    * data contract — the driver generator never writes null elements —
+    * is asserted per-SF by VectorExpressionsSpec's boundary check, so
+    * the [[graft.functions.KnownNotNullElements]] tag declares a fact,
+    * and every frame derived from this column (norms, slices,
+    * quantized transforms) inherits the branch-free schema. */
+  lazy val embeddings: DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    read("embeddings").withColumn(
+      "embedding",
+      org.apache.spark.sql.functions.expr("known_not_null_elements(embedding)"))
+  }
 }
 
 object Tables {

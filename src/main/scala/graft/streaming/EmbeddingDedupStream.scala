@@ -35,9 +35,13 @@ import graft.operators.Dedup
   */
 object EmbeddingDedupStream {
 
+  // containsNull = false: centroids are Dedup.ivfCentroids means —
+  // never null-slotted — and a nullable element type here would drag
+  // the per-slot isNullAt branch back into every rescore dot loop
+  // (anyElementNullable is an EITHER-side switch)
   private val centroidSchema = StructType(Seq(
     StructField("cent_id", LongType),
-    StructField("ce", ArrayType(FloatType)),
+    StructField("ce", ArrayType(FloatType, containsNull = false)),
     StructField("cn", DoubleType)))
 
   /** Start the gate over a streaming frame carrying (vec_id, embedding).
@@ -73,13 +77,23 @@ object EmbeddingDedupStream {
           Some("vec_id BIGINT, cell BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, batch_id BIGINT"))
         val cents = spark.createDataFrame(
           spark.sparkContext.parallelize(centRows.toSeq, 1), centroidSchema)
+        // both sides of every rescore carry the registry's write
+        // contract (the engine never emits null elements), so re-tag
+        // containsNull = false at the two read boundaries — parquet
+        // and foreachBatch DDL schemas always decode elements as
+        // nullable, which would emit the per-slot branch in the dot
+        // loops (round-17 verdict item 1)
         val standing = spark.read
           .schema("vec_id BIGINT, cell BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, batch_id BIGINT")
           .parquet(registryPath)
           .filter(col("batch_id") =!= batchId)
-          .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+          .select(col("vec_id"), col("cell"),
+            expr("known_not_null_elements(embedding)").as("embedding"), col("nrm"))
         val assigned = Dedup.assignToCells(
-            Dedup.withNorm(batch.toDF(), "vec_id", "embedding"), cents, "vec_id")
+            Dedup.withNorm(
+              batch.toDF().withColumn(
+                "embedding", expr("known_not_null_elements(embedding)")),
+              "vec_id", "embedding"), cents, "vec_id")
           .withColumn("cell", col("cell").cast("long"))
           .transform(graft.plans.Pin.pin)
 

@@ -185,4 +185,69 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(LongVecSqDist(clean, clean).eval(null) === 0L)
     assert(LongVecDot(clean, clean).eval(null) === (16L + 25L + 36L))
   }
+
+  test("emitted-code shape both ways: nullable elements branch, tagged elements don't") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    // top-level nullable = false so the only possible isNullAt in the
+    // generated text is the PER-SLOT element branch under test
+    val fRef = BoundReference(0, ArrayType(FloatType, containsNull = true), nullable = false)
+    val lRef = BoundReference(1, ArrayType(LongType, containsNull = true), nullable = false)
+    def gen(e: Expression): String = e.genCode(new CodegenContext).code.toString
+    // nullable elements ⇒ the poisoning branch IS emitted
+    assert(gen(FloatVecDot(fRef, fRef)).contains("isNullAt"))
+    assert(gen(LongVecSqDist(lRef, lRef)).contains("isNullAt"))
+    assert(gen(LongVecDot(lRef, lRef)).contains("isNullAt"))
+    // the boundary tag ⇒ branch-free hot loop (the round-17 drift class)
+    val fTag = KnownNotNullElements(fRef)
+    val lTag = KnownNotNullElements(lRef)
+    assert(!gen(FloatVecDot(fTag, fTag)).contains("isNullAt"))
+    assert(!gen(LongVecSqDist(lTag, lTag)).contains("isNullAt"))
+    assert(!gen(LongVecDot(lTag, lTag)).contains("isNullAt"))
+    // one tagged side is not enough — EITHER nullable side re-emits
+    assert(gen(FloatVecDot(fTag, fRef)).contains("isNullAt"))
+  }
+
+  test("known_not_null_elements is a zero-cost pass-through that narrows the schema") {
+    VectorExpressions.ensureRegistered(spark)
+    import org.apache.spark.sql.types.ArrayType
+    val df = spark.sql(
+      "SELECT known_not_null_elements(array(CAST(1.5 AS FLOAT), CAST(-2.5 AS FLOAT))) AS a, " +
+        "known_not_null_elements(CAST(NULL AS ARRAY<FLOAT>)) AS b")
+    assert(!df.schema("a").dataType.asInstanceOf[ArrayType].containsNull)
+    val r = df.collect()(0)
+    assert(r.getSeq[Float](0) === Seq(1.5f, -2.5f))
+    assert(r.isNullAt(1)) // top-level nulls still pass through
+    // dotting tagged columns is bit-identical to dotting raw ones
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings // tagged at the scan
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaTag = e.selectExpr("vec_id", "float_vec_dot(embedding, embedding) AS d")
+    val viaRaw = raw.selectExpr("vec_id", "float_vec_dot(embedding, embedding) AS d")
+    val joined = viaTag.alias("t").join(viaRaw.alias("r"), "vec_id")
+      .selectExpr("t.d AS td", "r.d AS rd").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r2 =>
+      assert(java.lang.Double.doubleToLongBits(r2.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r2.getDouble(1))))
+  }
+
+  test("testdata embeddings honor the non-null-element contract the boundary tag declares") {
+    import org.apache.spark.sql.types.ArrayType
+    // the "assert once at the scan boundary" leg of round-17 verdict
+    // item 1: the tag is a declaration, so the declared fact is checked
+    // HERE, per verify SF, against the raw parquet (no tag in the way)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val raw = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      // parquet always decodes list elements as nullable — the reason
+      // the tag exists at all
+      assert(raw.schema("embedding").dataType.asInstanceOf[ArrayType].containsNull)
+      val bad = raw.filter(
+        expr("embedding IS NULL OR exists(embedding, x -> x IS NULL)")).count()
+      assert(bad === 0L, s"$sf embeddings violate the non-null-element contract")
+    }
+    // and the Tables boundary applies the tag
+    val tagged = Tables(spark, "/root/testdata/sf0.001").embeddings
+    assert(!tagged.schema("embedding").dataType.asInstanceOf[ArrayType].containsNull)
+  }
 }

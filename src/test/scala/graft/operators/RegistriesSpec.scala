@@ -75,4 +75,47 @@ class RegistriesSpec extends AnyFunSuite {
     assert(nd.columns.toSeq === Seq("doc_a", "doc_b", "common", "jaccard"))
     assert(nd.count() > 0L)
   }
+
+  test("derived registries build through nested frame() calls in a fresh session") {
+    // Round-17 advice (high): the old computeIfAbsent form ran builds
+    // under the CHM bin lock, and a DERIVED registry's build calls
+    // frame() again for its base — CHM's "Recursive update"
+    // IllegalStateException whenever the two keys landed in one bin.
+    // The crash was nondeterministic (key includes session identity
+    // hash); the get/putIfAbsent + lazy-holder form can't hit it.
+    // Repro condition: a serving layout requested FIRST in a fresh
+    // session (bench subsets, single-query verify), so the nested base
+    // build runs inside the outer build.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val t = graft.sources.Tables(s, sf)
+    // derived-before-base, all four derived layouts
+    val byOther = TrainingData.coPurchaseUndByOther(t)
+    val byPk = TrainingData.coPurchaseUndWByPk(t)
+    val min2 = TrainingData.coPurchasePairsMin2(t)
+    assert(byOther.count() > 0L && byPk.count() > 0L && min2.count() >= 0L)
+    // the nested call memoized the base too: same instance afterwards
+    val base = TrainingData.coPurchasePairs(t)
+    assert(base eq TrainingData.coPurchasePairs(t))
+  }
+
+  test("purgeWhere evicts a session's entries and leaves others intact") {
+    // The driver-path sweep (purgeStopped) drops entries whose context
+    // is stopped; a local-mode suite cannot stop the shared context, so
+    // the sweep is driven here by predicate (same code path).
+    Registries.clear()
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    Seq(s1, s2).foreach(_.conf.set("spark.sql.shuffle.partitions", "4"))
+    TrainingData.coPurchasePairs(graft.sources.Tables(s1, sf))
+    TrainingData.coPurchasePairs(graft.sources.Tables(s2, sf))
+    assert(Registries.size === 2)
+    Registries.purgeWhere(_ eq s1)
+    assert(Registries.size === 1)
+    // s2's entry survived and still serves the same instance
+    val kept = TrainingData.coPurchasePairs(graft.sources.Tables(s2, sf))
+    assert(Registries.size === 1)
+    assert(kept eq TrainingData.coPurchasePairs(graft.sources.Tables(s2, sf)))
+    Registries.clear()
+  }
 }

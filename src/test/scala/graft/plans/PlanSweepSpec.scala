@@ -80,4 +80,42 @@ class PlanSweepSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
+
+  /** Round-17 regression class, pinned (verdict item 2): parquet scans
+    * always report nullable array elements, so without the
+    * KnownNotNullElements boundary tag every float_vec_dot /
+    * long_vec_sqdist / long_vec_dot inner loop silently re-gains a
+    * per-slot isNullAt branch — a codegen deopt invisible to
+    * correctness and to gc_ms, only caught by bench drift. This sweep
+    * turns it into a test failure: on the canonical testdata schemas,
+    * no registered query may plan a vector kernel whose children still
+    * carry nullable elements (anyElementNullable IS the emit switch —
+    * asserting it false asserts the generated loop is branch-free). */
+  test("vector kernels are branch-free on every registered query's canonical plan") {
+    import graft.functions.{FloatVecDot, LongVecDot, LongVecSqDist, VectorExpressions}
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val branchy = scala.collection.mutable.ListBuffer[String]()
+      def sweepExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+        e.foreach {
+          case d: FloatVecDot if VectorExpressions.anyElementNullable(d.left, d.right) =>
+            branchy += s"float_vec_dot(${d.left.dataType.simpleString}, ${d.right.dataType.simpleString})"
+          case d: LongVecSqDist if VectorExpressions.anyElementNullable(d.left, d.right) =>
+            branchy += s"long_vec_sqdist(${d.left.dataType.simpleString}, ${d.right.dataType.simpleString})"
+          case d: LongVecDot if VectorExpressions.anyElementNullable(d.left, d.right) =>
+            branchy += s"long_vec_dot(${d.left.dataType.simpleString}, ${d.right.dataType.simpleString})"
+          case _ =>
+        }
+      def sweepPlan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+        p.foreach { node =>
+          node.expressions.foreach(sweepExpr)
+          node.subqueries.foreach(sweepPlan)
+        }
+      sweepPlan(plan)
+      if (branchy.nonEmpty) Some(s"$name: ${branchy.distinct.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"nullable-element vector kernels (per-slot branch emitted) in:\n${offenders.mkString("\n")}")
+  }
 }
