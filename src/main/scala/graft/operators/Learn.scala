@@ -84,6 +84,17 @@ object Learn {
         dprod(col("x2"), col("y")).as("s2y"),
         dprod(col("y"), col("y")).as("syy"))
 
+  /** DDL of [[sufficientStats]]'s output row — the PINNED read schema
+    * for any append-only partials table (ProbeStream): decimal(38,0)
+    * reads the pre-round-17 decimal(29,0) files losslessly (same
+    * scale), so a stream resumed across the dsum widening merges old
+    * and new partials under one schema instead of whatever file
+    * inference happens to sample. */
+  val statsDdl: String =
+    "n BIGINT, s1 DECIMAL(38,0), s2 DECIMAL(38,0), s11 DECIMAL(38,0), " +
+      "s12 DECIMAL(38,0), s22 DECIMAL(38,0), sy DECIMAL(38,0), " +
+      "s1y DECIMAL(38,0), s2y DECIMAL(38,0), syy DECIMAL(38,0)"
+
   /** Re-add (merge) sufficient-statistics rows column-wise — the stats
     * of the union of the underlying parts. */
   def mergeStats(parts: DataFrame): DataFrame =
@@ -505,14 +516,22 @@ object Learn {
     * poisoning the output row. */
   def logisticProbeHistBy(
       df: DataFrame, key: Column, label: Column, x1: Column, x2: Column,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    logisticFitFromHistBy(
+      df.select(key.as("key"), label.cast("long").as("y"),
+          x1.cast("long").as("r1"), x2.cast("long").as("r2"))
+        .groupBy(col("key"), col("y"), col("r1"), col("r2"))
+        .agg(count(lit(1)).as("c")),
+      iters)
+
+  /** Keyed IRLS fit from a (key, y, r1, r2, c) feature histogram — the
+    * grouped twin of [[logisticFitFromHist]], shared by the batch path
+    * ([[logisticProbeHistBy]]) and the streaming refit
+    * ([[graft.streaming.GroupedLogitStream]], merged per-batch keyed
+    * partials) so stream ≡ batch holds by construction. */
+  def logisticFitFromHistBy(hist0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val hist = df
-      .select(key.as("key"), label.cast("long").as("y"),
-        x1.cast("long").as("r1"), x2.cast("long").as("r2"))
-      .groupBy(col("key"), col("y"), col("r1"), col("r2"))
-      .agg(count(lit(1)).as("c"))
-      .transform(graft.plans.Pin.pin)
+    val hist = hist0.transform(graft.plans.Pin.pin)
     val ctr = hist.groupBy(col("key")).agg(
       expr("sum(c * r1) div sum(c)").as("__c1"),
       expr("sum(c * r2) div sum(c)").as("__c2"))

@@ -57,7 +57,16 @@ object ProbeStream {
           .coalesce(1)
           .write.mode("overwrite")
           .parquet(s"$partialsPath/batch_id=$batchId")
-        val partials = spark.read.parquet(partialsPath)
+        // explicit schema, not inference: a stream resumed across the
+        // round-17 dsum change has decimal(29,0) partials files (the
+        // old sum(decimal(19,0)) type) beside decimal(38,0) ones, and
+        // schema inference reads an arbitrary file — pinning the wide
+        // type reads both losslessly (same scale, precision-widening
+        // parquet read) and keeps every future refit under the
+        // documented 38-digit envelope
+        val partials = spark.read
+          .schema(Learn.statsDdl + ", batch_id BIGINT")
+          .parquet(partialsPath)
         val merged = Learn.mergeStats(partials)
         val fit =
           if (lambdaPerRow > 0) Learn.solveRidge(merged, lambdaPerRow)

@@ -83,7 +83,9 @@ object RegistryCompaction {
     * with a fold-set manifest because a subset fold must remember
     * WHICH dirs it subsumed):
     *
-    *   1. write `distinct(fold set rows)` to `_compact_tmp` (Spark's
+    *   1. write `distinct(fold set rows)` to `_compact_tmp_tiered`
+    *      (its OWN dir — never the flat protocol's `_compact_tmp`, so
+    *      neither recovery can misread the other's tmp; Spark's
     *      `_SUCCESS` lands with the files), then write the manifest
     *      `_folded` listing the subsumed partition names — the
     *      manifest, not `_SUCCESS`, is the completion marker;
@@ -107,8 +109,21 @@ object RegistryCompaction {
     if (!fs.exists(root)) return
     val target = new Path(root, s"batch_id=${-(batchId + 2)}")
     if (fs.exists(target)) return // replay of a finished fold
-    val tmp = new Path(root, "_compact_tmp")
-    val manifest = new Path(tmp, "_folded")
+    // Tiered folds live in their OWN tmp dir (round-17 advice): a
+    // half-fold parked in the flat protocol's `_compact_tmp` carries
+    // Spark's `_SUCCESS` before the `_folded` manifest lands, and a
+    // replay running the flat pass first would read that marker as a
+    // COMPLETE FULL fold — delete every standing partition and rename
+    // the half-fold into place, losing all rows that lived only in the
+    // unfolded large partitions. Separate dirs make the two recoveries
+    // unambiguous; [[compact]] additionally refuses any tmp holding a
+    // manifest (a legacy shared-dir fold from a pre-upgrade crash),
+    // and the legacy check below lets THIS recovery finish such folds.
+    val tmp = new Path(root, "_compact_tmp_tiered")
+    val legacyTmp = new Path(root, "_compact_tmp")
+    val legacyManifested = fs.exists(new Path(legacyTmp, "_folded"))
+    val tmpDir = if (legacyManifested) legacyTmp else tmp
+    val manifest = new Path(tmpDir, "_folded")
     def standing() = fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.startsWith("batch_id=") &&
         p.getName != s"batch_id=$batchId")
@@ -141,7 +156,7 @@ object RegistryCompaction {
         names.toSeq
       }
     foldNames.foreach(n => fs.delete(new Path(root, n), true))
-    fs.rename(tmp, target)
+    fs.rename(tmpDir, target)
   }
 
   /** Fold every standing partition (everything except `batchId`'s own)
@@ -158,6 +173,11 @@ object RegistryCompaction {
     if (!fs.exists(root)) return
     val target = s"batch_id=${-(batchId + 2)}"
     val tmp = new Path(root, "_compact_tmp")
+    // a manifest marks a TIERED half-fold (legacy shared-dir crash):
+    // treating it as a complete FULL fold would delete standing
+    // partitions the half-fold never subsumed — leave it for the
+    // tiered recovery, which knows exactly which dirs it covers
+    if (fs.exists(new Path(tmp, "_folded"))) return
     val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
     def partitions() = fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.startsWith("batch_id=") &&

@@ -140,4 +140,34 @@ class ProbeStreamSpec extends AnyFunSuite {
     assert(abc === whole)
     assert(cba === whole)
   }
+
+  test("resume across the dsum widening: mixed 29/38-precision partials merge losslessly") {
+    // Round-17 advice (medium): pre-widening partials files carry
+    // decimal(29,0) linear sums (the old sum(decimal(19,0)) type);
+    // post-widening files carry decimal(38,0). A resumed stream reads
+    // BOTH from one directory — inference would sample an arbitrary
+    // file, so the read is pinned to Learn.statsDdl. Pin here that the
+    // pinned read (a) accepts narrow files (same-scale precision
+    // widening), (b) merges mixed partials to the exact same fit as
+    // the uniform-width table.
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val half = Seq(0, 1).map(i =>
+      Learn.sufficientStats(docs.filter(col("doc_id") % 2 === i),
+        col("n_chars"), expr(tokExpr), expr(theExpr)))
+    val root = Files.createTempDirectory("probe-mixed").toString
+    // old-shape file: re-narrow the linear sums to decimal(29,0) (the
+    // pre-widening schema; values fit 29 digits at this SF)
+    val narrowCols = Seq("s1", "s2", "sy")
+    half(0).select(half(0).columns.map(c =>
+      if (narrowCols.contains(c)) col(c).cast("decimal(29,0)").as(c) else col(c)): _*)
+      .coalesce(1).write.parquet(s"$root/batch_id=0")
+    half(1).coalesce(1).write.parquet(s"$root/batch_id=1")
+    val merged = Learn.mergeStats(
+      spark.read.schema(Learn.statsDdl + ", batch_id BIGINT").parquet(root))
+    val whole = fitOf(Learn.linearProbe(docs,
+      col("n_chars"), expr(tokExpr), expr(theExpr)))
+    assert(fitOf(Learn.solveOls(merged)) === whole,
+      "mixed-precision partials must refit bit-identically")
+  }
 }

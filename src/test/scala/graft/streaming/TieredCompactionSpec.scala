@@ -127,6 +127,62 @@ class TieredCompactionSpec extends AnyFunSuite {
     assert(partitionNames(reg) === Set("batch_id=-6", "batch_id=2", "batch_id=3"))
   }
 
+  test("cross-protocol: flat recovery refuses a tiered half-fold (manifested tmp)") {
+    // Round-17 advice (medium): with BOTH compactEvery and
+    // compactMaxParts enabled, a tiered attempt that crashed after its
+    // parquet write shares the replayed batch with the flat pass,
+    // which runs FIRST (stream hook order). Under the old shared
+    // `_compact_tmp`, flat read the half-fold's `_SUCCESS` as a
+    // complete FULL fold, deleted EVERY standing partition and renamed
+    // the half-fold into place — permanently losing the rows that
+    // lived only in the unfolded large partitions. Flat must refuse a
+    // manifested tmp and leave recovery to the tiered pass.
+    val (reg, docs) = freshRegistry()
+    val foldNames = Seq("batch_id=-1", "batch_id=0", "batch_id=1")
+    val ids = foldNames.map(_.stripPrefix("batch_id=").toLong)
+    spark.read.schema(ddl).parquet(reg)
+      .filter(col("batch_id").isin(ids: _*))
+      .drop("batch_id").distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$reg/_compact_tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$reg/_compact_tmp/_folded"),
+      foldNames.mkString("\n").getBytes("UTF-8"))
+    def rmdir(p: String): Unit = {
+      val d = new java.io.File(p)
+      Option(d.listFiles).getOrElse(Array.empty).foreach(f => rmdir(f.getPath))
+      d.delete()
+    }
+    rmdir(s"$reg/batch_id=0") // the tiered mid-delete crash
+
+    // flat pass on the replayed batch: MUST be a no-op
+    RegistryCompaction.compact(spark, reg, 4, Some(ddl))
+    assert(partitionNames(reg) ===
+      Set("batch_id=-1", "batch_id=1", "batch_id=2", "batch_id=3"),
+      "flat recovery must not touch partitions while a tiered manifest stands")
+
+    // tiered pass then finishes the legacy-dir fold without loss
+    RegistryCompaction.maybeCompactTiered(spark, reg, 4, maxParts = 4, Some(ddl))
+    assert(readRegistry(reg) === docs)
+    assert(partitionNames(reg) === Set("batch_id=-6", "batch_id=2", "batch_id=3"))
+  }
+
+  test("separate tmp dirs: a tiered refold never disturbs flat's standing tmp") {
+    val (reg, docs) = freshRegistry()
+    // flat's COMPLETE full fold (crashed before its deletes): tmp with
+    // _SUCCESS, no manifest — owned by flat's recovery
+    regDf(Seq(500L -> 600L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$reg/_compact_tmp")
+    assert(new java.io.File(s"$reg/_compact_tmp/_SUCCESS").exists())
+    // a tiered trigger in the same window folds via its OWN tmp dir
+    RegistryCompaction.maybeCompactTiered(spark, reg, 4, maxParts = 4, Some(ddl))
+    assert(readRegistry(reg) === docs)
+    assert(partitionNames(reg) === Set("batch_id=-6", "batch_id=2", "batch_id=3"))
+    assert(new java.io.File(s"$reg/_compact_tmp/_SUCCESS").exists(),
+      "flat's tmp must survive a tiered fold untouched")
+    assert(!new java.io.File(s"$reg/_compact_tmp_tiered").exists(),
+      "the tiered tmp must be renamed away on completion")
+  }
+
   test("stream twin-run: segment dedup with tiered compaction == compaction off, bounded dirs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
