@@ -226,6 +226,47 @@ object BenchLab {
       spark.stop(); return
     }
 
+    // round-18 registry accounting (verdict items 3 + 5): one row per
+    // BATCH registry — build+pin wall on first access (derived layouts
+    // measured INCREMENTALLY, after their base stands), pinned rows,
+    // and pinned bytes (block-manager storage delta around the build —
+    // the honest localCheckpoint footprint, not an estimator) — then
+    // the per-consumer steady-state wall against the standing
+    // registries. Run at sf0.1 and at a GenSf sf1 dir to check the
+    // sub-corpus-bounded rule an order of magnitude up: co-purchase
+    // pairs must grow ~linearly (Σ c(k,2), k ≤ 7 per order), near-dup
+    // pairs with the near-duplicate edge count, never corpus².
+    if (sys.env.get("LAB_MODE").contains("registries")) {
+      import graft.operators.TrainingData
+      def storedBytes: Long =
+        spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+      val regs: Seq[(String, () => DataFrame)] = Seq(
+        ("copurchase_pairs_w", () => TrainingData.coPurchasePairs(t)),
+        ("copurchase_pairs_min2", () => TrainingData.coPurchasePairsMin2(t)),
+        ("copurchase_und_by_other", () => TrainingData.coPurchaseUndByOther(t)),
+        ("copurchase_und_w_by_pk", () => TrainingData.coPurchaseUndWByPk(t)),
+        ("copurchase_bipartite_cp", () => TrainingData.coPurchaseBipartite(t)),
+        ("neardup_pairs_ngram_t0.5", () => TrainingData.nearDupPairs(t)))
+      regs.foreach { case (name, build) =>
+        val b0 = storedBytes
+        val t0 = System.nanoTime()
+        val df = build()
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val rows = df.count() // served from the pin
+        val mib = (storedBytes - b0) / 1048576.0
+        println(f"[lab] registry $name%-26s build=$buildS%7.2f s  rows=$rows%10d  pinned=$mib%8.1f MiB")
+      }
+      Seq("x136_copurchase_degree", "x152_copurchase_pagerank",
+        "x156_label_propagation", "x157_weighted_pagerank",
+        "x162_hits_authority", "x165_triangle_count",
+        "x33_dedup_clusters", "x56_priority_canonical",
+        "x90_cluster_size_histogram", "x91_split_leakage_audit",
+        "x104_cluster_cohesion", "x107_clean_eval_sample",
+        "x52_leakage_safe_split")
+        .foreach(n => time(s"consumer $n") { SparkEntry.queries(n)(spark, sfDir) })
+      spark.stop(); return
+    }
+
     // round-17 compaction law across ALL SIX standing-registry streams
     // (verdict item 7): same twin-run shape as LAB_MODE=compact below,
     // one row per registry, at whatever SF dir is given (sf1 via GenSf

@@ -4080,7 +4080,7 @@ object TrainingData {
     * table built once, the frozen-index discipline the serving streams
     * already follow). Each query's DuckDB oracle keeps re-deriving the
     * same CTE text — semantics and hashes unchanged. */
-  private[operators] def coPurchasePairs(t: Tables): org.apache.spark.sql.DataFrame =
+  private[graft] def coPurchasePairs(t: Tables): org.apache.spark.sql.DataFrame =
     Registries.frame(t.spark, t.dir, "copurchase_pairs_w") {
       val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
       val b = op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
@@ -4094,7 +4094,7 @@ object TrainingData {
     * pinned projection of [[coPurchasePairs]] so the filter runs once
     * per session, not once per query invocation. Tiny at any SF
     * relative to the raw pairs (sf0.1: 1.196M → 3.6k). */
-  private[operators] def coPurchasePairsMin2(t: Tables): org.apache.spark.sql.DataFrame =
+  private[graft] def coPurchasePairsMin2(t: Tables): org.apache.spark.sql.DataFrame =
     Registries.frame(t.spark, t.dir, "copurchase_pairs_min2") {
       coPurchasePairs(t).filter(col("w") >= 2).select(col("pa"), col("pb"))
     }
@@ -4106,7 +4106,7 @@ object TrainingData {
     * pre-partition-then-pin discipline measured in round 9; now the
     * partitioned frame itself is session-lifetime, so steady-state
     * serving pays only the iterations). */
-  private[operators] def coPurchaseUndByOther(t: Tables): org.apache.spark.sql.DataFrame =
+  private[graft] def coPurchaseUndByOther(t: Tables): org.apache.spark.sql.DataFrame =
     Registries.frame(t.spark, t.dir, "copurchase_und_by_other") {
       val pairs = coPurchasePairs(t).select(col("pa"), col("pb"))
       pairs.select(col("pa").as("pk"), col("pb").as("other"))
@@ -4118,7 +4118,7 @@ object TrainingData {
     * (pk, other, w) pre-partitioned on `pk` (weighted PageRank joins
     * rank and out-weight on the SOURCE key). Same once-per-session
     * discipline as [[coPurchaseUndByOther]]. */
-  private[operators] def coPurchaseUndWByPk(t: Tables): org.apache.spark.sql.DataFrame =
+  private[graft] def coPurchaseUndWByPk(t: Tables): org.apache.spark.sql.DataFrame =
     Registries.frame(t.spark, t.dir, "copurchase_und_w_by_pk") {
       val pairs = coPurchasePairs(t)
       pairs.select(col("pa").as("pk"), col("pb").as("other"), col("w"))
@@ -4130,7 +4130,7 @@ object TrainingData {
     * one orders⋈lineitem join, DISTINCT-combined, built once per
     * session. Distinct frame, so the half-step SUMs read the same rows
     * the per-query build produced. */
-  private[operators] def coPurchaseBipartite(t: Tables): org.apache.spark.sql.DataFrame =
+  private[graft] def coPurchaseBipartite(t: Tables): org.apache.spark.sql.DataFrame =
     Registries.frame(t.spark, t.dir, "copurchase_bipartite_cp") {
       t.orders.select(col("o_orderkey"), col("o_custkey"))
         .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
@@ -4149,7 +4149,7 @@ object TrainingData {
     * relative to the corpus whenever dedup is worth running) is the
     * natural registry row. Same oracle-unchanged contract as
     * [[coPurchasePairs]]. Columns: (doc_a, doc_b, common, jaccard). */
-  private[operators] def nearDupPairs(t: Tables): org.apache.spark.sql.DataFrame =
+  private[graft] def nearDupPairs(t: Tables): org.apache.spark.sql.DataFrame =
     Registries.frame(t.spark, t.dir, "neardup_pairs_ngram_t0.5") {
       Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", threshold = 0.5)
     }
