@@ -531,7 +531,43 @@ object Learn {
     * partials) so stream ≡ batch holds by construction. */
   def logisticFitFromHistBy(hist0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val (f, betas) = groupedIrls(hist0.transform(graft.plans.Pin.pin), iters)
+    val t = LogitText.t("b0", "b1", "b2")
+    f.join(broadcast(betas.select("key", "b0", "b1", "b2")), "key")
+      .groupBy(col("key"), col("b0"), col("b1"), col("b2"))
+      .agg(
+        sum(col("c")).cast("long").as("n_docs"),
+        sum(expr(s"CASE WHEN (CASE WHEN $t >= 0 THEN 1 ELSE 0 END) = y " +
+          "THEN c ELSE 0 END")).cast("long").as("n_correct"))
+      .select(
+        col("key"), col("n_docs"),
+        col("b0").as("beta0"), col("b1").as("beta1"), col("b2").as("beta2"),
+        col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs")).as("accuracy"))
+  }
+
+  /** The FROZEN per-source model artifact behind
+    * [[logisticFitFromHistBy]]: (key, c1, c2, b0, b1, b2) — the
+    * per-group integer centering means ALONGSIDE the betas, which is
+    * what a serving gate needs to score raw features (the fit's
+    * confusion output deliberately drops the centers; a gate cannot
+    * re-derive them without the training histogram). Sources-bounded,
+    * broadcast-able — the
+    * [[graft.streaming.GroupedLogitServeStream]] input. */
+  def logisticModelFromHistBy(hist0: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val hist = hist0.transform(graft.plans.Pin.pin)
+    groupedIrls(hist, iters)._2
+      .select(col("key"), col("__c1").as("c1"), col("__c2").as("c2"),
+        col("b0"), col("b1"), col("b2"))
+  }
+
+  /** Shared per-group IRLS core: returns (f, betasWithCenters) where
+    * `f` is the per-group CENTERED weighted cell frame and the beta
+    * table carries (key, __c1, __c2, b0, b1, b2). Exactly the
+    * expression sequence the x209 oracle replays — both public wrappers
+    * must stay bit-identical to it. */
+  private def groupedIrls(hist: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     val ctr = hist.groupBy(col("key")).agg(
       expr("sum(c * r1) div sum(c)").as("__c1"),
       expr("sum(c * r2) div sum(c)").as("__c2"))
@@ -558,18 +594,7 @@ object Learn {
           s"b1 + ${LogitText.dSafe(LogitText.d1)} AS b1",
           s"b2 + ${LogitText.dSafe(LogitText.d2)} AS b2")
     }
-    val t = LogitText.t("b0", "b1", "b2")
-    f.join(broadcast(betas), "key")
-      .groupBy(col("key"), col("b0"), col("b1"), col("b2"))
-      .agg(
-        sum(col("c")).cast("long").as("n_docs"),
-        sum(expr(s"CASE WHEN (CASE WHEN $t >= 0 THEN 1 ELSE 0 END) = y " +
-          "THEN c ELSE 0 END")).cast("long").as("n_correct"))
-      .select(
-        col("key"), col("n_docs"),
-        col("b0").as("beta0"), col("b1").as("beta1"), col("b2").as("beta2"),
-        col("n_correct"),
-        (col("n_correct").cast("double") / col("n_docs")).as("accuracy"))
+    (f, betas.join(broadcast(ctr), "key"))
   }
 
   /** Bernoulli naive Bayes gate — the GENERATIVE trainer completing the
@@ -777,7 +802,7 @@ object Learn {
   * strings are [[Learn.solveOls]]'s Cramer text with the substitution
   * n→sw, s1→sw1, s2→sw2, s11→sw11, s12→sw12, s22→sw22, sy→sr,
   * s1y→sr1, s2y→sr2 — the weighted normal equations. */
-private[operators] object LogitText {
+private[graft] object LogitText {
   /** linear score at scalar coefficients (textual names or literals) */
   def t(b0: String, b1: String, b2: String): String =
     s"$b0 + $b1*CAST(x1 AS DOUBLE) + $b2*CAST(x2 AS DOUBLE)"
