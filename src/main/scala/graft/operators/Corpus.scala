@@ -60,6 +60,57 @@ object Corpus {
       )
   }
 
+  /** Gopher-style duplicate n-gram COVERAGE per document (Rae et al.
+    * 2021, "Scaling Language Models" §A1.1): the fraction of token
+    * positions covered by n-grams that occur MORE THAN ONCE within the
+    * document, overlaps counted once — the repetition filter that
+    * catches looped/templated spans [[repetitionSignals]]'s
+    * duplicate-word and top-bigram fractions miss (a document can have
+    * high n-gram repetition with modest word-level duplication).
+    * Gopher applies the character-fraction form for n ∈ {5..10} on
+    * natural text; this is the token-position form (character
+    * weighting is the same plan with a per-token length weight), with
+    * `n` a parameter — the registered query (x210) uses n = 3, the
+    * smallest n with a non-degenerate signal on the synthetic corpus.
+    *
+    * Plan shape, all corpus-linear: one positional n-gram explode
+    * (size − n + 1 rows/doc), one (doc, gram) count carrying the
+    * position list (collect_list over ≤ occurrences-per-gram rows —
+    * no second scan or self-join to recover duplicate positions), one
+    * offset explode of the ≥2-count grams only (n rows per duplicated
+    * occurrence), one distinct + count. Output: (doc_id, n_tokens,
+    * n_covered, dup_ngram_coverage), every doc present (coverage 0
+    * when nothing repeats). */
+  def dupNgramCoverage(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val gram = (0 until n)
+      .map(k => if (k == 0) "element_at(w, i)" else s"element_at(w, i + $k)")
+      .mkString(", ")
+    val grams = df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol),
+        col("w"),
+        explode(expr(
+          s"CASE WHEN size(w) >= $n THEN sequence(1, size(w) - ${n - 1}) " +
+            "ELSE array() END")).as("i"))
+      .select(col(idCol), col("i"), expr(s"concat_ws(' ', $gram)").as("gr"))
+    val dupPositions = grams
+      .groupBy(col(idCol), col("gr"))
+      .agg(count(lit(1)).as("c"), collect_list(col("i")).as("starts"))
+      .filter(col("c") >= 2)
+      .select(col(idCol), explode(col("starts")).as("i"))
+      .select(col(idCol), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_covered"))
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(dupPositions, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_ngram_coverage"))
+  }
+
   /** Corpus-wide top-k n-grams (n=2) by count, deterministically
     * tiebroken by the n-gram itself. One shuffle + a global top-k (Spark
     * runs TakeOrderedAndProject: per-partition heaps, no full sort). */

@@ -7777,6 +7777,32 @@ object TrainingData {
       .withColumnRenamed("key", "source")
   }
 
+  /** Gopher-style duplicate n-gram coverage (x210) —
+    * [[Corpus.dupNgramCoverage]] at n = 3: the fraction of each
+    * document's token positions covered by within-doc repeated
+    * trigrams, overlaps counted once — the repetition filter that
+    * catches looped/templated spans x24's word-level fractions miss.
+    * Oracle replays the same position-set law (duplicate grams →
+    * exploded offset ranges → DISTINCT positions), so the division is
+    * int/int in both engines — hash-exact doubles. */
+  val x210 = Q(
+    "x210_dup_ngram_coverage",
+    Some(
+      "WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gr " +
+        "FROM wl, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)), " +
+        "dupg AS (SELECT doc_id, gr FROM g GROUP BY doc_id, gr HAVING COUNT(*) >= 2), " +
+        "cov AS (SELECT DISTINCT g2.doc_id AS doc_id, p FROM " +
+        "(SELECT g.doc_id, g.i FROM g JOIN dupg ON g.doc_id = dupg.doc_id AND g.gr = dupg.gr) g2, " +
+        "unnest(range(g2.i, g2.i + 3)) AS s(p)), " +
+        "covc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id), " +
+        "tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents) " +
+        "SELECT tok.doc_id, n_tokens, CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered, " +
+        "CAST(COALESCE(n_covered, 0) AS DOUBLE) / n_tokens AS dup_ngram_coverage " +
+        "FROM tok LEFT JOIN covc ON tok.doc_id = covc.doc_id"
+    )
+  ) { t => Corpus.dupNgramCoverage(t.documents, "doc_id", "text", n = 3) }
+
   val all: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07,
     x08, x09, x10, x11, x12, x13, x14,
@@ -7793,6 +7819,6 @@ object TrainingData {
     x166, x167, x168, x169, x170, x171, x172, x173, x174, x175, x176, x177,
     x178, x179, x180, x181, x182, x183, x184, x185, x186, x187, x188, x189,
     x190, x191, x192, x193, x194, x195, x196, x197, x198, x199, x200, x201, x202, x203,
-    x204, x205, x206, x207, x208, x209
+    x204, x205, x206, x207, x208, x209, x210
   )
 }

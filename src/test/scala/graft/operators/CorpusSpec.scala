@@ -474,4 +474,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 2.0)
     assert(r.getDouble(5) === 10.0 / 6)
   }
+
+  test("dup n-gram coverage: overlaps count once, non-repeating docs read 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c d"), // "a b c" repeats at 1 and 4 → positions {1,2,3,4,5,6} of 7
+      (2L, "x x x x"),       // "x x x" at 1,2 → {1,2,3,4} of 4 — overlap counted ONCE
+      (3L, "p q r s"),       // nothing repeats → 0
+      (4L, "u v")            // shorter than n → no grams → 0
+    ).toDF("doc_id", "text")
+    val out = Corpus.dupNgramCoverage(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((7L, 6L, 6.0 / 7)))
+    assert(out(2L) === ((4L, 4L, 1.0)))
+    assert(out(3L) === ((4L, 0L, 0.0)))
+    assert(out(4L) === ((2L, 0L, 0.0)))
+  }
 }
