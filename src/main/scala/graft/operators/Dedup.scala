@@ -994,21 +994,41 @@ object Dedup {
   }
 
   /** Apply an [[opqPermutation]]: rebuild each vector with its
-    * dimensions at their permuted positions (one posexplode, one
-    * broadcast join against the 64-row map, one per-id combine —
-    * linear, the [[bqEncode]] plan shape). Distances are exactly
-    * preserved (a permutation is orthogonal), so any PQ machinery
-    * downstream — seed or Lloyd-trained codebooks, ADC, re-rank —
-    * runs unchanged over the rotated frame. */
+    * dimensions at their permuted positions — as ONE codegen'd
+    * projection. The permutation frame is vector-dim-sized by contract
+    * (the [[opqPermutation]] scaladoc's frozen-artifact economics), so
+    * it is collected once and compiled into a fixed `array(
+    * element_at(v, p₁), …)` pick list: zero shuffles, zero
+    * allocations beyond the output array. The prior shape — posexplode
+    * to n·d rows, broadcast-join the map, collect_list re-combine —
+    * paid a corpus×dims shuffle to apply 64 constants; measured
+    * sf0.1: x174 1.77 → 1.34 s controlled min-of-3 (−24 %,
+    * BENCH_NOTES_r18 §6).
+    * Output rows/values identical (the pick list replays the old
+    * sort-by-newpos order), so the x174 oracle hash is unchanged.
+    *
+    * CONTRACT (tightened vs the explode form): every vector must carry
+    * all permuted dimensions — a short vector now yields NULL slots
+    * where the old shape silently dropped them; corpus vectors are
+    * exactly dims-sized everywhere in this library. Distances are
+    * exactly preserved (a permutation is orthogonal), so any PQ
+    * machinery downstream — seed or Lloyd-trained codebooks, ADC,
+    * re-rank — runs unchanged over the rotated frame. */
   def opqRotate(df: DataFrame, idCol: String, vecCol: String,
-      perm: DataFrame): DataFrame =
-    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .select(col(idCol), col("pos").cast("long").as("pos"), col("v"))
-      .join(broadcast(perm), Seq("pos"))
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("newpos"), col("v")))),
-        x => x.getField("v")).as(vecCol))
+      perm: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
+    val srcByNew = perm
+      .select(col("pos").cast("long"), col("newpos").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._2).map(_._1)
+    val picks = srcByNew
+      .map(p => s"element_at($vecCol, ${p + 1})").mkString(", ")
+    // element_at is nullable in the schema (out-of-bounds ⇒ NULL); the
+    // dims-sized contract makes that vacuous — re-tag so downstream
+    // switched kernels stay branch-free
+    df.select(col(idCol),
+      expr(s"known_not_null_elements(array($picks))").as(vecCol))
+  }
 
   /** Encode vectors against an EXPLICIT codebook frame (`cent_id`,
     * `ce`) — the shared kernel of [[pqCodes]] and the streaming
