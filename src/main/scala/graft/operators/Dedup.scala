@@ -1008,12 +1008,26 @@ object Dedup {
     * sort-by-newpos order), so the x174 oracle hash is unchanged.
     *
     * CONTRACT (tightened vs the explode form): every vector must carry
-    * all permuted dimensions — a short vector now yields NULL slots
-    * where the old shape silently dropped them; corpus vectors are
-    * exactly dims-sized everywhere in this library. Distances are
-    * exactly preserved (a permutation is orthogonal), so any PQ
+    * all permuted dimensions, and the guard is ENFORCED per row — a
+    * vector shorter than the permutation (or a NULL vector) hits
+    * `raise_error` at first action instead of silently feeding NULL
+    * slots to the branch-free kernels (which would read them as 0
+    * garbage; the old explode shape's failure mode at least dropped
+    * dims visibly). The guard is a value-level CASE, costing one
+    * length compare per row in the good path — crucially NOT a
+    * per-element branch, so the downstream kernels stay branch-free
+    * (the `known_not_null_elements` tag wraps the CASE, and
+    * PlanSweepSpec's nullable-element sweep still holds). Distances
+    * are exactly preserved (a permutation is orthogonal), so any PQ
     * machinery downstream — seed or Lloyd-trained codebooks, ADC,
-    * re-rank — runs unchanged over the rotated frame. */
+    * re-rank — runs unchanged over the rotated frame.
+    *
+    * EAGER by design: the dims-sized `perm` frame is collected at
+    * CONSTRUCTION time (one tiny Spark job before any action on the
+    * result — plan-only consumers like PlanSweepSpec pay it too) so
+    * the permutation can be compiled into the projection; deferring
+    * it would need a lazily-built LogicalPlan for what is a 64-row
+    * frozen artifact. */
   def opqRotate(df: DataFrame, idCol: String, vecCol: String,
       perm: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
@@ -1021,13 +1035,20 @@ object Dedup {
       .select(col("pos").cast("long"), col("newpos").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._2).map(_._1)
+    val dims = srcByNew.length
+    // backtick-quote the column so non-identifier names survive the
+    // generated SQL text (embedded backticks escape by doubling)
+    val v = s"`${vecCol.replace("`", "``")}`"
     val picks = srcByNew
-      .map(p => s"element_at($vecCol, ${p + 1})").mkString(", ")
+      .map(p => s"element_at($v, ${p + 1})").mkString(", ")
     // element_at is nullable in the schema (out-of-bounds ⇒ NULL); the
-    // dims-sized contract makes that vacuous — re-tag so downstream
-    // switched kernels stay branch-free
+    // size guard makes that vacuous — re-tag so downstream switched
+    // kernels stay branch-free
     df.select(col(idCol),
-      expr(s"known_not_null_elements(array($picks))").as(vecCol))
+      expr(s"known_not_null_elements(CASE WHEN size($v) >= $dims " +
+        s"THEN array($picks) ELSE raise_error(concat(" +
+        s"'opqRotate: vector shorter than the $dims-dim permutation " +
+        s"(size=', CAST(size($v) AS STRING), ')')) END)").as(vecCol))
   }
 
   /** Encode vectors against an EXPLICIT codebook frame (`cent_id`,

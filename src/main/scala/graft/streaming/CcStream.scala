@@ -13,9 +13,11 @@ import graft.operators.Dedup
   *
   * The mergeable artifact is the STAR-EDGE form of the standing
   * mapping: a (node, cluster_root) table IS its own spanning structure
-  * — re-expressed as edges (node — root), it preserves exactly the
-  * connectivity of every edge processed so far, in one edge per node.
-  * Per micro-batch:
+  * — re-expressed as edges (node — root), one edge per node INCLUDING
+  * the root's own (root, root) self-edge, it preserves exactly the
+  * connectivity AND the node set of every edge processed so far (the
+  * self-edge is what keeps singleton clusters — born from self-pairs
+  * (a, a) — alive across batches). Per micro-batch:
   *
   *  - the standing mapping (the PREVIOUS batch's labels, read under a
   *    pinned schema from `labelsPath/batch_id=<id−…>` — the latest
@@ -77,10 +79,17 @@ object CcStream {
         val newEdges = batch
           .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
         val edges = prior.fold(newEdges) { p =>
+          // EVERY standing row becomes an edge — including root rows
+          // (root, root), which re-enter as self-edges. Filtering those
+          // out would drop singleton clusters (a self-pair (a,a) in an
+          // earlier batch yields the lone row (a,a)) from the next
+          // mapping; self-edges are harmless to connectedComponents
+          // (both solve paths add both endpoints unconditionally), so
+          // the one-extra-edge-per-cluster cost buys exact node-set
+          // preservation.
           val starEdges = spark.read
             .schema("node BIGINT, cluster_root BIGINT")
             .parquet(s"$labelsPath/batch_id=$p")
-            .filter(col("node") =!= col("cluster_root"))
             .select(col("node").as("a"), col("cluster_root").as("b"))
           newEdges.unionAll(starEdges)
         }

@@ -28,7 +28,10 @@ import graft.operators.LogitText
   * equality per document and the per-source keep accounting against
   * x209's confusion). Documents from sources the model never saw get
   * `pred = NULL` (ungated — route to a default policy downstream),
-  * never a silent wrong-model score.
+  * never a silent wrong-model score; sources whose model row carries
+  * NULL centers or betas (the grouped IRLS emits those for a key whose
+  * features were all NULL in training) are dropped at freeze time and
+  * serve through the same ungated path.
   *
   * Scale shape: the model is sources-bounded and BROADCAST once per
   * batch; per-batch work is one scan of the batch plus a broadcast
@@ -49,10 +52,17 @@ object GroupedLogitServeStream {
       verdictsPath: String,
       checkpoint: String,
       idCol: String, key: String, x1: String, x2: String): StreamingQuery = {
+    // A DEGENERATE source (all-NULL features in training → NULL
+    // centers/betas from the grouped IRLS) has no usable model: drop
+    // its row here so its documents take the unseen-source path
+    // (pred = NULL, ungated) instead of dying in getLong below with an
+    // opaque NPE at query start. Null keys are equally unusable (a
+    // left join can never match them).
     val modelRows: Array[Row] = model
       .select(col("key").cast("string"), col("c1").cast("long"),
         col("c2").cast("long"), col("b0").cast("double"),
         col("b1").cast("double"), col("b2").cast("double"))
+      .na.drop("any")
       .collect()
     val t = LogitText.t("b0", "b1", "b2")
     newDocs.writeStream

@@ -16,8 +16,9 @@ import graft.operators.Dedup
   * over its original members, all of which stand as star-edge nodes).
   * Pins the cross-batch merge case (two clusters formed in different
   * batches bridged by a later edge collapse to the global-min root),
-  * prefix equality per batch, replay idempotence, and the keep-list
-  * law (node == cluster_root). */
+  * prefix equality per batch, singleton survival (a self-pair's
+  * one-node cluster persists across later batches), replay idempotence,
+  * and the keep-list law (node == cluster_root). */
 class CcStreamSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -36,12 +37,15 @@ class CcStreamSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    // batch 0: cluster {1,2,3} and cluster {10,11}
+    // batch 0: cluster {1,2,3} and cluster {10,11}; SELF-PAIR (40,40)
+    //          → singleton cluster {40} that must survive every
+    //          subsequent batch (star re-expression keeps root
+    //          self-edges precisely so singletons don't vanish)
     // batch 1: cluster {20,21}; an intra-cluster edge (2,3) re-arrives
     // batch 2: edge (11,20) BRIDGES {10,11} and {20,21} → root 10;
     //          edge (3,30) grows {1,2,3} → root stays 1
     val batches: Seq[Seq[(Long, Long)]] = Seq(
-      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (40L, 40L)),
       Seq((20L, 21L), (2L, 3L)),
       Seq((11L, 20L), (3L, 30L)))
 
@@ -72,8 +76,10 @@ class CcStreamSpec extends AnyFunSuite {
       .parquet(s"$labels/batch_id=2"))
     assert(Seq(10L, 11L, 20L, 21L).forall(fin(_) === 10L))
     assert(Seq(1L, 2L, 3L, 30L).forall(fin(_) === 1L))
+    // the batch-0 singleton is STILL in the mapping two batches later
+    assert(fin(40L) === 40L, "singleton cluster must survive re-expression")
     // keep-list law: exactly one root per cluster, the min member
-    assert(fin.count { case (n, r) => n == r } === 2)
+    assert(fin.count { case (n, r) => n == r } === 3)
 
     // replay idempotence: a replayed batch reads the standing state
     // strictly BEFORE its id (its own earlier attempt is ignored), so
@@ -81,7 +87,6 @@ class CcStreamSpec extends AnyFunSuite {
     // foreachBatch contract — must reproduce the landed mapping
     val standing = spark.read.schema("node BIGINT, cluster_root BIGINT")
       .parquet(s"$labels/batch_id=1")
-      .filter(col("node") =!= col("cluster_root"))
       .select(col("node").as("a"), col("cluster_root").as("b"))
     val replayed = mapOf(Dedup.connectedComponents(
       batches(2).toDF("a", "b").unionAll(standing), "a", "b"))

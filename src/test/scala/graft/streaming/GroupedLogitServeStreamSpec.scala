@@ -93,4 +93,35 @@ class GroupedLogitServeStreamSpec extends AnyFunSuite {
     // no verdict row is ever dropped: every streamed doc got one
     assert(verdicts.count().toInt === corpus.length + 1)
   }
+
+  test("degenerate model rows (NULL centers/betas) are dropped at freeze; their sources serve ungated") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the grouped IRLS emits NULL centers for a key whose features were
+    // all NULL in training — the gate must start (no NPE at collect)
+    // and route that source through the unseen path
+    val model = Seq[(String, Option[Long], Option[Long], Option[Double], Option[Double], Option[Double])](
+      ("good", Some(10L), Some(2L), Some(0.5), Some(0.1), Some(-0.2)),
+      ("degenerate", None, None, None, None, None))
+      .toDF("key", "c1", "c2", "b0", "b1", "b2")
+
+    val root = Files.createTempDirectory("grouped-logit-degen").toString
+    val src = MemoryStream[(Long, String, String, Long)]
+    val q = GroupedLogitServeStream.startGroupedLogitGate(
+      src.toDF().toDF("doc_id", "source", "text", "n_chars"),
+      model, s"$root/verdicts", s"$root/ckpt",
+      idCol = "doc_id", key = "source", x1 = tokExpr, x2 = theExpr)
+    try {
+      src.addData((1L, "good", "a b c", 5L), (2L, "degenerate", "d e", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val v = spark.read.parquet(s"$root/verdicts")
+      .select("doc_id", "pred").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(v(1L).isDefined, "modeled source must be gated")
+    assert(v(2L).isEmpty, "degenerate source must serve ungated (NULL pred)")
+  }
 }
