@@ -310,8 +310,19 @@ object Dedup {
       idCol: String,
       textCol: String,
       thresholds: Seq[Double],
-      n: Int = 3): DataFrame = {
-    val pairs = ngramJaccardPairs(df, idCol, textCol, thresholds.min, n)
+      n: Int = 3): DataFrame =
+    thresholdSensitivityFromPairs(
+      ngramJaccardPairs(df, idCol, textCol, thresholds.min, n), thresholds)
+
+  /** [[thresholdSensitivity]] over a PRE-BUILT pair frame — the
+    * registry-served form (the session builds the loose pair frame once
+    * and every threshold consumer sweeps it). `pairs` must carry
+    * (doc_b, jaccard) and have been built at a threshold <=
+    * `thresholds.min`, otherwise low buckets under-count — the caller
+    * owns that contract (the registered x99 passes the 0.05 registry
+    * frame with thresholds.min == 0.05). */
+  def thresholdSensitivityFromPairs(
+      pairs: DataFrame, thresholds: Seq[Double]): DataFrame = {
     val swept = pairs
       .select(col("jaccard"), col("doc_b"),
         explode(array(thresholds.map(lit): _*)).as("threshold"))
@@ -319,7 +330,7 @@ object Dedup {
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("doc_b")).as("n_dup_docs"))
-    val ts = df.sparkSession.range(1)
+    val ts = pairs.sparkSession.range(1)
       .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
     ts.join(swept, Seq("threshold"), "left")
       .select(col("threshold"),
@@ -1108,9 +1119,10 @@ object Dedup {
   def pqSearch(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, topK: Int,
       m: Int = 8, subDim: Int = 8, ks: Int = 16,
-      book: Option[DataFrame] = None): DataFrame = {
+      book: Option[DataFrame] = None,
+      codesIn: Option[DataFrame] = None): DataFrame = {
     val theBook = book.getOrElse(pqCodebook(df, idCol, vecCol, ks))
-    val codes = pqEncode(df, idCol, vecCol, theBook, m, subDim)
+    val codes = codesIn.getOrElse(pqEncode(df, idCol, vecCol, theBook, m, subDim))
     val cents = theBook
       .select(col("cent_id"), col("ce").as("__pq_ce"))
     val qtab = df.filter(queryPred)
@@ -1146,8 +1158,10 @@ object Dedup {
   def pqSearchRerank(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, topK: Int, shortlist: Int = 50,
       m: Int = 8, subDim: Int = 8, ks: Int = 16,
-      book: Option[DataFrame] = None): DataFrame = {
-    val sl = pqSearch(df, idCol, vecCol, queryPred, shortlist, m, subDim, ks, book)
+      book: Option[DataFrame] = None,
+      codesIn: Option[DataFrame] = None): DataFrame = {
+    val sl = pqSearch(df, idCol, vecCol, queryPred, shortlist, m, subDim, ks,
+      book, codesIn)
       .select(col("query_id"), col("neighbor_id"))
     val qs = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__pq_qe"))
@@ -1232,9 +1246,10 @@ object Dedup {
     * composition rules as PQ apply: route through IVF cells first and
     * SQ8-scan only the probed fraction. */
   def sqSearch(df: DataFrame, idCol: String, vecCol: String,
-      queryPred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
-    val bounds = sqBounds(df, idCol, vecCol)
-    val dec = sqEncode(df, idCol, vecCol, bounds)
+      queryPred: org.apache.spark.sql.Column, topK: Int,
+      sqIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val bounds = sqIndex.map(_._2).getOrElse(sqBounds(df, idCol, vecCol))
+    val dec = sqIndex.map(_._1).getOrElse(sqEncode(df, idCol, vecCol, bounds))
       .join(broadcast(bounds), Seq("pos"))
       .select(col(idCol).as("neighbor_id"), col("pos"),
         (col("lo") + expr("code * span div 255")).as("dv"))
@@ -1280,8 +1295,9 @@ object Dedup {
     * strictly above PQ's at equal shortlist on both corpus regimes. */
   def sqSearchRerank(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, topK: Int,
-      shortlist: Int = 50, dim: Int = 64): DataFrame = {
-    val sl = sqSearch(df, idCol, vecCol, queryPred, shortlist)
+      shortlist: Int = 50, dim: Int = 64,
+      sqIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val sl = sqSearch(df, idCol, vecCol, queryPred, shortlist, sqIndex)
       .select(col("query_id"), col("neighbor_id"))
     val qs = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__sq_qe"))
@@ -1363,9 +1379,10 @@ object Dedup {
     * bqSearchRerank]] is the registered fix, exactly the shortlist
     * economics the lab measured for SQ8/PQ. */
   def bqSearch(df: DataFrame, idCol: String, vecCol: String,
-      queryPred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
-    val thr = bqThresholds(df, idCol, vecCol)
-    val codes = bqEncode(df, idCol, vecCol, thr)
+      queryPred: org.apache.spark.sql.Column, topK: Int,
+      bqIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val thr = bqIndex.map(_._2).getOrElse(bqThresholds(df, idCol, vecCol))
+    val codes = bqIndex.map(_._1).getOrElse(bqEncode(df, idCol, vecCol, thr))
     val qc = bqEncode(df.filter(queryPred), idCol, vecCol, thr)
       .select(col(idCol).as("query_id"), col("word"), col("code").as("qcode"))
     val dist = codes
@@ -1390,8 +1407,9 @@ object Dedup {
     * for 8× less resident memory than SQ8. */
   def bqSearchRerank(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, topK: Int,
-      shortlist: Int = 50, dim: Int = 64): DataFrame = {
-    val sl = bqSearch(df, idCol, vecCol, queryPred, shortlist)
+      shortlist: Int = 50, dim: Int = 64,
+      bqIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val sl = bqSearch(df, idCol, vecCol, queryPred, shortlist, bqIndex)
       .select(col("query_id"), col("neighbor_id"))
     val qs = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__bq_qe"))
@@ -1420,12 +1438,14 @@ object Dedup {
     * scan, and re-rank. */
   def ivfBqSearch(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
-      topK: Int, kc: Int, shortlist: Int = 50, dim: Int = 64): DataFrame = {
-    val thr = bqThresholds(df, idCol, vecCol)
-    val codes = bqEncode(df, idCol, vecCol, thr)
+      topK: Int, kc: Int, shortlist: Int = 50, dim: Int = 64,
+      index2: Option[(DataFrame, DataFrame, DataFrame)] = None,
+      bqIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val thr = bqIndex.map(_._2).getOrElse(bqThresholds(df, idCol, vecCol))
+    val codes = bqIndex.map(_._1).getOrElse(bqEncode(df, idCol, vecCol, thr))
       .select(col(idCol).as("vid"), col("word"), col("code"))
     val (fineParent, activeCoarse, assigned) =
-      ivfIndexTwoLevel(df, idCol, vecCol, k, kc)
+      index2.getOrElse(ivfIndexTwoLevel(df, idCol, vecCol, k, kc))
     val qraw = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val probed = routeQueriesTwoLevel(qraw, fineParent, activeCoarse, nprobe)
@@ -1479,7 +1499,9 @@ object Dedup {
       topK: Int, shortlist: Int = 50,
       m: Int = 8, subDim: Int = 8, ks: Int = 16,
       book: Option[DataFrame] = None,
-      kc: Option[Int] = None): DataFrame = {
+      kc: Option[Int] = None,
+      index2: Option[(DataFrame, DataFrame, DataFrame)] = None,
+      codesIn: Option[DataFrame] = None): DataFrame = {
     val theBook = book.getOrElse(pqCodebook(df, idCol, vecCol, ks))
     // queryPred is over idCol (e.g. col("vec_id") < 10): applied BEFORE
     // any rename, uniformly for routing, ADC tables, and re-rank queries
@@ -1498,8 +1520,9 @@ object Dedup {
         // TWO-LEVEL routing (the 100 TB default — see ivfSearchTwoLevel):
         // corpus and queries route coarse→fine through the same frames
         val (fineParent, activeCoarse, assigned) =
-          ivfIndexTwoLevel(df, idCol, vecCol, k, kcv)
-        val codes = pqEncode(df, idCol, vecCol, theBook, m, subDim)
+          index2.getOrElse(ivfIndexTwoLevel(df, idCol, vecCol, k, kcv))
+        val codes = codesIn
+          .getOrElse(pqEncode(df, idCol, vecCol, theBook, m, subDim))
           .join(assigned.select(col(idCol), col("cell")), idCol)
           .select(col(idCol).as("vid"), col("sub"), col("code"), col("cell"))
         val probed =
@@ -1552,11 +1575,13 @@ object Dedup {
     * `neighbor_id`, `sq_dist`). */
   def ivfSqSearch(df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
-      topK: Int, kc: Int): DataFrame = {
-    val bounds = sqBounds(df, idCol, vecCol)
+      topK: Int, kc: Int,
+      index2: Option[(DataFrame, DataFrame, DataFrame)] = None,
+      sqIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val bounds = sqIndex.map(_._2).getOrElse(sqBounds(df, idCol, vecCol))
     val (fineParent, activeCoarse, assigned) =
-      ivfIndexTwoLevel(df, idCol, vecCol, k, kc)
-    val dec = sqEncode(df, idCol, vecCol, bounds)
+      index2.getOrElse(ivfIndexTwoLevel(df, idCol, vecCol, k, kc))
+    val dec = sqIndex.map(_._1).getOrElse(sqEncode(df, idCol, vecCol, bounds))
       .join(broadcast(bounds), Seq("pos"))
       .select(col(idCol).as("vid"), col("pos"),
         (col("lo") + expr("code * span div 255")).as("dv"))
@@ -2032,20 +2057,40 @@ object Dedup {
     * dot products, so each candidate is scored once. */
   def embeddingNearDupsBucketed(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 4, planesPerBand: Int = 4): DataFrame =
+    embeddingNearDupsBucketedFromCandidates(df, idCol, vecCol, threshold,
+      lshBandCandidates(df, idCol, vecCol, bands, planesPerBand))
+
+  /** The candidate half of [[embeddingNearDupsBucketed]] alone: distinct
+    * banded-LSH collision pairs (vec_a, vec_b), vec_a < vec_b, unscored.
+    * Split out so the pair-sized candidate set can live in a session
+    * registry and serve both the scored near-dup query (x34) and the
+    * recall audit's hit side (x102) from ONE band join per session. */
+  def lshBandCandidates(
+      df: DataFrame, idCol: String, vecCol: String,
       bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
-    val norms = withNorm(df, idCol, vecCol)
-    val keys = lshBandKeys(norms.select(col(idCol), col("embedding")), "embedding",
-      bands, planesPerBand)
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
+    val keys = lshBandKeys(df.select(col(idCol), col(vecCol).as("embedding")),
+      "embedding", bands, planesPerBand)
       .select(col(idCol), col("band"), col("band_key"))
     val a = keys.select(col(idCol).as("vec_a"), col("band"), col("band_key"))
     val b = keys.select(col(idCol).as("vec_b"), col("band"), col("band_key"))
-    val cand = a.join(b, Seq("band", "band_key"))
+    a.join(b, Seq("band", "band_key"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .distinct()
+  }
+
+  /** The scoring half of [[embeddingNearDupsBucketed]] over a pre-built
+    * candidate pair frame (vec_a, vec_b; extra columns ignored): exact
+    * cosine on candidates only, survivors above `threshold`. */
+  def embeddingNearDupsBucketedFromCandidates(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      candidates: DataFrame): DataFrame = {
+    val norms = withNorm(df, idCol, vecCol)
     val na = norms.select(col(idCol).as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
     val nb = norms.select(col(idCol).as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
-    cand
+    candidates.select("vec_a", "vec_b")
       .join(na, col("vec_a") === col("a_id"))
       .join(nb, col("vec_b") === col("b_id"))
       .select(col("vec_a"), col("vec_b"),
@@ -2140,9 +2185,11 @@ object Dedup {
     * keep-policy; cells differ only by the routing approximation,
     * which the x148-family recall pins already bound. */
   def semDedupTwoLevel(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, k: Int, kc: Int): DataFrame =
+      threshold: Double, k: Int, kc: Int,
+      index2: Option[(DataFrame, DataFrame, DataFrame)] = None): DataFrame =
     semDedupFromAssigned(
-      ivfAssignTwoLevel(df, idCol, vecCol, k, kc), idCol, threshold)
+      index2.map(_._3).getOrElse(ivfAssignTwoLevel(df, idCol, vecCol, k, kc)),
+      idCol, threshold)
 
   private def semDedupFromAssigned(assignedRaw: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
@@ -2404,7 +2451,7 @@ object Dedup {
     * corpus routed coarse→fine. Split out so [[ivfSearchTwoLevel]] can
     * route QUERIES through the identical frames the corpus was indexed
     * with — routing and cell contents can never disagree. */
-  private def ivfIndexTwoLevel(
+  private[operators] def ivfIndexTwoLevel(
       df: DataFrame, idCol: String, vecCol: String, k: Int, kc: Int
   ): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
@@ -2455,10 +2502,11 @@ object Dedup {
   def ivfSearchTwoLevel(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column,
-      k: Int, kc: Int, nprobe: Int, topK: Int
+      k: Int, kc: Int, nprobe: Int, topK: Int,
+      index2: Option[(DataFrame, DataFrame, DataFrame)] = None
   ): DataFrame = {
     val (fineParent, activeCoarse, assigned) =
-      ivfIndexTwoLevel(df, idCol, vecCol, k, kc)
+      index2.getOrElse(ivfIndexTwoLevel(df, idCol, vecCol, k, kc))
     val queries = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       .filter(queryPred)
@@ -2770,6 +2818,28 @@ object Dedup {
     result
   }
 
+  /** [[bandingRecallCurve]] over PRE-BUILT frames — the registry-served
+    * form: `truePairs` is the exact-Jaccard pair frame at the audited
+    * floor (carrying doc_a, doc_b, jaccard), `candidates` the banded
+    * candidate pair set (doc_a, doc_b; extra columns ignored). Both come
+    * from session registries in the registered x97, so the curve costs
+    * one pair-frame-sized left join + a <= 11-row aggregate instead of
+    * re-deriving shingles, signatures and both joins per pass. No pin,
+    * no release — the inputs are session-lifetime frames this call must
+    * not unpersist. */
+  def bandingRecallCurveFromFrames(
+      truePairs: DataFrame, candidates: DataFrame): DataFrame = {
+    val hits = candidates.select(col("doc_a"), col("doc_b"))
+      .withColumn("hit", lit(1L))
+    truePairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(hits, Seq("doc_a", "doc_b"), "left")
+      .select(floor(col("jaccard") * 10).cast("long").as("bucket"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+  }
+
   /** Empirical hyperplane-LSH recall curve for the embedding scale path:
     * for every true near-dup pair at exact cosine ≥ `minCosine`
     * ([[embeddingNearDups]], the all-pairs baseline), whether the banded
@@ -2783,9 +2853,21 @@ object Dedup {
     * slice, and the curve transfers because recall depends only on pair
     * cosine, not corpus size. */
   def embeddingBandingRecallCurve(
-      df: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
-    val exact = embeddingNearDups(df, idCol, vecCol, minCosine)
-    val hits = embeddingNearDupsBucketed(df, idCol, vecCol, minCosine)
+      df: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame =
+    embeddingBandingRecallCurveFromFrames(
+      embeddingNearDups(df, idCol, vecCol, minCosine),
+      lshBandCandidates(df, idCol, vecCol))
+
+  /** [[embeddingBandingRecallCurve]] over PRE-BUILT frames — the
+    * registry-served form: `exact` the exact cosine pair frame at the
+    * audited threshold (vec_a, vec_b, cosine), `candidates` the banded
+    * LSH collision pair set (vec_a, vec_b). A true pair was surfaced by
+    * the bucketed path iff it is a candidate (the bucketed path rescores
+    * candidates exactly, so at the same threshold candidate ∩ true =
+    * surfaced ∩ true), so the curve needs no second scoring pass. */
+  def embeddingBandingRecallCurveFromFrames(
+      exact: DataFrame, candidates: DataFrame): DataFrame = {
+    val hits = candidates
       .select(col("vec_a"), col("vec_b"))
       .withColumn("hit", lit(1L))
     exact

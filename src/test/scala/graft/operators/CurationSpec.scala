@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkEntry
+import graft.sources.Tables
 
 /** Semantics + plan shapes for the corpus-curation queries x40–x42
   * (decontamination, vocab coverage, mixture resampling). Cross-engine
@@ -364,7 +365,14 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("x180 blocklist joins are broadcast (corpus side never shuffles on the gram key)") {
-    val p = plan("x180_blocklist_gate")
+    // since round 19 the registered x180 serves from the session
+    // blocklist-gate REGISTRY (its plan is a pinned-frame read), so the
+    // broadcast-join property is asserted on the library build the
+    // registry runs — the plan that actually executes once per session
+    val p = Corpus.blocklistGate(
+        Tables(spark, sf).documents, "doc_id", "text",
+        graft.operators.TrainingData.blockPhrases)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }

@@ -58,10 +58,15 @@ class PinSpec extends AnyFunSuite {
   }
 
   test("reliable posture checkpoints to the configured dir and preserves results") {
+    // x59, not x152: since round 19 x152's only pins are its session
+    // REGISTRIES (built once under whatever posture was active first),
+    // so re-running it under `reliable` pins nothing new. x59 still
+    // pins per call (mutual-edge + CC materializations), so it
+    // exercises the reliable path end-to-end on every run.
     val dir = java.nio.file.Files.createTempDirectory("graft-pin").toString
     spark.conf.set("spark.graft.checkpointDir", dir)
-    val base = rows("x152_copurchase_pagerank")
-    val reliable = withPin("reliable")(rows("x152_copurchase_pagerank"))
+    val base = rows("x59_semantic_clusters")
+    val reliable = withPin("reliable")(rows("x59_semantic_clusters"))
     assert(reliable === base)
     // the reliable pin actually wrote checkpoint state
     def anyFiles(d: java.io.File): Boolean = {
