@@ -781,7 +781,7 @@ object Dedup {
     * which is what lets x53 carry a DuckDB hash oracle; the ≤1e-6
     * perturbation per component is far below the recall noise floor
     * (IvfSpec pins refined-vs-seed recall). */
-  private def ivfIndex(
+  private[operators] def ivfIndex(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       lloydIters: Int): (DataFrame, DataFrame) = {
     val norms = withNorm(df, idCol, vecCol)
@@ -839,10 +839,12 @@ object Dedup {
   def ivfSearch(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column,
-      k: Int, nprobe: Int, topK: Int, lloydIters: Int = 0
+      k: Int, nprobe: Int, topK: Int, lloydIters: Int = 0,
+      flatIndex: Option[(DataFrame, DataFrame)] = None
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (cents, assigned) = ivfIndex(df, idCol, vecCol, k, lloydIters)
+    val (cents, assigned) =
+      flatIndex.getOrElse(ivfIndex(df, idCol, vecCol, k, lloydIters))
     val queries = withNorm(df, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       .filter(queryPred)
@@ -2115,9 +2117,10 @@ object Dedup {
     * measured recall lever (0.20 → 0.53 at sf0.1, k=16). */
   def embeddingNearDupsIvf(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      k: Int = 16, nassign: Int = 1): DataFrame = {
+      k: Int = 16, nassign: Int = 1,
+      assignedIn: Option[DataFrame] = None): DataFrame = {
     val assigned =
-      if (nassign == 1) ivfAssign(df, idCol, vecCol, k)
+      if (nassign == 1) assignedIn.getOrElse(ivfAssign(df, idCol, vecCol, k))
       else {
         // multi-assignment recall lever: each vector lands in its
         // `nassign` nearest cells, so a near-dup pair is blocked
@@ -2173,8 +2176,10 @@ object Dedup {
     * so dot ≤ dims·10¹²·cellsize — safe below ~10⁵ members/cell at 64
     * dims; the auto-k = ⌊√n⌋ policy keeps cells far under that. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, k: Int = 16): DataFrame =
-    semDedupFromAssigned(ivfAssign(df, idCol, vecCol, k), idCol, threshold)
+      threshold: Double, k: Int = 16,
+      assignedIn: Option[DataFrame] = None): DataFrame =
+    semDedupFromAssigned(
+      assignedIn.getOrElse(ivfAssign(df, idCol, vecCol, k)), idCol, threshold)
 
   /** [[semDedup]] on the two-level routed assignment
     * ([[ivfAssignTwoLevel]]) — the registered SCALE path: the flat

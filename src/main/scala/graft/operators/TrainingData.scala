@@ -544,7 +544,8 @@ object TrainingData {
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     Dedup.ivfSearch(t.embeddings, "vec_id", "embedding",
-      col("query_id") < 10, k = 16, nprobe = 2, topK = 5)
+      col("query_id") < 10, k = 16, nprobe = 2, topK = 5,
+      flatIndex = Some(ivfFlatIndex(t, 16)))
   }
 
   /** x39's IVF probe search after ONE Lloyd refinement round (centroids
@@ -4359,6 +4360,35 @@ object TrainingData {
     }
   }
 
+  /** The FLAT IVF INDEX REGISTRY at cell count `k` — seed centroids +
+    * the flat nearest-centroid corpus assignment
+    * ([[Dedup.ivfIndex]], lloydIters = 0), packed as one tagged frame
+    * per (session, SF dir, k): the k=16 oracle-contract index serves
+    * x39 (probe search), x141 (label purity) and x143 (cell-blocked
+    * near-dup); the auto-k index serves x146 and x178 (SemDeDup).
+    * Vectors re-tagged non-null-element at the read boundary, same as
+    * [[ivf2AutoIndex]]. */
+  private[graft] def ivfFlatIndex(t: Tables, k: Int):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.VectorExpressions.ensureRegistered(t.spark)
+    val packed = Registries.frame(t.spark, t.dir, s"ivf_flat_index_k$k") {
+      val (cents, asg) =
+        Dedup.ivfIndex(t.embeddings, "vec_id", "embedding", k, 0)
+      cents.select(lit("c").as("role"), col("cent_id").as("id"),
+          col("ce").as("vec"), col("cn").as("nrm"),
+          lit(null).cast("long").as("ref"))
+        .unionByName(asg.select(lit("a").as("role"), col("vec_id").as("id"),
+          col("embedding").as("vec"), col("nrm"), col("cell").as("ref")))
+    }
+    def vecTagged = expr("known_not_null_elements(vec)")
+    val cents = packed.filter(col("role") === "c")
+      .select(col("id").as("cent_id"), vecTagged.as("ce"), col("nrm").as("cn"))
+    val asg = packed.filter(col("role") === "a")
+      .select(col("id").as("vec_id"), vecTagged.as("embedding"),
+        col("nrm"), col("ref").as("cell"))
+    (cents, asg)
+  }
+
   /** The SQ8 BOUNDS registry — the 64-row per-dimension min/max frame
     * ([[Dedup.sqBounds]], the SQ8 "train" step) every SQ consumer
     * re-aggregated per pass. */
@@ -4860,7 +4890,7 @@ object TrainingData {
     }
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
-    val assigned = Dedup.ivfAssign(t.embeddings, "vec_id", "embedding", k = 16)
+    val assigned = ivfFlatIndex(t, 16)._2
       .select(col("vec_id"), col("cell"))
     val lab = assigned
       .join(t.embeddings.select(col("vec_id"), col("label")), "vec_id")
@@ -4948,7 +4978,7 @@ object TrainingData {
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     Dedup.embeddingNearDupsIvf(t.embeddings, "vec_id", "embedding",
-      threshold = 0.4, k = 16)
+      threshold = 0.4, k = 16, assignedIn = Some(ivfFlatIndex(t, 16)._2))
   }
 
   /** x63's kNN label vote fed by [[Dedup.ivfSearch]] lists instead of
@@ -5071,7 +5101,8 @@ object TrainingData {
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     Dedup.embeddingNearDupsIvf(t.embeddings, "vec_id", "embedding",
-      threshold = 0.4, k = ivfAutoK(t))
+      threshold = 0.4, k = ivfAutoK(t),
+      assignedIn = Some(ivfFlatIndex(t, ivfAutoK(t))._2))
   }
 
   /** x143 with multi-assignment (nassign=2): every vector is blocked
@@ -6583,7 +6614,8 @@ object TrainingData {
   ) { t =>
     graft.functions.VectorExpressions.ensureRegistered(t.spark)
     Dedup.semDedup(t.embeddings, "vec_id", "embedding",
-      threshold = 0.4, k = ivfAutoK(t))
+      threshold = 0.4, k = ivfAutoK(t),
+      assignedIn = Some(ivfFlatIndex(t, ivfAutoK(t))._2))
   }
 
   /** SemDeDup on the two-level routed assignment
