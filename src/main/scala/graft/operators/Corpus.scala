@@ -392,32 +392,42 @@ object Corpus {
   def bm25TopK(
       df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
-    val w = words(df, idCol, textCol)
-    val lens = w.groupBy(col(idCol)).agg(count(lit(1)).as("len"))
-    val qw = w.filter(col("word").isin(terms: _*))
-    val tf = qw.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val totals = lens.agg(
-      sum(col("len")).as("total_len"), count(lit(1)).as("n_docs"))
-    val scored = tf
-      .join(broadcast(dfreq), "word")
-      .join(lens, idCol)
+    // r19 one-pass shape (guide §2.3 "aggregate before you shuffle"): the
+    // old form exploded the corpus twice (doc lengths; query-term tf) and
+    // re-joined tf⋈dfreq⋈lens. The query is a small FIXED term list, so
+    // per-term tf lands in one conditional-count column each inside the
+    // SAME per-doc aggregate as the length — one explode, one map-side-
+    // combined shuffle by doc, and every corpus-level statistic (df per
+    // term, total length, doc count) is one tiny aggregate over that
+    // frame, broadcast back. Scores keep the identical IEEE expression
+    // tree per term (same casts, same op order) and the identical
+    // fixed-order sum, so emitted doubles are bit-identical; docs
+    // containing NO query term are filtered exactly as before (they never
+    // entered the tf frame).
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      countIf(col("word") === t).as(s"tf_$i")
+    }
+    val perDoc = words(df, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("len"), tfCols: _*)
+    val totalCols = Seq(count(lit(1)).as("n_docs")) ++
+      terms.indices.map(i => countIf(col(s"tf_$i") > 0).as(s"df_$i"))
+    val totals = perDoc.agg(sum(col("len")).as("total_len"), totalCols: _*)
+    val scoreCols = terms.indices.map { i =>
+      val idf = ((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5)) /
+        (col(s"df_$i").cast("double") + lit(0.5))
+      when(col(s"tf_$i") > 0,
+        idf * ((col(s"tf_$i").cast("double") * lit(2.2)) /
+          (col(s"tf_$i").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("len").cast("double") / col("avglen"))))))
+        .otherwise(lit(0.0)).as(s"s_$i")
+    }
+    perDoc
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduceLeft(_ || _))
       .crossJoin(broadcast(totals))
       .withColumn("avglen", col("total_len").cast("double") / col("n_docs").cast("double"))
-      .withColumn("idf",
-        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)))
-      .withColumn("score_t",
-        col("idf") * ((col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") +
-            lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / col("avglen"))))))
-    // one fixed column per query term, summed in term order — no
-    // partition-order-dependent float aggregation
-    val termCols = terms.zipWithIndex.map { case (t, i) =>
-      coalesce(max(when(col("word") === t, col("score_t"))), lit(0.0)).as(s"s_$i")
-    }
-    val perTerm = scored.groupBy(col(idCol)).agg(termCols.head, termCols.tail: _*)
-    perTerm
+      .select(col(idCol) +: scoreCols: _*)
       .withColumn("score",
         terms.indices.map(i => col(s"s_$i")).reduceLeft(_ + _))
       .select(col(idCol), col("score"))
