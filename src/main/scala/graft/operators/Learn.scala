@@ -645,9 +645,18 @@ object Learn {
       col(textCol).as("text"), label.cast("boolean").as("y"))
     val tr = d.filter(col("doc_id") % 2 === 0)
     val te = d.filter(col("doc_id") % 2 === 1)
-    val (wt, classes, vocab) = nbModelImpl(tr, vocabK)
-    val pred = te.select(col("doc_id"), col("y").as("truth"))
-      .join(nbPredict(te, wt, classes), Seq("doc_id"))
+    // r19 job-count diet (guide §1.2 step 1 — this family was nearly
+    // pure scheduler floor, 1 task/stage at sf0.1): the truth column
+    // rides the predict tail instead of a doc_id re-join against a
+    // second test-corpus scan; n_train comes from the PINNED class-count
+    // frame (Σ n ≡ count(tr) exactly — groupBy keeps every row in some
+    // class group, NULL included); and vocab_size + n_train share ONE
+    // broadcast. Each removed frame was a corpus re-scan plus its own
+    // broadcast-build job.
+    val (wt, classes, vocab, nc) = nbModelImplFull(tr, vocabK)
+    val pred = nbPredictCarry(
+      te.select(col("doc_id"), col("text"), col("y").as("truth")),
+      Seq("truth"), wt, classes)
     pred.agg(
       sum(when(col("pred") && col("truth"), 1L).otherwise(0L)).as("tp"),
       sum(when(col("pred") && !col("truth"), 1L).otherwise(0L)).as("fp"),
@@ -655,8 +664,9 @@ object Learn {
       sum(when(!col("pred") && col("truth"), 1L).otherwise(0L)).as("fn"),
       count(lit(1)).as("n_test"))
       .crossJoin(broadcast(
-        vocab.agg(count(lit(1)).as("vocab_size"))))
-      .crossJoin(broadcast(tr.agg(count(lit(1)).as("n_train"))))
+        vocab.agg(count(lit(1)).as("vocab_size"))
+          .crossJoin(nc.agg(
+            coalesce(sum(col("n")), lit(0L)).as("n_train")))))
       .select(col("n_train"), col("n_test"), col("vocab_size"),
         col("tp"), col("fp"), col("tn"), col("fn"),
         ((col("tp") + col("tn")).cast("double") / col("n_test"))
@@ -697,11 +707,20 @@ object Learn {
 
   private def nbModelImpl(tr: DataFrame, vocabK: Int)
       : (DataFrame, DataFrame, DataFrame) = {
+    val (wt, classes, vocab, _) = nbModelImplFull(tr, vocabK)
+    (wt, classes, vocab)
+  }
+
+  /** [[nbModelImpl]] plus the PINNED class-count frame — [[nbGate]]
+    * reads n_train from it (exact: Σ per-class counts = the training
+    * row count) instead of re-scanning the training corpus. */
+  private def nbModelImplFull(tr: DataFrame, vocabK: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val trw = tr
       .select(col("doc_id"), col("y"),
         explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), col("y"), col("w")).distinct()
-    nbModelFromCounts(
+    nbModelFromCountsFull(
       tr.groupBy(col("y")).agg(count(lit(1)).as("n")),
       trw.groupBy(col("w"), col("y")).agg(count(lit(1)).as("c")),
       vocabK)
@@ -720,6 +739,16 @@ object Learn {
     * top-K). Same weight/prior derivation as [[nbModel]]. */
   def nbModelFromCounts(nc0: DataFrame, cntAll0: DataFrame, vocabK: Int)
       : (DataFrame, DataFrame, DataFrame) = {
+    val (wt, classes, vocab, _) = nbModelFromCountsFull(nc0, cntAll0, vocabK)
+    (wt, classes, vocab)
+  }
+
+  /** [[nbModelFromCounts]] plus the pinned class-count frame `nc` —
+    * internal callers ([[nbGate]] via [[nbModelImplFull]]) derive
+    * n_train from it instead of re-scanning the training corpus. */
+  private def nbModelFromCountsFull(
+      nc0: DataFrame, cntAll0: DataFrame, vocabK: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val nc = nc0.transform(graft.plans.Pin.pin)
     val cntAll = cntAll0.transform(graft.plans.Pin.pin)
     // the cap rides the PINNED vocab-sized counts — document frequency
@@ -734,13 +763,23 @@ object Learn {
         cntAll.join(broadcast(top), Seq("w"))
       }
     val vocab = cnt.select(col("w")).distinct()
-    // capped path: the count frame is K·classes-bounded by construction,
-    // so the grid join broadcasts it; uncapped counts are
-    // corpus-vocabulary-sized and keep the shuffle join
-    val cntSide = if (vocabK > 0) broadcast(cnt) else cnt
-    val grid = vocab.crossJoin(broadcast(nc))
-      .join(cntSide, Seq("w", "y"), "left")
-      .select(col("w"), col("y"), coalesce(col("c"), lit(0L)).as("c"), col("n"))
+    // r19 grid shape (guide §2.4): classes are the rows of the PINNED
+    // `nc` and `y` is BOOLEAN (the model's class contract), so the
+    // (word × class) grid pivots the count frame by class in ONE
+    // exchange on `w` and re-attaches (y, n) by broadcast — the old
+    // vocab.distinct ⋈ (w, y) left join cost two more exchanges and,
+    // uncapped, a corpus-vocabulary-sized shuffle join. The row set is
+    // identical: stack emits both class slots per word and the INNER
+    // broadcast join on y keeps exactly the classes present in nc (a
+    // single-class corpus gets one row per word, as before); a missing
+    // (w, y) count coalesces to 0 exactly as the old left join did.
+    val byW = cnt.groupBy(col("w")).agg(
+      max(when(col("y") === true, col("c"))).as("c_t"),
+      max(when(col("y") === false, col("c"))).as("c_f"))
+    val grid = byW
+      .selectExpr("w", "stack(2, true, c_t, false, c_f) AS (y, c0)")
+      .join(broadcast(nc), Seq("y"))
+      .select(col("w"), col("y"), coalesce(col("c0"), lit(0L)).as("c"), col("n"))
     val wt = grid.selectExpr("w", "y AS cls",
       "CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lp",
       "CAST(round(ln(1 - CAST(c + 1 AS DOUBLE) / (n + 2)), 6) AS DECIMAL(12,6)) AS lq")
@@ -750,7 +789,7 @@ object Learn {
     val prior = nc.crossJoin(broadcast(total)).selectExpr("y AS cls",
       "CAST(round(ln(CAST(n AS DOUBLE) / nt), 6) AS DECIMAL(12,6)) AS pr")
     val classes = prior.join(base, "cls").transform(graft.plans.Pin.pin)
-    (wt, classes, vocab)
+    (wt, classes, vocab, nc)
   }
 
   /** Score (`doc_id`, `text`) rows against a frozen NB model and return
@@ -771,24 +810,37 @@ object Learn {
     * corpus) the coalesce is never reached and the verdict is the
     * plain strict comparison the oracle replays. */
   def nbPredict(docs: DataFrame, wt: DataFrame, classes: DataFrame)
-      : DataFrame = {
+      : DataFrame =
+    nbPredictCarry(docs, Nil, wt, classes)
+
+  /** [[nbPredict]] with constant-per-doc passthrough columns: each name
+    * in `carry` must exist on `docs` and be constant within a doc_id
+    * (it rides the per-class fan-out and is re-collapsed with `max`,
+    * exact for a constant). Lets [[nbGate]] keep the truth label on the
+    * scored rows instead of re-scanning the test corpus for a doc_id
+    * re-join — one fewer scan, exchange and join in the gate plan. */
+  private[operators] def nbPredictCarry(
+      docs: DataFrame, carry: Seq[String], wt: DataFrame,
+      classes: DataFrame): DataFrame = {
     val dw = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .distinct()
     val sc = dw.join(broadcast(wt), Seq("w"))
       .groupBy(col("doc_id"), col("cls"))
       .agg(sum(col("lp") - col("lq")).as("s"))
-    docs.select(col("doc_id"))
+    docs.select(col("doc_id") +: carry.map(col): _*)
       .crossJoin(broadcast(classes))
       .join(sc, Seq("doc_id", "cls"), "left")
-      .select(col("doc_id"), col("cls"),
+      .select(col("doc_id") +: col("cls") +:
         (col("pr") + col("b") + coalesce(col("s"), lit(0))
-          .cast("decimal(22,6)")).as("score"))
+          .cast("decimal(22,6)")).as("score") +: carry.map(col): _*)
       .groupBy(col("doc_id"))
-      .agg(coalesce(
-        max(when(col("cls"), col("score"))) >
-          max(when(!col("cls"), col("score"))),
-        max(when(col("cls"), col("score"))).isNotNull).as("pred"))
+      .agg(
+        coalesce(
+          max(when(col("cls"), col("score"))) >
+            max(when(!col("cls"), col("score"))),
+          max(when(col("cls"), col("score"))).isNotNull).as("pred"),
+        carry.map(c => max(col(c)).as(c)): _*)
   }
 }
 
