@@ -176,18 +176,23 @@ object Corpus {
     * consumed in a long-lived session. See
     * [[graft.streaming.NoveltyStream]] for the incremental form. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val grams = gramHashes(df, idCol, textCol, n).transform(graft.plans.Pin.pin)
+    // r19: the gram frame is NO LONGER pinned — its two consumers below
+    // are the same subtree (one distinct-gram exchange), which AQE's
+    // runtime stage reuse computes once inside the one job either way;
+    // the pin paid a corpus-token-sized checkpoint write (plus the
+    // eager result pin + release bookkeeping it forced) for sharing
+    // Spark already provides. Measured r19 same-host: see
+    // OPTIMIZATION_r19.md batch 8 (the batch-6 pin lesson applied to
+    // the library's own older pins).
+    val grams = gramHashes(df, idCol, textCol, n)
     val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val novel = grams.groupBy(col("h")).agg(min(col(idCol)).as("first_doc"))
       .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
-    val result = perDoc
+    perDoc
       .join(novel, col(idCol) === col("first_doc"), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams")).as("novelty"))
-      .transform(graft.plans.Pin.pin)
-    Dedup.release(grams)
-    result
   }
 
   def stopwordFilter(
