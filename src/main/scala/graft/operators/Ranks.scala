@@ -153,13 +153,16 @@ object Ranks {
     * Contract: `valueCol` values must be distinct (a groupBy(value)
     * frame), `weightCol` integral (long), `bucket` monotone in the value.
     *
-    * The input frame is materialized once (checkpoint-for-the-call):
-    * three consumers read it (per-bucket totals, offsets, join-back),
-    * and without the barrier each would re-run the full upstream
-    * aggregation — measured as 4× redundant fact-table scans in the
-    * x128/x133/x140 plans (ReuseExchange does not unify them). The
-    * frame is distinct-value-sized by contract, so the materialization
-    * is grid-cheap at any corpus scale. */
+    * The input frame is NOT materialized (r19): its consumers below
+    * (per-bucket totals; the join-back probe side) share the upstream
+    * distinct-value aggregation's exchange, which AQE's runtime stage
+    * reuse computes once — the static ReuseExchange rule does not
+    * unify them, which is what the pre-r19 checkpoint-for-the-call
+    * here was (mis)reading as N× redundant scans. Measured r19
+    * same-host, min-of-3: x133 2.76→1.68 s (30→27 jobs),
+    * x140 1.74→1.13 s, x128 flat — the checkpoint write plus its
+    * barrier jobs cost more than the shared stage it saved at every
+    * call site (OPTIMIZATION_r19.md batch 8). */
   def suffixSumDistinct(
       df: DataFrame,
       valueCol: String,
@@ -167,7 +170,7 @@ object Ranks {
       bucket: Column,
       outCol: String
   ): DataFrame = {
-    val b = df.withColumn("__b", bucket.cast("long")).transform(graft.plans.Pin.pin)
+    val b = df.withColumn("__b", bucket.cast("long"))
     val perBucket = b.groupBy(col("__b")).agg(sum(col(weightCol)).as("__bw"))
     val rhs = perBucket.select(col("__b").as("__ob"), col("__bw").as("__obw"))
     val off = perBucket
