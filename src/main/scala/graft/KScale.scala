@@ -130,7 +130,6 @@ object KScale {
         val edges = Dedup.mutualEdgesFromTopK(lists)
         val cc = Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
         val n = cc.count()
-        Dedup.release(edges)
         n
       }
       println(s"""{"k":$k,"op":"x137_full","sec":$tCc,"rows":$nCc}""")

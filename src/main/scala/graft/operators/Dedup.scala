@@ -720,27 +720,26 @@ object Dedup {
 
   /** The mutuality tail shared by the exact and IVF kNN-cluster paths:
     * given ANY (query_id, neighbor_id) top-k list frame, keep the edges
-    * both endpoints agree on. The list frame is materialized once
-    * (checkpoint-for-the-call) so the self-join does not recompute the
-    * similarity scan twice; the join is on n·k rows regardless of how
-    * the lists were generated — which is exactly why swapping exact
-    * [[annTopK]] lists for [[ivfSearch]] lists changes only the
-    * candidate-generation cost, never the clustering tail. */
+    * both endpoints agree on. The self-join's two sides are the SAME
+    * projection of `lists`, so AQE's runtime stage reuse computes the
+    * upstream once (r19: the former checkpoint-for-the-call pins here
+    * were the batch-8 loser shape — a pinned copy of a stage Spark
+    * already shares, plus a second pin of a result every caller feeds
+    * straight into [[connectedComponents]], which pins its own input);
+    * the join is on n·k rows regardless of how the lists were
+    * generated — which is exactly why swapping exact [[annTopK]] lists
+    * for [[ivfSearch]] lists changes only the candidate-generation
+    * cost, never the clustering tail. */
   def mutualEdgesFromTopK(lists: DataFrame): DataFrame = {
-    val topk = lists
-      .select(col("query_id"), col("neighbor_id"))
-      .transform(graft.plans.Pin.pin)
+    val topk = lists.select(col("query_id"), col("neighbor_id"))
     // a rev row (rq, rv) = (q2's neighbor, q2): the edge (q, n) survives
     // iff some topk row has q2 = n, n2 = q — i.e. q matches the REVERSED
     // neighbor (rq) and n the reversed query (rv)
     val rev = topk.select(col("neighbor_id").as("rq"), col("query_id").as("rv"))
-    val result = topk
+    topk
       .join(rev, col("query_id") === col("rq") && col("neighbor_id") === col("rv"))
       .filter(col("query_id") < col("neighbor_id"))
       .select(col("query_id").as("u"), col("neighbor_id").as("v"))
-      .transform(graft.plans.Pin.pin)
-    release(topk)
-    result
   }
 
   /** Nearest-centroid assignment of every normed vector: tiny centroid
@@ -2205,6 +2204,12 @@ object Dedup {
       // ⌊v·10⁶⌋ INPUT-MAGNITUDE CONTRACT (PqSubSqDist scaladoc —
       // unit-ish vectors, |q| ≪ 2⁶³) the cast never nulls — re-tag so
       // the scoring long_vec_dot stays branch-free
+      // PINNED on purpose — the r19 batch-8 unpin audit MEASURED this
+      // site and the unpin LOST (x178 1.09→1.37, x179 1.44→1.78 s,
+      // min-of-3 same-host): unlike the suffix-sum/mutual-edge cases,
+      // the consumers' shared prefix ends in NO exchange (registry scan
+      // + this transform), so AQE stage reuse cannot dedupe it and all
+      // four consumers re-read + re-transform without the pin.
       .withColumn("qv", expr(
         "known_not_null_elements(" +
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))"))

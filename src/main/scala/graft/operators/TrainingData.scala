@@ -823,7 +823,6 @@ object TrainingData {
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_root"))))
       .select(col("node").as("vec_id"), col("cluster_root"), col("cluster_size"))
-    Dedup.release(edges)
     out
   }
 
@@ -4311,16 +4310,16 @@ object TrainingData {
             Seq(("cosine", false), ("neighbor_id", true)), 3)
             .select("query_id", "neighbor_id")
           val edges = Dedup.mutualEdgesFromTopK(top3)
-          val cc = Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
-          Dedup.release(edges)
-          cc
+          // edges is lazy since r19 (mutualEdgesFromTopK no longer pins);
+          // CC pins its own input, so there is nothing to release here —
+          // and a release() would walk THROUGH the lazy plan into the
+          // upstream registry's checkpoint blocks and unpersist them
+          Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
         }
       case _ =>
         val lists = ivfListsAuto(t, lit(true), nprobe = 2, topK = 3)
         val edges = Dedup.mutualEdgesFromTopK(lists)
-        val cc = Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
-        Dedup.release(edges)
-        cc
+        Dedup.connectedComponents(edges, "u", "v", maxIter = 256)
     }
 
   /** The TRAINED PQ CODEBOOK REGISTRY — [[Dedup.pqCodebookLloyd]] (one
